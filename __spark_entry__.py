@@ -3,8 +3,10 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Implementation lives in the ``linkgraph`` package (SURVEY.md §7 layout);
+this module is the thin adapter the driver imports.
 """
 
 from __future__ import annotations
@@ -28,17 +30,24 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+    Relational ◇ ops come from linkgraph.relational.REGISTRY (each with a
+    DuckDB oracle); iterative graph ops are listed without oracles (driver
+    records rows-only; their exactness is covered by the pytest oracles —
+    networkx / numpy single-node reference, SURVEY.md §5).
     """
-    return {}
+    from linkgraph.flagship import flagship
+    from linkgraph.relational import REGISTRY
+
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        name: fn for name, (fn, _sql) in REGISTRY.items()
+    }
+    out["pagerank_top10"] = lambda spark, sf_dir: flagship(spark, sf_dir)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL for each SQL-expressible query (same
+    column aliases as the Spark side; floats rounded on both sides)."""
+    from linkgraph.relational import REGISTRY
+
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}

@@ -1,0 +1,633 @@
+"""Relational ◇ operators exposed as driver queries with DuckDB oracles.
+
+Each entry in ``REGISTRY`` is ``name -> (spark_fn, oracle_sql | None)`` where
+``spark_fn(spark, sf_dir) -> DataFrame`` uses the idiomatic DataFrame API and
+``oracle_sql`` is the ANSI-SQL equivalent DuckDB runs on the same parquet
+(SURVEY.md §2 ◇ rows; driver contract __spark_entry__.py).
+
+Rules (driver compare = row-count + schema + order-insensitive value hash):
+- every computed column aliased identically on both sides;
+- float aggregates rounded on BOTH sides so summation-order noise in double
+  sums cannot flip the hash;
+- timestamps reduced to integer year/month parts (dialect-neutral);
+- LIMIT queries carry total tiebreaks so top-k is deterministic.
+
+Entries with ``oracle_sql=None`` (iterative graph ops) get the driver's
+weaker rows-only check; their exactness is covered by the pytest oracles
+(networkx / numpy single-node reference — SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .io import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# §2.2 projections / filters
+# --------------------------------------------------------------------------
+
+def q_filter_project(spark, sf_dir):
+    """Pushdown-friendly filter + projection + computed column (ops 7, 8)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where((F.col("l_quantity") > 45) & (F.col("l_discount") < 0.03))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("net_price"),
+        )
+    )
+
+
+SQL_FILTER_PROJECT = """
+SELECT l_orderkey, l_linenumber, l_quantity,
+       round(l_extendedprice * (1 - l_discount), 4) AS net_price
+FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.03
+"""
+
+
+def q_dropdup(spark, sf_dir):
+    """dropDuplicates on a subset (op 9)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select("o_custkey", "o_orderstatus").dropDuplicates()
+
+
+SQL_DROPDUP = "SELECT DISTINCT o_custkey, o_orderstatus FROM orders"
+
+
+# --------------------------------------------------------------------------
+# §2.4 aggregations
+# --------------------------------------------------------------------------
+
+def q_agg_pricing(spark, sf_dir):
+    """TPC-H Q1-shaped partial+final hash aggregate (op 17)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") < F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_AGG_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_distinct_count(spark, sf_dir):
+    """distinct + count distinct (op 18)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.agg(
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+    )
+
+
+SQL_DISTINCT_COUNT = """
+SELECT count(DISTINCT c_mktsegment) AS n_segments,
+       count(DISTINCT c_nationkey) AS n_nations
+FROM customer
+"""
+
+
+def q_rollup(spark, sf_dir):
+    """Rollup grouping sets (op 20)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+SQL_ROLLUP = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_cube(spark, sf_dir):
+    """Cube grouping sets (op 20)."""
+    e = _t(spark, sf_dir, "events")
+    return e.cube("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+SQL_CUBE = """
+SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY CUBE (event_type)
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.3 joins
+# --------------------------------------------------------------------------
+
+def q_join_region_revenue(spark, sf_dir):
+    """3-way inner join + agg; small dims broadcast (ops 10, 11)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+    )
+
+
+SQL_JOIN_REGION_REVENUE = """
+SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_join_left_orders(spark, sf_dir):
+    """Left outer join keeping customers with zero orders (op 12)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+SQL_JOIN_LEFT_ORDERS = """
+SELECT c_custkey, count(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+def q_semi_customers(spark, sf_dir):
+    """Left semi: customers that have at least one 'F' order (op 13)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+SQL_SEMI_CUSTOMERS = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+"""
+
+
+def q_anti_customers(spark, sf_dir):
+    """Left anti: customers with no orders at all (op 13)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+SQL_ANTI_CUSTOMERS = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.5 windows
+# --------------------------------------------------------------------------
+
+def q_window_top_order(spark, sf_dir):
+    """row_number: each customer's single most expensive order (op 24)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("top_price"))
+    )
+
+
+SQL_WINDOW_TOP_ORDER = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS top_price
+FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn = 1
+"""
+
+
+def q_window_lag_events(spark, sf_dir):
+    """lag/lead over the per-user event stream (op 25)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+    )
+
+
+SQL_WINDOW_LAG_EVENTS = """
+SELECT user_id, event_id, event_type,
+       lag(event_type)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+       lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+FROM events
+"""
+
+
+def q_dense_rank_parts(spark, sf_dir):
+    """dense_rank within brand; keep top 3 price tiers (op 26)."""
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"))
+    return (
+        p.withColumn("price_rank", F.dense_rank().over(w))
+        .where(F.col("price_rank") <= 3)
+        .select("p_brand", "p_partkey", F.round("p_retailprice", 2).alias("price"), "price_rank")
+    )
+
+
+SQL_DENSE_RANK_PARTS = """
+SELECT p_brand, p_partkey, round(p_retailprice, 2) AS price, price_rank
+FROM (SELECT *, dense_rank() OVER (PARTITION BY p_brand
+                                   ORDER BY p_retailprice DESC) AS price_rank
+      FROM part) WHERE price_rank <= 3
+"""
+
+
+def q_running_total(spark, sf_dir):
+    """Framed analytic window: running order total per customer (op 27)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+SQL_RUNNING_TOTAL = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.6 sorts / top-k
+# --------------------------------------------------------------------------
+
+def q_topk_orders(spark, sf_dir):
+    """Global top-10 by price (TakeOrderedAndProject; op 30)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+        .limit(10)
+    )
+
+
+SQL_TOPK_ORDERS = """
+SELECT o_orderkey, round(o_totalprice, 2) AS price
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.7 set ops
+# --------------------------------------------------------------------------
+
+def q_union_segments(spark, sf_dir):
+    """union all of two filtered projections (op 31)."""
+    c = _t(spark, sf_dir, "customer")
+    a = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.where(F.col("c_acctbal") > 9000).select("c_custkey")
+    return a.unionByName(b)
+
+
+SQL_UNION_SEGMENTS = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION ALL
+SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+"""
+
+
+def q_intersect_custkeys(spark, sf_dir):
+    """intersectAll: customers ordering in both halves of the date range (op 32)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.where(F.year("o_orderdate") <= 1996).select("o_custkey")
+    b = o.where(F.year("o_orderdate") >= 1997).select("o_custkey")
+    return a.distinct().intersectAll(b.distinct())
+
+
+SQL_INTERSECT_CUSTKEYS = """
+SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) <= 1996
+INTERSECT ALL
+SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) >= 1997
+"""
+
+
+def q_except_custkeys(spark, sf_dir):
+    """exceptAll over distinct key sets (op 32)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.select("o_custkey").distinct()
+    b = o.where(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    return a.exceptAll(b)
+
+
+SQL_EXCEPT_CUSTKEYS = """
+SELECT DISTINCT o_custkey FROM orders
+EXCEPT ALL
+SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+# --------------------------------------------------------------------------
+# §2.8 scalar functions
+# --------------------------------------------------------------------------
+
+def q_string_ops(spark, sf_dir):
+    """lower/trim/concat_ws/split + regexp_extract (ops 33, 34)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower(F.trim(F.col("p_name"))).alias("name_norm"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+        F.regexp_extract(F.col("p_type"), "^([A-Z]+)", 1).alias("type_prefix"),
+    )
+
+
+SQL_STRING_OPS = """
+SELECT p_partkey,
+       lower(trim(p_name)) AS name_norm,
+       concat_ws('|', p_brand, p_type) AS brand_type,
+       string_split(p_name, ' ')[1] AS first_word,
+       regexp_extract(p_type, '^([A-Z]+)', 1) AS type_prefix
+FROM part
+"""
+
+
+def q_date_buckets(spark, sf_dir):
+    """date_trunc-style month bucketing as integer parts (op 36)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+SQL_DATE_BUCKETS = """
+SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+       count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+FROM orders GROUP BY 1, 2
+"""
+
+
+def q_array_words(spark, sf_dir):
+    """explode(split()) word frequency over part names (op 37)."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select(F.explode(F.split("p_name", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_ARRAY_WORDS = """
+SELECT word, count(*) AS n
+FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+GROUP BY word
+"""
+
+
+def q_json_props(spark, sf_dir):
+    """JSON field extraction from events.props (op 38)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(F.get_json_object("props", "$.k").cast("int").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_JSON_PROPS = """
+SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+def q_higher_order_array(spark, sf_dir):
+    """Higher-order array funcs on the embedding column (op 37):
+    L1 norm via aggregate() and dim via size()."""
+    em = _t(spark, sf_dir, "embeddings")
+    return em.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(
+            F.aggregate(
+                "embedding",
+                F.lit(0.0),
+                lambda acc, x: acc + F.abs(x.cast("double")),
+            ),
+            4,
+        ).alias("l1_norm"),
+    )
+
+
+SQL_HIGHER_ORDER_ARRAY = """
+SELECT vec_id, len(embedding) AS dim,
+       round(list_sum(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 4) AS l1_norm
+FROM embeddings
+"""
+
+
+# --------------------------------------------------------------------------
+# graph-shaped queries over the events table (SQL-expressible subset)
+# --------------------------------------------------------------------------
+
+_EVENTS_EDGE_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+)
+SELECT event_type AS src_key, nxt AS dst_key, count(*) AS w
+FROM ordered WHERE nxt IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+def q_turn_edges(spark, sf_dir):
+    """Consecutive-event edge derivation with multiplicities (ops 14, 41)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            F.col("event_type").alias("src_key"),
+            F.lead("event_type").over(w).alias("dst_key"),
+        )
+        .where(F.col("dst_key").isNotNull())
+        .groupBy("src_key", "dst_key")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+SQL_TURN_EDGES = _EVENTS_EDGE_SQL
+
+
+def q_tool_edges(spark, sf_dir):
+    """Invocation-style edges user -> event_type (op 42)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.concat(F.lit("user:"), F.col("user_id").cast("string")).alias("src_key"),
+            F.col("event_type").alias("dst_key"),
+        )
+        .groupBy("src_key", "dst_key")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+SQL_TOOL_EDGES = """
+SELECT 'user:' || CAST(user_id AS VARCHAR) AS src_key, event_type AS dst_key,
+       count(*) AS w
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_out_degrees(spark, sf_dir):
+    """Degree table over the derived turn-edge list (op 45)."""
+    edges = q_turn_edges(spark, sf_dir)
+    return edges.groupBy("src_key").agg(
+        F.count(F.lit(1)).alias("out_deg"),
+        F.sum("w").cast("double").alias("out_w"),
+    )
+
+
+SQL_OUT_DEGREES = f"""
+WITH e AS ({_EVENTS_EDGE_SQL})
+SELECT src_key, count(*) AS out_deg, CAST(sum(w) AS DOUBLE) AS out_w
+FROM e GROUP BY src_key
+"""
+
+
+def q_triangle_count(spark, sf_dir):
+    """Exact triangle count of the undirected simple event-type graph via
+    the 2-join oriented form (op 51, Catalyst-planned)."""
+    e = q_turn_edges(spark, sf_dir).where(F.col("src_key") != F.col("dst_key"))
+    und = (
+        e.select(
+            F.least("src_key", "dst_key").alias("u"),
+            F.greatest("src_key", "dst_key").alias("v"),
+        )
+        .distinct()
+    )
+    e1 = und.alias("e1")
+    e2 = und.alias("e2")
+    e3 = und.alias("e3")
+    wedges = e1.join(e2, (F.col("e1.u") == F.col("e2.u")) & (F.col("e2.v") > F.col("e1.v")))
+    tris = wedges.join(
+        e3,
+        (F.col("e3.u") == F.col("e1.v")) & (F.col("e3.v") == F.col("e2.v")),
+    )
+    return tris.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+SQL_TRIANGLE_COUNT = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+), e AS (
+  SELECT DISTINCT least(event_type, nxt) AS u, greatest(event_type, nxt) AS v
+  FROM ordered WHERE nxt IS NOT NULL AND event_type <> nxt
+)
+SELECT count(*) AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "filter_project": (q_filter_project, SQL_FILTER_PROJECT),
+    "dropdup": (q_dropdup, SQL_DROPDUP),
+    "agg_pricing": (q_agg_pricing, SQL_AGG_PRICING),
+    "distinct_count": (q_distinct_count, SQL_DISTINCT_COUNT),
+    "rollup_orders": (q_rollup, SQL_ROLLUP),
+    "cube_events": (q_cube, SQL_CUBE),
+    "join_region_revenue": (q_join_region_revenue, SQL_JOIN_REGION_REVENUE),
+    "join_left_orders": (q_join_left_orders, SQL_JOIN_LEFT_ORDERS),
+    "semi_customers": (q_semi_customers, SQL_SEMI_CUSTOMERS),
+    "anti_customers": (q_anti_customers, SQL_ANTI_CUSTOMERS),
+    "window_top_order": (q_window_top_order, SQL_WINDOW_TOP_ORDER),
+    "window_lag_events": (q_window_lag_events, SQL_WINDOW_LAG_EVENTS),
+    "dense_rank_parts": (q_dense_rank_parts, SQL_DENSE_RANK_PARTS),
+    "running_total": (q_running_total, SQL_RUNNING_TOTAL),
+    "topk_orders": (q_topk_orders, SQL_TOPK_ORDERS),
+    "union_segments": (q_union_segments, SQL_UNION_SEGMENTS),
+    "intersect_custkeys": (q_intersect_custkeys, SQL_INTERSECT_CUSTKEYS),
+    "except_custkeys": (q_except_custkeys, SQL_EXCEPT_CUSTKEYS),
+    "string_ops": (q_string_ops, SQL_STRING_OPS),
+    "date_buckets": (q_date_buckets, SQL_DATE_BUCKETS),
+    "array_words": (q_array_words, SQL_ARRAY_WORDS),
+    "json_props": (q_json_props, SQL_JSON_PROPS),
+    "higher_order_array": (q_higher_order_array, SQL_HIGHER_ORDER_ARRAY),
+    "turn_edges": (q_turn_edges, SQL_TURN_EDGES),
+    "tool_edges": (q_tool_edges, SQL_TOOL_EDGES),
+    "out_degrees": (q_out_degrees, SQL_OUT_DEGREES),
+    "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
+}

@@ -39,6 +39,7 @@ def get_spark(
         # Keep driver-side collects of metrics rows cheap and bounded.
         "spark.sql.execution.arrow.pyspark.fallback.enabled": "true",
         "spark.ui.enabled": "false",
+        "spark.ui.showConsoleProgress": "false",
         "spark.driver.memory": "8g",
     }
     if extra_conf:
