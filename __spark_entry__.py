@@ -35,12 +35,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     records rows-only; their exactness is covered by the pytest oracles —
     networkx / numpy single-node reference, SURVEY.md §5).
     """
+    from linkgraph.engine_queries import registry as engine_registry
     from linkgraph.flagship import flagship
     from linkgraph.relational import REGISTRY
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: fn for name, (fn, _sql) in REGISTRY.items()
     }
+    out.update({name: fn for name, (fn, _sql) in engine_registry().items()})
     out["pagerank_top10"] = lambda spark, sf_dir: flagship(spark, sf_dir)
     return out
 
@@ -48,6 +50,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL for each SQL-expressible query (same
     column aliases as the Spark side; floats rounded on both sides)."""
+    from linkgraph.engine_queries import registry as engine_registry
     from linkgraph.relational import REGISTRY
 
-    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}
+    out = {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}
+    out.update(
+        {name: sql for name, (_fn, sql) in engine_registry().items() if sql is not None}
+    )
+    return out

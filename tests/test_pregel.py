@@ -1,0 +1,110 @@
+"""CSR-backed Pregel programs vs single-node references (ops 48-50)."""
+
+import numpy as np
+import pytest
+
+from linkgraph.derive import build_graph
+from linkgraph.pregel import (
+    ComponentsProgram,
+    GraphContext,
+    LabelPropProgram,
+    PageRankProgram,
+    run_program,
+)
+from linkgraph.ref_single_node import components_ref, lpa_ref, pagerank_ref
+from linkgraph.synth import micro_transcripts, synth_transcripts
+
+from .conftest import edges_numpy
+
+P = 8
+
+
+@pytest.fixture(scope="module")
+def synth_ctx(spark):
+    g = build_graph(synth_transcripts(spark, n_conversations=60, seed=42))
+    ctx = GraphContext.build(g, P)
+    yield g, ctx
+    ctx.unpersist()
+
+
+def _col(state, name, n):
+    pdf = state.toPandas()
+    out = np.zeros(n, dtype=np.asarray(pdf[name]).dtype)
+    out[pdf["vid"].to_numpy(np.int64)] = pdf[name].to_numpy()
+    return out
+
+
+def test_pagerank_csr_matches_reference(synth_ctx):
+    g, ctx = synth_ctx
+    src, dst, w, n = edges_numpy(g)
+    res = run_program(ctx, PageRankProgram(tol=1e-9), max_iter=200)
+    assert res.converged
+    r = _col(res.state, "rank", n)
+    r_ref, it_ref = pagerank_ref(src, dst, w, n, tol=1e-9)
+    assert res.supersteps == it_ref
+    assert np.allclose(r, r_ref, atol=1e-6)
+    assert abs(r.sum() - 1.0) < 1e-8
+
+
+def test_components_exact(synth_ctx):
+    g, ctx = synth_ctx
+    src, dst, _w, n = edges_numpy(g)
+    res = run_program(ctx, ComponentsProgram(), max_iter=100)
+    assert res.converged
+    comp = _col(res.state, "comp", n)
+    assert (comp == components_ref(src, dst, n)).all()
+
+
+def test_components_vs_networkx(synth_ctx):
+    import networkx as nx
+
+    g, ctx = synth_ctx
+    src, dst, _w, n = edges_numpy(g)
+    res = run_program(ctx, ComponentsProgram(), max_iter=100)
+    comp = _col(res.state, "comp", n)
+    G = nx.Graph()
+    G.add_nodes_from(range(n))
+    G.add_edges_from((s, d) for s, d in zip(src, dst) if s != d)
+    for cset in nx.connected_components(G):
+        labels = {comp[v] for v in cset}
+        assert labels == {min(cset)}  # exact min-vid labeling per component
+
+
+def test_labelprop_exact(synth_ctx):
+    g, ctx = synth_ctx
+    src, dst, _w, n = edges_numpy(g)
+    res = run_program(ctx, LabelPropProgram(), max_iter=30)
+    label = _col(res.state, "label", n)
+    assert (label == lpa_ref(src, dst, n, max_iter=30)).all()
+
+
+@pytest.mark.parametrize("name", ["tri3", "path4", "two2cycles", "star_hub", "dup_self"])
+def test_golden_all_programs(spark, name):
+    g = build_graph(micro_transcripts(spark, name))
+    src, dst, w, n = edges_numpy(g)
+    ctx = GraphContext.build(g, 4)
+    try:
+        pr = run_program(ctx, PageRankProgram(tol=1e-10), max_iter=300)
+        assert np.allclose(
+            _col(pr.state, "rank", n), pagerank_ref(src, dst, w, n, tol=1e-10)[0], atol=1e-6
+        )
+        cc = run_program(ctx, ComponentsProgram(), max_iter=50)
+        assert (_col(cc.state, "comp", n) == components_ref(src, dst, n)).all()
+        lp = run_program(ctx, LabelPropProgram(), max_iter=20)
+        assert (_col(lp.state, "label", n) == lpa_ref(src, dst, n, max_iter=20)).all()
+    finally:
+        ctx.unpersist()
+
+
+def test_golden_expectations(spark):
+    """Hand-computed FIXTURES.md §3 expectations."""
+    g = build_graph(micro_transcripts(spark, "two2cycles"))
+    ctx = GraphContext.build(g, 4)
+    try:
+        pr = run_program(ctx, PageRankProgram(tol=1e-10), max_iter=100)
+        assert np.allclose(_col(pr.state, "rank", 4), 0.25, atol=1e-9)
+        cc = run_program(ctx, ComponentsProgram(), max_iter=50)
+        comp = _col(cc.state, "comp", 4)
+        assert len(set(comp)) == 2  # {a,b}, {c,d}
+    finally:
+        ctx.unpersist()
