@@ -78,8 +78,17 @@ class CheckpointManager:
     def _step_dir(self, t: int) -> str:
         return os.path.join(self.algo_dir, f"step_{t:06d}")
 
-    def write(self, t: int, state: DataFrame, metrics: dict[str, Any]) -> list[dict]:
-        """Durably persist superstep t's state; returns per-partition stats."""
+    def write(
+        self,
+        t: int,
+        state: DataFrame,
+        metrics: dict[str, Any],
+        per_partition: list[dict] | None = None,
+    ) -> list[dict]:
+        """Durably persist superstep t's state; returns per-partition stats.
+
+        ``per_partition`` lets the runner supply stats it already computed in
+        its combined convergence job (saves one action per superstep)."""
         os.makedirs(self.algo_dir, exist_ok=True)
         tmp = self._step_dir(t) + "._tmp"
         final = self._step_dir(t)
@@ -87,7 +96,7 @@ class CheckpointManager:
             import shutil
 
             shutil.rmtree(tmp)
-        stats = _partition_stats(state, self.state_cols)
+        stats = per_partition if per_partition is not None else _partition_stats(state, self.state_cols)
         state.select(*self.state_cols).write.mode("overwrite").parquet(
             os.path.join(tmp, "state")
         )

@@ -1,0 +1,452 @@
+"""Training-data pipeline operators over the documents/embeddings tables.
+
+Large-scale corpus operations a 100 TB training pipeline needs, each exposed
+as a driver-gate query with (where expressible) an EXACT DuckDB oracle:
+
+- exact dedup (hash groupBy)
+- MinHash signatures + LSH-banded near-dup pairs with exact-Jaccard verify
+- SimHash 60-bit fingerprints
+- token / quality statistics, language-ID heuristic, document fingerprints
+- brute-force cosine top-k ANN baseline (list_cosine_similarity oracle)
+
+Cross-system determinism trick: every hash is the first 15 hex digits of
+md5 parsed as int64 — Spark ``conv(substring(md5(x),1,15),16,10)`` ==
+DuckDB ``CAST('0x'||substr(md5(x),1,15) AS BIGINT)`` — so signature values,
+LSH buckets and fingerprints are bit-identical across engines (xxhash64 has
+no DuckDB twin).  At production scale the same pipelines run with xxhash64
+(cheaper); the md5 path is the verification mode.
+
+Scale notes: everything is shuffle-bounded DataFrame code — shingle
+explosion is O(tokens); LSH candidate pairs are bounded by band-bucket
+sizes, never the O(n^2) document cross product; ANN brute force is the
+small-scale baseline with the LSH-bucketed variant as the scale path
+(ann.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .io import load_table
+
+# hash parameters shared by Spark + SQL sides
+N_HASHES = 16
+BAND_ROWS = 2          # rows per LSH band -> 8 bands
+JACCARD_TAU = 0.5
+SIMHASH_BITS = 60      # fits int64 via the 15-hex-digit md5 prefix
+
+STOPWORDS_EN = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+STOPWORDS_DE = ["der", "die", "das", "und", "ist", "von", "mit", "auf", "ein", "zu"]
+STOPWORDS_FR = ["le", "la", "les", "et", "est", "de", "un", "une", "pour", "dans"]
+
+
+def _md5_int(col):
+    """First 15 hex digits of md5 as int64 (same value in DuckDB)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _sql_md5_int(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def _words(col):
+    return F.split(F.lower(F.trim(col)), " ")
+
+
+# --------------------------------------------------------------------------
+# dedup
+# --------------------------------------------------------------------------
+
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: canonical doc (min doc_id) + multiplicity per text hash."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(_md5_int(F.col("text")).alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+SQL_DOC_EXACT_DEDUP = f"""
+SELECT {_sql_md5_int('text')} AS text_hash,
+       min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def _shingles_df(spark, sf_dir):
+    """Distinct word-3-gram shingles per doc."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", _words(F.col("text")).alias("w"))
+    sh = w.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("w") - 2, F.lit(0))),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("w"), i),
+                    F.element_at(F.col("w"), i + 1),
+                    F.element_at(F.col("w"), i + 2),
+                ),
+            )
+        ).alias("shingle"),
+    )
+    return sh.distinct()
+
+
+_SQL_SHINGLES = """
+SELECT DISTINCT doc_id, shingle FROM (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(w) - 2, 0)),
+           i -> concat_ws(' ', w[i], w[i+1], w[i+2])
+         )) AS shingle
+  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents)
+)
+"""
+
+
+def doc_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures: (doc_id, seed, minh) for seeds 0..N_HASHES-1."""
+    sh = _shingles_df(spark, sf_dir)
+    seeds = spark.range(N_HASHES).select(F.col("id").cast("int").alias("seed"))
+    return (
+        sh.crossJoin(F.broadcast(seeds))
+        .select(
+            "doc_id",
+            "seed",
+            _md5_int(F.concat_ws(":", F.col("seed"), F.col("shingle"))).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minh"))
+    )
+
+
+SQL_DOC_MINHASH = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+hs AS (
+  SELECT doc_id, seed,
+         {_sql_md5_int("concat_ws(':', seed, shingle)")} AS h
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, {N_HASHES - 1})) AS seed)
+)
+SELECT doc_id, seed, min(h) AS minh FROM hs GROUP BY doc_id, seed
+"""
+
+
+def doc_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-banded near-duplicate pairs, verified by exact shingle Jaccard.
+
+    signature -> band keys (rows-per-band minhashes concatenated) ->
+    bucket self-join for candidates -> exact Jaccard >= TAU filter.
+    Candidate generation never touches the O(n^2) pair space."""
+    sig = doc_minhash(spark, sf_dir)
+    bands = (
+        sig.withColumn("band", (F.col("seed") / BAND_ROWS).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "minh"))),
+                    lambda s: s["minh"].cast("string"),
+                ),
+            ).alias("band_key")
+        )
+    )
+    b1 = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+    b2 = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+    cand = (
+        b1.join(b2, ["band", "band_key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sets = _shingles_df(spark, sf_dir).groupBy("doc_id").agg(
+        F.collect_set("shingle").alias("s")
+    )
+    j = (
+        cand.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa")), "doc_a")
+        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("sa", "sb"))
+                / F.size(F.array_union("sa", "sb"))
+            ).alias("jacc"),
+        )
+        .where(F.col("jacc") >= JACCARD_TAU)
+        .select("doc_a", "doc_b", F.round("jacc", 6).alias("jaccard"))
+    )
+    return j
+
+
+SQL_DOC_NEAR_DUPS = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+hs AS (
+  SELECT doc_id, seed,
+         {_sql_md5_int("concat_ws(':', seed, shingle)")} AS h
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, {N_HASHES - 1})) AS seed)
+),
+sig AS (SELECT doc_id, seed, min(h) AS minh FROM hs GROUP BY doc_id, seed),
+bands AS (
+  SELECT doc_id, CAST(seed / {BAND_ROWS} AS INT) AS band,
+         string_agg(CAST(minh AS VARCHAR), ',' ORDER BY seed) AS band_key
+  FROM sig GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+  FROM bands b1 JOIN bands b2
+    ON b1.band = b2.band AND b1.band_key = b2.band_key AND b1.doc_id < b2.doc_id
+),
+sets AS (SELECT doc_id, list(DISTINCT shingle) AS s FROM sh GROUP BY doc_id)
+SELECT doc_a, doc_b, round(jacc, 6) AS jaccard FROM (
+  SELECT doc_a, doc_b,
+         CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+           / len(list_distinct(list_concat(sa.s, sb.s))) AS jacc
+  FROM cand
+  JOIN sets sa ON sa.doc_id = cand.doc_a
+  JOIN sets sb ON sb.doc_id = cand.doc_b
+) WHERE jacc >= {JACCARD_TAU}
+"""
+
+
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprint: sign-sum of word-hash bits, packed to int64."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(_words(F.col("text"))).alias("word")
+    ).withColumn("h", _md5_int(F.col("word")))
+    bit_sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    packed = bit_sums.select(
+        "doc_id",
+        sum(
+            (F.when(F.col(f"b{i}") > 0, F.lit(2 ** i)).otherwise(F.lit(0)))
+            for i in range(SIMHASH_BITS)
+        ).cast("long").alias("simhash"),
+    )
+    return packed
+
+
+SQL_DOC_SIMHASH = f"""
+WITH tok AS (
+  SELECT doc_id, {_sql_md5_int('word')} AS h FROM (
+    SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word
+    FROM documents
+  )
+)
+SELECT doc_id,
+       CAST({' + '.join(f"(CASE WHEN sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN {2**i} ELSE 0 END)" for i in range(SIMHASH_BITS))} AS BIGINT) AS simhash
+FROM tok GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# text statistics / quality / language
+# --------------------------------------------------------------------------
+
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = _words(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(w).alias("n_tokens"),
+        F.size(F.array_distinct(w)).alias("n_distinct_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        F.round(F.length("text") / F.size(w), 6).alias("chars_per_token"),
+    )
+
+
+SQL_DOC_TOKEN_STATS = """
+SELECT doc_id,
+       len(string_split(lower(trim(text)), ' ')) AS n_tokens,
+       len(list_distinct(string_split(lower(trim(text)), ' '))) AS n_distinct_tokens,
+       length(text) AS n_chars_measured,
+       round(CAST(length(text) AS DOUBLE) / len(string_split(lower(trim(text)), ' ')), 6) AS chars_per_token
+FROM documents
+"""
+
+
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio, type-token ratio, length score."""
+    d = load_table(spark, sf_dir, "documents")
+    w = _words(F.col("text"))
+    sw = F.array([F.lit(s) for s in STOPWORDS_EN])
+    stop_cnt = F.size(F.filter(w, lambda x: F.array_contains(sw, x)))
+    ttr = F.size(F.array_distinct(w)) / F.size(w)
+    return d.select(
+        "doc_id",
+        F.round(stop_cnt / F.size(w), 6).alias("stopword_ratio"),
+        F.round(ttr, 6).alias("type_token_ratio"),
+        (F.size(w) >= 20).cast("int").alias("len_ok"),
+        F.round(
+            0.5 * (stop_cnt / F.size(w)) + 0.3 * ttr + 0.2 * (F.size(w) >= 20).cast("int"),
+            6,
+        ).alias("quality_score"),
+    )
+
+
+_SQL_SW_EN = ", ".join(f"'{s}'" for s in STOPWORDS_EN)
+SQL_DOC_QUALITY = f"""
+WITH base AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(list_filter(w, x -> x IN ({_SQL_SW_EN}))) AS DOUBLE) / len(w) AS sr,
+         CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr,
+         CASE WHEN len(w) >= 20 THEN 1 ELSE 0 END AS len_ok
+  FROM base
+)
+SELECT doc_id, round(sr, 6) AS stopword_ratio, round(ttr, 6) AS type_token_ratio,
+       len_ok, round(0.5 * sr + 0.3 * ttr + 0.2 * len_ok, 6) AS quality_score
+FROM m
+"""
+
+
+def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram-free language ID heuristic: stopword hits per language."""
+    d = load_table(spark, sf_dir, "documents")
+    w = _words(F.col("text"))
+    def _hits(sw: list[str]):
+        arr = F.array([F.lit(s) for s in sw])
+        return F.size(F.filter(w, lambda x: F.array_contains(arr, x)))
+
+    scores = {
+        lang: _hits(sw)
+        for lang, sw in [("en", STOPWORDS_EN), ("de", STOPWORDS_DE), ("fr", STOPWORDS_FR)]
+    }
+    best = (
+        F.when((scores["en"] >= scores["de"]) & (scores["en"] >= scores["fr"]), F.lit("en"))
+        .when(scores["de"] >= scores["fr"], F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return d.select(
+        "doc_id",
+        scores["en"].alias("hits_en"),
+        scores["de"].alias("hits_de"),
+        scores["fr"].alias("hits_fr"),
+        best.alias("lang_pred"),
+    )
+
+
+def _sql_hits(sw: list[str]) -> str:
+    lst = ", ".join(f"'{s}'" for s in sw)
+    return f"len(list_filter(string_split(lower(trim(text)), ' '), x -> x IN ({lst})))"
+
+
+SQL_DOC_LANGID = f"""
+SELECT doc_id,
+       {_sql_hits(STOPWORDS_EN)} AS hits_en,
+       {_sql_hits(STOPWORDS_DE)} AS hits_de,
+       {_sql_hits(STOPWORDS_FR)} AS hits_fr,
+       CASE WHEN {_sql_hits(STOPWORDS_EN)} >= {_sql_hits(STOPWORDS_DE)}
+             AND {_sql_hits(STOPWORDS_EN)} >= {_sql_hits(STOPWORDS_FR)} THEN 'en'
+            WHEN {_sql_hits(STOPWORDS_DE)} >= {_sql_hits(STOPWORDS_FR)} THEN 'de'
+            ELSE 'fr' END AS lang_pred
+FROM documents
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint of the normalized text (md5-int64)."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.col("text")))
+    return d.select(
+        "doc_id",
+        _md5_int(norm).alias("fp"),
+        F.length(norm).alias("n_chars_norm"),
+    )
+
+
+SQL_DOC_FINGERPRINT = f"""
+SELECT doc_id, {_sql_md5_int('lower(trim(text))')} AS fp,
+       length(lower(trim(text))) AS n_chars_norm
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# ANN: brute-force cosine top-k baseline
+# --------------------------------------------------------------------------
+
+ANN_QUERIES = 20
+ANN_K = 5
+
+
+def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k for the first ANN_QUERIES vectors.
+
+    JVM-side arithmetic only: zip_with product + aggregate sum.  The scale
+    path (LSH-bucketed variant) lives in ann.py; this is the exact baseline
+    the bucketed variant's recall is measured against."""
+    em = load_table(spark, sf_dir, "embeddings")
+    v = em.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    norm = F.sqrt(F.aggregate("e", F.lit(0.0), lambda a, x: a + x * x))
+    v = v.withColumn("nrm", norm)
+    q = v.where(F.col("vec_id") < ANN_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    dot = F.aggregate(F.zip_with("qe", "e", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x)
+    sims = (
+        q.crossJoin(v)
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(dot / (F.col("qn") * F.col("nrm")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= ANN_K)
+        .select("q_id", "vec_id", "cos_sim", "rk")
+    )
+
+
+SQL_ANN_TOPK = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+sims AS (
+  SELECT q.vec_id AS q_id, v.vec_id AS vec_id,
+         round(list_cosine_similarity(q.e, v.e), 6) AS cos_sim
+  FROM v q JOIN v ON v.vec_id <> q.vec_id
+  WHERE q.vec_id < {ANN_QUERIES}
+)
+SELECT q_id, vec_id, cos_sim, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rk
+  FROM sims
+) WHERE rk <= {ANN_K}
+"""
+
+
+def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
+    return {
+        "doc_exact_dedup": (doc_exact_dedup, SQL_DOC_EXACT_DEDUP),
+        "doc_minhash": (doc_minhash, SQL_DOC_MINHASH),
+        "doc_near_dups": (doc_near_dups, SQL_DOC_NEAR_DUPS),
+        "doc_simhash": (doc_simhash, SQL_DOC_SIMHASH),
+        "doc_token_stats": (doc_token_stats, SQL_DOC_TOKEN_STATS),
+        "doc_quality": (doc_quality, SQL_DOC_QUALITY),
+        "doc_langid": (doc_langid, SQL_DOC_LANGID),
+        "doc_fingerprint": (doc_fingerprint, SQL_DOC_FINGERPRINT),
+        "ann_topk_cosine": (ann_topk_cosine, SQL_ANN_TOPK),
+    }

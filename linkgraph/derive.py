@@ -200,9 +200,18 @@ def build_degrees(edges: DataFrame, vertices: DataFrame) -> DataFrame:
     )
 
 
-def build_graph(transcripts: DataFrame, distributed_ids: bool = False) -> GraphTables:
-    """Full derivation: transcripts -> (vertices, edges, degrees)."""
+def build_graph(
+    transcripts: DataFrame, distributed_ids: bool = False, cache: bool = False
+) -> GraphTables:
+    """Full derivation: transcripts -> (vertices, edges, degrees).
+
+    ``cache=True`` eagerly materializes the edge-key stream once
+    (localCheckpoint) so the vertex/edge/degree builds don't each re-run the
+    transcript window pass — use for bench/production builds; tests keep the
+    pure-lazy default."""
     ekeys = edge_keys(transcripts)
+    if cache:
+        ekeys = ekeys.localCheckpoint()
     vertices = build_vertices(ekeys, distributed=distributed_ids)
     edges = build_edges(ekeys, vertices)
     degrees = build_degrees(edges, vertices)

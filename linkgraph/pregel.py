@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from .checkpoint import CheckpointManager, input_fingerprint
 from .csr import build_csr_blocks, symmetrize
 from .derive import GraphTables
+from .skew import split_hub_edges
 
 
 @dataclass
@@ -48,11 +49,33 @@ class GraphContext:
     nnz_directed: int
     nnz_undirected: int
     fingerprint: str
+    hub_edges: DataFrame | None = None   # src, dst, coeff (op 47 hub split)
+    hub_vids: DataFrame | None = None    # vid (broadcast into hub scatter)
+    nnz_hub: int = 0
+    _cached_inputs: tuple = ()
 
     @staticmethod
-    def build(graph: GraphTables, P: int) -> "GraphContext":
+    def build(graph: GraphTables, P: int, hub_theta: int | None = None) -> "GraphContext":
+        """hub_theta: out-degree above which a vertex's adjacency is pulled
+        out of the CSR blocks and scattered via broadcast-join (skew.py).
+
+        All static context tables are EAGERLY materialized with
+        ``localCheckpoint`` rather than ``persist``: a cached plan that still
+        embeds broadcast subqueries re-executes those subqueries (and their
+        whole upstream derivation) on every job that references it — which
+        turned each superstep into a full graph re-derivation.  Truncating
+        the lineage makes the per-superstep plan reference only materialized
+        RDDs.  (On a multi-executor cluster, executor loss invalidates a
+        localCheckpoint; the durable recovery path is the checkpoint
+        manager + re-running GraphContext.build, which is cheap relative to
+        the iteration itself.)"""
         spark = graph.edges.sparkSession
+        # cache the derivation once: vertices/edges plans are embedded in
+        # every downstream table (degrees, blocks, fingerprint).
+        graph.vertices.persist()
         n = graph.vertices.count()
+        graph.edges.persist()
+        graph.edges.count()
         base = (
             graph.degrees.select(
                 "vid",
@@ -60,17 +83,35 @@ class GraphContext:
                 (F.col("out_deg") == 0).alias("dangling"),
             )
             .repartition(P, "part_id")
-            .persist()
+            .localCheckpoint()
         )
-        blocks = build_csr_blocks(graph.edges, n, P).persist()
-        ublocks = build_csr_blocks(symmetrize(graph.edges), n, P).persist()
+        hub_edges = hub_vids = None
+        nnz_hub = 0
+        pr_edges = graph.edges
+        if hub_theta is not None:
+            non_hub, hub_e = split_hub_edges(graph.edges, graph.degrees, hub_theta)
+            hub_edges = hub_e.repartition(P, "src", "dst").localCheckpoint()
+            nnz_hub = hub_edges.count()
+            if nnz_hub == 0:
+                hub_edges = None
+            else:
+                hub_vids = (
+                    hub_edges.select("src").distinct().withColumnRenamed("src", "vid").localCheckpoint()
+                )
+            pr_edges = non_hub
+        blocks = build_csr_blocks(pr_edges, n, P).localCheckpoint()
+        ublocks = build_csr_blocks(symmetrize(graph.edges), n, P).localCheckpoint()
         nnz_d = blocks.agg(F.sum("nnz")).collect()[0][0] or 0
         nnz_u = ublocks.agg(F.sum("nnz")).collect()[0][0] or 0
         fp = input_fingerprint(graph.edges)
-        return GraphContext(spark, P, n, base, blocks, ublocks, int(nnz_d), int(nnz_u), fp)
+        return GraphContext(
+            spark, P, n, base, blocks, ublocks, int(nnz_d), int(nnz_u), fp,
+            hub_edges=hub_edges, hub_vids=hub_vids, nnz_hub=int(nnz_hub),
+            _cached_inputs=(graph.vertices, graph.edges),
+        )
 
     def unpersist(self) -> None:
-        for df in (self.vertex_base, self.blocks, self.ublocks):
+        for df in self._cached_inputs:
             df.unpersist()
 
 
@@ -127,14 +168,32 @@ class PageRankProgram:
 
         return scatter
 
-    def superstep(self, ctx: GraphContext, state: DataFrame) -> DataFrame:
+    def superstep(self, ctx: GraphContext, state: DataFrame, carry: dict | None = None) -> DataFrame:
         d, n = self.d, ctx.n_vertices
-        dmass = state.where("dangling").agg(F.sum("rank")).collect()[0][0] or 0.0
+        # dangling mass of state_{t-1}: carried from the previous superstep's
+        # stats row (saves one job per superstep); computed directly only on
+        # the first superstep after init/resume.
+        if carry is not None and "dangling_mass" in carry:
+            dmass = carry["dangling_mass"] or 0.0
+        else:
+            dmass = state.where("dangling").agg(F.sum("rank")).collect()[0][0] or 0.0
         msgs = (
             ctx.blocks.groupby("part_id")
             .cogroup(state.groupby("part_id"))
             .applyInPandas(self.make_scatter(ctx.P), self.scatter_schema())
         )
+        if ctx.hub_edges is not None:
+            # op 47: hub adjacency scattered by broadcast-join — hub state is
+            # tiny, hub edges stay hash-spread, no straggler partition.
+            hub_state = state.join(F.broadcast(ctx.hub_vids), "vid").select(
+                F.col("vid").alias("src"), "rank"
+            )
+            hub_msgs = (
+                ctx.hub_edges.join(F.broadcast(hub_state), "src")
+                .groupBy("dst")
+                .agg(F.sum(F.col("rank") * F.col("coeff")).alias("msum"))
+            )
+            msgs = msgs.unionByName(hub_msgs)
         acc = msgs.groupBy("dst").agg(F.sum("msum").alias("msum"))
         return (
             state.join(acc.withColumnRenamed("dst", "vid"), "vid", "left")
@@ -158,7 +217,10 @@ class PageRankProgram:
         return [
             F.max("_delta").alias("delta"),
             F.sum("rank").alias("rank_sum"),
+            F.sum(F.when(F.col("dangling"), F.col("rank")).otherwise(F.lit(0.0))).alias("dangling_mass"),
         ]
+
+    stat_reducers = {"delta": max, "rank_sum": sum, "dangling_mass": sum}
 
     def done(self, stats: dict) -> bool:
         return stats["delta"] < self.tol
@@ -192,7 +254,7 @@ class ComponentsProgram:
 
         return scatter
 
-    def superstep(self, ctx: GraphContext, state: DataFrame) -> DataFrame:
+    def superstep(self, ctx: GraphContext, state: DataFrame, carry: dict | None = None) -> DataFrame:
         msgs = (
             ctx.ublocks.groupby("part_id")
             .cogroup(state.groupby("part_id"))
@@ -211,6 +273,8 @@ class ComponentsProgram:
 
     def stat_exprs(self):
         return [F.sum("_changed").alias("changes")]
+
+    stat_reducers = {"changes": sum}
 
     def done(self, stats: dict) -> bool:
         return stats["changes"] == 0
@@ -260,7 +324,7 @@ class LabelPropProgram:
 
         return scatter
 
-    def superstep(self, ctx: GraphContext, state: DataFrame) -> DataFrame:
+    def superstep(self, ctx: GraphContext, state: DataFrame, carry: dict | None = None) -> DataFrame:
         msgs = (
             ctx.ublocks.groupby("part_id")
             .cogroup(state.groupby("part_id"))
@@ -285,6 +349,8 @@ class LabelPropProgram:
 
     def stat_exprs(self):
         return [F.sum("_changed").alias("changes")]
+
+    stat_reducers = {"changes": sum}
 
     def done(self, stats: dict) -> bool:
         return stats["changes"] == 0
@@ -340,19 +406,48 @@ def run_program(
             .localCheckpoint()
         )
 
-    nnz = ctx.nnz_undirected if program.uses_undirected else ctx.nnz_directed
+    nnz = ctx.nnz_undirected if program.uses_undirected else ctx.nnz_directed + ctx.nnz_hub
     history: list[dict[str, Any]] = []
     converged = False
+    carry: dict | None = None
     t = t0
+    from pyspark.sql.functions import concat_ws, count, crc32, lit
+    from pyspark.sql.functions import sum as fsum
+
     for t in range(t0 + 1, max_iter + 1):
         tic = time.monotonic()
-        ns = program.superstep(ctx, state).persist()
-        row = ns.agg(*program.stat_exprs()).collect()[0]
-        stats = {**row.asDict(), "wall_s": None, "edges_scattered": nnz}
+        ns = program.superstep(ctx, state, carry).persist()
+        # ONE job for convergence stats AND the checkpoint's per-partition
+        # lineage (rows + checksum): per-partition aggregates, reduced
+        # driver-side with the program's reducers (max/sum decompose).
+        part_rows = (
+            ns.groupBy("part_id")
+            .agg(
+                count(lit(1)).alias("_rows"),
+                fsum(crc32(concat_ws(",", *program.state_cols))).alias("_cksum"),
+                *program.stat_exprs(),
+            )
+            .collect()
+        )
+        stats: dict[str, Any] = {}
+        for name, reducer in program.stat_reducers.items():
+            vals = [r[name] for r in part_rows if r[name] is not None]
+            stats[name] = reducer(vals) if vals else None
+        stats.update({"wall_s": None, "edges_scattered": nnz})
+        per_partition = sorted(
+            (
+                {"part_id": r["part_id"], "rows": r["_rows"], "checksum": int(r["_cksum"] or 0)}
+                for r in part_rows
+            ),
+            key=lambda d: d["part_id"],
+        )
         if ckpt is not None:
-            ckpt.write(t, ns.select(*program.state_cols), metrics={
-                k: stats[k] for k in stats if k != "wall_s"
-            })
+            ckpt.write(
+                t,
+                ns.select(*program.state_cols),
+                metrics={k: stats[k] for k in stats if k != "wall_s"},
+                per_partition=per_partition,
+            )
             state = ckpt.read_state(t)
         else:
             state = ns.select(*program.state_cols).localCheckpoint()
@@ -360,6 +455,7 @@ def run_program(
         stats["wall_s"] = time.monotonic() - tic
         stats["superstep"] = t
         history.append(stats)
+        carry = stats
         if program.done(stats):
             converged = True
             break

@@ -34,6 +34,7 @@ def synth_transcripts_pdf(
     n_agents: int = 20,
     n_tools: int = 12,
     tool_null_p: float = 0.8,
+    unique_users: bool = False,
 ) -> pd.DataFrame:
     """Build the transcript table as a pandas frame, deterministically.
 
@@ -46,6 +47,13 @@ def synth_transcripts_pdf(
     - ts: BASE_TS + conv offset + turn_idx seconds, strictly increasing per
       conv;
     - rows returned in a seeded SHUFFLED order.
+
+    ``unique_users=True`` (bench tier): each conversation's first cast slot
+    becomes a per-conversation user actor ``u{conv:06d}`` so the vertex set
+    scales with the conversation count (V ~ n_conversations + n_agents)
+    while agent/tool vertices stay shared hubs — the power-law shape the
+    skew machinery exists for.  FIXTURES.md §1's test tier keeps the small
+    shared vocabulary (unique_users=False).
     """
     rng = np.random.default_rng(seed)
 
@@ -69,6 +77,9 @@ def synth_transcripts_pdf(
     cast_pos = (turn_idx % cast_size_rep).astype(np.int64)
     role_idx = cast_draw[conv_ids, cast_pos]
     roles = roles_vocab[role_idx]
+    if unique_users:
+        user_names = np.char.add("u", np.char.zfill(np.arange(n_conversations).astype(str), 6))
+        roles = np.where(cast_pos == 0, user_names[conv_ids], roles)
 
     # tool column: null with p, else zipf-weighted tool index
     tool_mask = rng.random(total) >= tool_null_p  # True => has tool
@@ -103,6 +114,48 @@ def synth_transcripts(spark: SparkSession, n_conversations: int = 50, seed: int 
     """Spark DataFrame over the synthesized table with the declared schema."""
     pdf = synth_transcripts_pdf(n_conversations=n_conversations, seed=seed, **kw)
     return spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA)
+
+
+def synth_power_edges(
+    spark: SparkSession,
+    n_vertices: int,
+    n_edges: int,
+    seed: int = 42,
+    zipf_a: float = 1.3,
+    parts: int = 64,
+) -> DataFrame:
+    """Deterministic power-law edge table for scale probes (src uniform,
+    dst Zipf-skewed -> heavy hub in-degree like tool/agent vertices).
+
+    Used by the BENCH scaling-evidence runs where the transcript-derived
+    graph at test tiers is too small to be compute-bound.  Multi-edges are
+    kept (w=1 rows; multiplicities collapse in the CSR build)."""
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n_vertices, size=n_edges, dtype=np.int64)
+    dst = (rng.zipf(zipf_a, size=n_edges).astype(np.int64) - 1) % n_vertices
+    pdf = pd.DataFrame({"src": src, "dst": dst, "w": np.ones(n_edges)})
+    return spark.createDataFrame(pdf).repartition(parts)
+
+
+def graph_from_edges(edges: DataFrame, n_vertices: int):
+    """Wrap a raw (src, dst, w) edge table as GraphTables (vids are already
+    dense 0..V-1); vertices synthesized as v{id}."""
+    from pyspark.sql import functions as F
+
+    from .derive import GraphTables, build_degrees
+
+    spark = edges.sparkSession
+    vertices = spark.range(n_vertices).select(
+        F.concat(F.lit("v"), F.col("id")).alias("vkey"),
+        F.col("id").alias("vid"),
+        F.lit("actor").alias("vtype"),
+    )
+    deduped = edges.groupBy("src", "dst").agg(F.sum("w").alias("w")).withColumn(
+        "etype", F.lit("turn")
+    )
+    return GraphTables(
+        vertices=vertices, edges=deduped, degrees=build_degrees(deduped, vertices)
+    )
 
 
 def micro_transcripts(spark: SparkSession, name: str) -> DataFrame:

@@ -1,0 +1,74 @@
+"""Skew handling (ops 22, 47): salted agg equality + hub-split PageRank."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from linkgraph.derive import build_graph
+from linkgraph.pregel import GraphContext, PageRankProgram, run_program
+from linkgraph.ref_single_node import pagerank_ref
+from linkgraph.skew import detect_hubs, salted_sum, split_hub_edges
+from linkgraph.synth import micro_transcripts, synth_transcripts
+
+from .conftest import edges_numpy, ranks_numpy
+
+
+def test_salted_sum_equals_unsalted(spark):
+    g = build_graph(synth_transcripts(spark, n_conversations=60, seed=42))
+    msgs = g.edges.select(F.col("dst"), (F.col("w") * 0.5).alias("m"))
+    plain = {r["dst"]: r["m"] for r in msgs.groupBy("dst").agg(F.sum("m").alias("m")).collect()}
+    salted = {r["dst"]: r["m"] for r in salted_sum(msgs, "dst", "m", n_salts=8).collect()}
+    assert plain.keys() == salted.keys()
+    for k in plain:
+        assert abs(plain[k] - salted[k]) < 1e-9
+
+
+def test_salted_sum_star_hub(spark):
+    """The skew fixture: 64 leaves all pointing at one hub (FIXTURES §3)."""
+    g = build_graph(micro_transcripts(spark, "star_hub"))
+    msgs = g.edges.select("dst", F.col("w").alias("m"))
+    plain = {r["dst"]: r["m"] for r in msgs.groupBy("dst").agg(F.sum("m").alias("m")).collect()}
+    salted = {r["dst"]: r["m"] for r in salted_sum(msgs, "dst", "m", n_salts=16).collect()}
+    assert plain == salted
+
+
+def test_hub_detection_and_split(spark):
+    g = build_graph(synth_transcripts(spark, n_conversations=60, seed=42))
+    hubs = {r["vid"] for r in detect_hubs(g.degrees, theta=5, side="out").collect()}
+    assert hubs  # synthetic zipf cast guarantees hub actors
+    non_hub, hub_e = split_hub_edges(g.edges, g.degrees, theta=5)
+    hub_srcs = {r["src"] for r in hub_e.select("src").distinct().collect()}
+    assert hub_srcs == hubs
+    # partition: non_hub + hub cover the (pre-summed) edge set exactly
+    total = g.edges.groupBy("src", "dst").count().count()
+    assert non_hub.count() + hub_e.count() == total
+    # hub scatter coefficients sum to 1 per hub src
+    sums = hub_e.groupBy("src").agg(F.sum("coeff").alias("s")).collect()
+    for r in sums:
+        assert abs(r["s"] - 1.0) < 1e-9
+
+
+def test_hub_split_pagerank_matches_reference(spark):
+    g = build_graph(synth_transcripts(spark, n_conversations=60, seed=42))
+    src, dst, w, n = edges_numpy(g)
+    ctx = GraphContext.build(g, 8, hub_theta=5)
+    try:
+        assert ctx.nnz_hub > 0  # split actually engaged
+        res = run_program(ctx, PageRankProgram(tol=1e-8), max_iter=200)
+        assert res.converged
+        r = ranks_numpy(res.state.select("vid", "rank"), n)
+        r_ref, _ = pagerank_ref(src, dst, w, n, tol=1e-12)
+        assert np.allclose(r, r_ref, atol=1e-6)
+    finally:
+        ctx.unpersist()
+
+
+def test_hub_split_pagerank_star_hub(spark):
+    g = build_graph(micro_transcripts(spark, "star_hub"))
+    src, dst, w, n = edges_numpy(g)
+    ctx = GraphContext.build(g, 4, hub_theta=0)  # every src is a "hub"
+    try:
+        res = run_program(ctx, PageRankProgram(tol=1e-10), max_iter=200)
+        r = ranks_numpy(res.state.select("vid", "rank"), n)
+        assert np.allclose(r, pagerank_ref(src, dst, w, n, tol=1e-10)[0], atol=1e-6)
+    finally:
+        ctx.unpersist()
