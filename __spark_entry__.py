@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     records rows-only; their exactness is covered by the pytest oracles —
     networkx / numpy single-node reference, SURVEY.md §5).
     """
+    from linkgraph.ann import registry as ann_registry
     from linkgraph.datapipe import registry as datapipe_registry
     from linkgraph.engine_queries import registry as engine_registry
     from linkgraph.flagship import flagship
@@ -45,6 +46,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     out.update({name: fn for name, (fn, _sql) in engine_registry().items()})
     out.update({name: fn for name, (fn, _sql) in datapipe_registry().items()})
+    out.update({name: fn for name, (fn, _sql) in ann_registry().items()})
     out["pagerank_top10"] = lambda spark, sf_dir: flagship(spark, sf_dir)
     return out
 
@@ -52,11 +54,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL for each SQL-expressible query (same
     column aliases as the Spark side; floats rounded on both sides)."""
+    from linkgraph.ann import registry as ann_registry
     from linkgraph.datapipe import registry as datapipe_registry
     from linkgraph.engine_queries import registry as engine_registry
     from linkgraph.relational import REGISTRY
 
     out = {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}
-    for reg in (engine_registry(), datapipe_registry()):
+    for reg in (engine_registry(), datapipe_registry(), ann_registry()):
         out.update({name: sql for name, (_fn, sql) in reg.items() if sql is not None})
     return out

@@ -40,7 +40,9 @@ def main() -> None:
         app_name=f"scale-probe-{args.cpus}",
         master=f"local[{args.cpus}]",
         shuffle_partitions=args.partitions,
-        extra_conf={"spark.driver.memory": "48g"},
+        # 16g, not the full host: oversized heaps made young collections and
+        # first-touch page faults the dominant superstep-wall noise source.
+        extra_conf={"spark.driver.memory": "16g"},
     )
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -1,0 +1,216 @@
+"""Approximate nearest neighbours over embeddings — the scale path.
+
+``datapipe.ann_topk_cosine`` is the exact brute-force baseline (O(Q·N)
+cross join); it is the recall oracle.  This module adds:
+
+- ``lsh_buckets``     — random-hyperplane (cosine) LSH signatures, computed
+                        as ONE numpy matmul per Arrow batch inside a
+                        ``pandas_udf`` (no per-row Python).
+- ``ann_lsh_topk``    — bucketed candidate generation + exact cosine
+                        re-rank.  Work is bounded by bucket sizes (the
+                        band-join), never the O(N²)/O(Q·N) cross product:
+                        at 100 TB the cross join is impossible, the bucket
+                        join is a plain shuffle on ``bucket``.
+- ``emb_near_dups_exact`` — exact embedding-cosine near-duplicate pairs
+                        (bounded self-join; DuckDB-oracle-checkable).
+- ``emb_near_dups_lsh``   — the same output through LSH candidates; recall
+                        vs the exact form is property-tested in pytest.
+
+Determinism: hyperplanes come from ``numpy.random.default_rng(seed)`` on
+the driver and are closed over by the UDF — same seed, same buckets, every
+run and every partitioning.
+
+Skew note: a degenerate bucket (e.g. all-zero vectors) would quadratically
+blow up the candidate join; ``max_bucket`` drops buckets above a size cap —
+the standard LSH guard — and the cap is surfaced in the plan, not silent
+(`log`-style: dropped buckets are countable via ``lsh_buckets`` itself).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from .io import load_table
+
+N_TABLES = 8
+N_BITS = 12
+SEED = 42
+ANN_K = 10
+ANN_QUERIES = 100
+# exact-form gate threshold: 0.5 keeps signal on the driver's random-vector
+# testdata (higher taus match nothing there); the LSH scale path is tested
+# in pytest on planted near-duplicates at tau=0.9, its production regime.
+NEAR_TAU = 0.5
+
+
+def _hyperplanes(dim: int, n_tables: int, n_bits: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables * n_bits, dim)).astype(np.float64)
+
+
+def lsh_buckets(
+    em: DataFrame,
+    dim: int,
+    n_tables: int = N_TABLES,
+    n_bits: int = N_BITS,
+    seed: int = SEED,
+) -> DataFrame:
+    """vec_id, bucket — one row per (vector, table); bucket ids are disjoint
+    across tables (table index packed into the high bits)."""
+    H = _hyperplanes(dim, n_tables, n_bits, seed)
+    weights = (1 << np.arange(n_bits, dtype=np.int64))
+
+    @pandas_udf("array<long>")
+    def sig(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype=object)
+        M = np.stack(col.to_numpy()).astype(np.float64)        # (B, dim)
+        bits = (M @ H.T) > 0                                   # (B, T*b)
+        bits = bits.reshape(len(M), n_tables, n_bits)
+        packed = bits @ weights                                # (B, T)
+        packed += (np.arange(n_tables, dtype=np.int64) << n_bits)
+        return pd.Series(list(packed))
+
+    return em.select("vec_id", F.explode(sig("embedding")).alias("bucket"))
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings")
+    v = em.select(
+        "vec_id",
+        "embedding",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    return v.withColumn(
+        "nrm", F.sqrt(F.aggregate("e", F.lit(0.0), lambda a, x: a + x * x))
+    )
+
+
+def _dot():
+    # built lazily: higher-order-function Columns need a live SparkContext,
+    # so this cannot be a module-level constant (import happens pre-session).
+    return F.aggregate(
+        F.zip_with("qe", "e", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+    )
+
+
+def ann_lsh_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = ANN_K,
+    n_queries: int = ANN_QUERIES,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Top-k cosine neighbours for vec_id < n_queries via LSH buckets.
+
+    Plan: signatures (1 narrow pandas_udf stage) -> bucket self-join
+    restricted to query rows on the left (shuffle on bucket) -> distinct
+    candidate pairs -> exact cosine re-rank -> per-query window top-k.
+    """
+    v = _vectors(spark, sf_dir)
+    dim = 64
+    b = lsh_buckets(v.select("vec_id", "embedding"), dim)
+    sizes = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    b = b.join(
+        F.broadcast(sizes.where(F.col("n") > max_bucket).select("bucket")),
+        "bucket",
+        "left_anti",
+    )
+    qb = b.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), "bucket"
+    )
+    cand = (
+        qb.join(b, "bucket")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+        .distinct()
+    )
+    qv = v.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    sims = (
+        cand.join(qv, "q_id")
+        .join(v.select("vec_id", "e", "nrm"), "vec_id")
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(_dot() / (F.col("qn") * F.col("nrm")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("q_id", "vec_id", "cos_sim", "rk")
+    )
+
+
+def emb_near_dups_exact(
+    spark: SparkSession, sf_dir: str, tau: float = NEAR_TAU
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (a < b, cos >= tau).
+
+    Bounded self-join — the verification-scale form; the LSH form below is
+    the 100 TB path."""
+    v = _vectors(spark, sf_dir)
+    a = v.select(F.col("vec_id").alias("a"), F.col("e").alias("qe"), F.col("nrm").alias("qn"))
+    bb = v.select(F.col("vec_id").alias("b"), "e", "nrm")
+    return (
+        a.crossJoin(bb)
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "a", "b", F.round(_dot() / (F.col("qn") * F.col("nrm")), 6).alias("cos_sim")
+        )
+        .where(F.col("cos_sim") >= tau)
+    )
+
+
+SQL_EMB_NEAR_DUPS_EXACT = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_cosine_similarity(a.e, b.e), 6) AS cos_sim
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.e, b.e), 6) >= {NEAR_TAU}
+"""
+
+
+def emb_near_dups_lsh(
+    spark: SparkSession, sf_dir: str, tau: float = NEAR_TAU, max_bucket: int = 10_000
+) -> DataFrame:
+    """LSH-candidate near-dup pairs, exact-cosine verified (scale path)."""
+    v = _vectors(spark, sf_dir)
+    b = lsh_buckets(v.select("vec_id", "embedding"), 64)
+    sizes = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    b = b.join(
+        F.broadcast(sizes.where(F.col("n") > max_bucket).select("bucket")),
+        "bucket",
+        "left_anti",
+    )
+    l = b.select(F.col("vec_id").alias("a"), "bucket")
+    r = b.select(F.col("vec_id").alias("b"), "bucket")
+    cand = l.join(r, "bucket").where(F.col("a") < F.col("b")).select("a", "b").distinct()
+    av = v.select(F.col("vec_id").alias("a"), F.col("e").alias("qe"), F.col("nrm").alias("qn"))
+    bv = v.select(F.col("vec_id").alias("b"), "e", "nrm")
+    return (
+        cand.join(av, "a")
+        .join(bv, "b")
+        .select(
+            "a", "b", F.round(_dot() / (F.col("qn") * F.col("nrm")), 6).alias("cos_sim")
+        )
+        .where(F.col("cos_sim") >= tau)
+    )
+
+
+def registry():
+    return {
+        "emb_near_dups_exact": (emb_near_dups_exact, SQL_EMB_NEAR_DUPS_EXACT),
+        "ann_lsh_topk": (ann_lsh_topk, None),        # recall-tested in pytest
+        "emb_near_dups_lsh": (emb_near_dups_lsh, None),
+    }

@@ -375,6 +375,7 @@ def run_program(
     max_iter: int = 100,
     ckpt_root: str | None = None,
     resume: bool = True,
+    init_state: DataFrame | None = None,
 ) -> RunResult:
     """Drive a vertex program to convergence (SURVEY.md §2.10 skeleton).
 
@@ -401,7 +402,7 @@ def run_program(
 
     if state is None:
         state = (
-            program.init_state(ctx)
+            (init_state if init_state is not None else program.init_state(ctx))
             .repartition(ctx.P, "part_id")
             .localCheckpoint()
         )

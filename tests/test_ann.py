@@ -1,0 +1,87 @@
+"""LSH ANN scale path vs the exact brute-force baseline (linkgraph/ann.py).
+
+The driver's embeddings testdata is uniformly random (near-orthogonal —
+measured same-label mean cos ~0.0), which is the regime where no LSH
+configuration is useful and also not the regime the op exists for.  The
+recall tests therefore run on PLANTED near-duplicates (dup = base + small
+noise, cos >= ~0.95) written as an embeddings.parquet in a tmp dir, through
+the same public functions.  Determinism is tested on the real testdata.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from linkgraph.ann import (
+    ann_lsh_topk,
+    emb_near_dups_exact,
+    emb_near_dups_lsh,
+    lsh_buckets,
+)
+from linkgraph.datapipe import ann_topk_cosine
+from linkgraph.io import load_table
+
+SF = "/root/testdata/sf0.001"
+N_BASE, N_DUP, DIM = 400, 100, 64
+
+
+@pytest.fixture(scope="module")
+def planted_dir(tmp_path_factory):
+    """ids 0..99 are noisy duplicates of ids 100..199."""
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((N_BASE, DIM))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    dups = base[:N_DUP] + 0.18 * rng.standard_normal((N_DUP, DIM)) / np.sqrt(DIM)
+    M = np.vstack([dups, base]).astype(np.float32)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(len(M), dtype=np.int64),
+            "embedding": list(M),
+            "label": np.zeros(len(M), dtype=np.int32),
+        }
+    )
+    d = tmp_path_factory.mktemp("planted")
+    pdf.to_parquet(d / "embeddings.parquet")
+    return str(d)
+
+
+def test_lsh_buckets_deterministic(spark):
+    em = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    a = lsh_buckets(em, 64).toPandas().sort_values(["vec_id", "bucket"]).reset_index(drop=True)
+    b = lsh_buckets(em, 64).toPandas().sort_values(["vec_id", "bucket"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == em.count() * 8  # one bucket per (vector, table)
+
+
+def test_ann_lsh_finds_planted_neighbors(spark, planted_dir):
+    nq = 50
+    exact = ann_topk_cosine(spark, planted_dir).where(f"q_id < {nq}").toPandas()
+    approx = ann_lsh_topk(spark, planted_dir, k=1, n_queries=nq).toPandas()
+    top1 = exact[exact["rk"] == 1][["q_id", "vec_id"]]
+    got = approx[approx["rk"] == 1][["q_id", "vec_id"]]
+    merged = top1.merge(got, on="q_id", suffixes=("_e", "_a"))
+    hit = (merged["vec_id_e"] == merged["vec_id_a"]).mean()
+    assert hit >= 0.8, f"top-1 recall {hit:.2f} on planted duplicates"
+    # planted truth: query i's nearest neighbour is i + N_DUP
+    truth_hit = (top1["vec_id"] == top1["q_id"] + N_DUP).mean()
+    assert truth_hit == 1.0
+
+
+def test_ann_lsh_rerank_is_exact(spark, planted_dir):
+    nq = 20
+    exact = ann_topk_cosine(spark, planted_dir).where(f"q_id < {nq}").toPandas()
+    approx = ann_lsh_topk(spark, planted_dir, k=10, n_queries=nq).toPandas()
+    merged = approx.merge(exact, on=["q_id", "vec_id"], suffixes=("_a", "_e"))
+    assert len(merged) > 0
+    assert (merged["cos_sim_a"] == merged["cos_sim_e"]).all()
+
+
+def test_emb_near_dups_lsh_vs_exact(spark, planted_dir):
+    tau = 0.9
+    exact = emb_near_dups_exact(spark, planted_dir, tau=tau).toPandas()
+    lsh = emb_near_dups_lsh(spark, planted_dir, tau=tau).toPandas()
+    e = set(zip(exact["a"], exact["b"]))
+    l = set(zip(lsh["a"], lsh["b"]))
+    assert len(e) >= N_DUP * 0.9  # the planting worked
+    assert l <= e, "LSH produced a pair the exact path rejects"
+    assert len(l) / len(e) >= 0.8, f"near-dup recall {len(l)/len(e):.2f}"
