@@ -4,19 +4,26 @@ Execution model per superstep (all per-edge work is vectorized numpy inside
 Arrow-batched cogrouped pandas UDFs — zero per-row Python):
 
     scatter : cogroup(blocks, state) on part_id -> block-local numpy
-              gather + per-udst pre-aggregation (np.bincount / minimum.at)
-    combine : one shuffle — groupBy(dst).sum/min or (dst,label) count
-    apply   : left join back onto state + column expressions
-    stats   : single driver-side scalar row (convergence / change count)
+              gather + per-udst pre-aggregation (np.bincount / minimum.at);
+              emits (part_id-of-dst, dst, payload) partial messages
+    combine+apply : ONE shuffle — messages exchange to their destination
+              partition, then cogroup(msgs, state) on part_id finalizes the
+              aggregation AND the state update in a single numpy pass
+              (dense residue-class indexing, no join)
+    stats   : per-partition agg collected to one driver row (convergence /
+              change count + checkpoint lineage, same job)
     persist : checkpoint write + read-back (durable, truncates lineage) or
               localCheckpoint (ephemeral) — either way the plan for t+1 is
               one superstep deep (op 54)
 
-The scatter shuffle carries at most |udst| rows per block (unique dsts), not
-nnz — the block-local bincount is the map-side combine.  Skewed hub dsts are
-therefore bounded by P partial rows each; the explicit salted two-phase
-aggregation for raw message streams lives in skew.py and is used by the
-naive (non-CSR) paths.
+Per superstep the ONLY full-width exchange is the message shuffle; the old
+form's groupBy(dst) exchange + state equi-join (two more shuffles of |V|..
+|msgs| rows and a window for LPA) are fused into the destination-side
+cogroup.  The scatter shuffle carries at most |udst| rows per block (unique
+dsts), not nnz — the block-local bincount is the map-side combine.  Skewed
+hub dsts are therefore bounded by P partial rows each; the explicit salted
+two-phase aggregation for raw message streams lives in skew.py and is used
+by the naive (non-CSR) paths.
 """
 
 from __future__ import annotations
@@ -26,8 +33,8 @@ from dataclasses import dataclass, field
 from typing import Any
 
 import numpy as np
-import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .checkpoint import CheckpointManager, input_fingerprint
@@ -115,23 +122,78 @@ class GraphContext:
             df.unpersist()
 
 
-def _block_arrays(b: pd.Series):
-    return (
-        np.asarray(b["indptr"], dtype=np.int64),
-        np.asarray(b["indices"], dtype=np.int64),
-        np.asarray(b["coeff"], dtype=np.float64),
-        np.asarray(b["udst"], dtype=np.int64),
-        np.asarray(b["e2u"], dtype=np.int64),
-    )
+
+# ---- Arrow-native accessors (zero-copy for fixed-width columns) -----------
+
+def _pa_np(chunked: "pa.ChunkedArray") -> np.ndarray:
+    return chunked.combine_chunks().to_numpy(zero_copy_only=False)
 
 
-def _local_values(right: pd.DataFrame, col: str, p: int, P: int, nloc: int) -> np.ndarray:
-    """Scatter a state column into residue-class-local dense order."""
-    vids = right["vid"].to_numpy(np.int64)
-    vals = right[col].to_numpy()
+def _pa_flat(tbl: "pa.Table", name: str) -> np.ndarray:
+    """Flattened values of a list column across all rows (offset-aware)."""
+    return np.asarray(tbl[name].combine_chunks().flatten())
+
+
+def _block_np(left: "pa.Table", name: str) -> np.ndarray:
+    return np.asarray(left[name].combine_chunks().values)
+
+
+def _dense_state(state: "pa.Table", col: str, p: int, P: int) -> tuple[np.ndarray, int]:
+    """State column in residue-class-dense order + class size."""
+    nloc = state.num_rows
+    loc = (_pa_np(state["vid"]) - p) // P
+    vals = _pa_np(state[col])
     arr = np.zeros(nloc, dtype=vals.dtype)
-    arr[(vids - p) // P] = vals
-    return arr
+    arr[loc] = vals
+    return arr, nloc
+
+
+def _packed_msgs(P: int, udst: np.ndarray, payloads: dict[str, np.ndarray]) -> "pa.Table":
+    """Split per-dst partial messages by destination partition and pack each
+    slice as ONE Arrow list row: the shuffle then moves P array rows per
+    block instead of |udst| scalar rows — no per-row shuffle CPU, and the
+    destination side reads the values buffers back zero-copy."""
+    pid = (udst % P).astype(np.int32)
+    order = np.argsort(pid, kind="stable")
+    offs = pa.array(np.searchsorted(pid[order], np.arange(P + 1)).astype(np.int32))
+    cols: dict[str, object] = {
+        "part_id": pa.array(np.arange(P, dtype=np.int32)),
+        "dst": pa.ListArray.from_arrays(offs, pa.array(udst[order])),
+    }
+    for name, vals in payloads.items():
+        cols[name] = pa.ListArray.from_arrays(offs, pa.array(vals[order]))
+    return pa.table(cols)
+
+
+def _empty_packed(payloads: dict[str, "pa.DataType"]) -> "pa.Table":
+    cols = {
+        "part_id": pa.array([], pa.int32()),
+        "dst": pa.array([], pa.list_(pa.int64())),
+    }
+    for name, typ in payloads.items():
+        cols[name] = pa.array([], pa.list_(typ))
+    return pa.table(cols)
+
+
+def _pack_hub_rows(key: tuple, tbl: pa.Table) -> pa.Table:
+    """groupBy(part_id).applyInArrow packer: per-edge hub message rows of one
+    destination partition -> one packed array row (same wire format as
+    _packed_msgs, so hub messages union with block messages).
+
+    NOTE: the (key, table) type hints are load-bearing — PySpark 4.1.2's
+    GroupedData.applyInArrow raises UnboundLocalError if hint inference
+    fails (group_ops.py:936)."""
+    p = key[0].as_py()
+    dst = _pa_np(tbl["dst"])
+    msum = _pa_np(tbl["msum"])
+    offs = pa.array(np.array([0, len(dst)], dtype=np.int32))
+    return pa.table(
+        {
+            "part_id": pa.array(np.array([p], dtype=np.int32)),
+            "dst": pa.ListArray.from_arrays(offs, pa.array(dst)),
+            "msum": pa.ListArray.from_arrays(offs, pa.array(msum)),
+        }
+    )
 
 
 # --------------------------------------------------------------------------
@@ -151,22 +213,56 @@ class PageRankProgram:
     def init_state(self, ctx: GraphContext) -> DataFrame:
         return ctx.vertex_base.withColumn("rank", F.lit(1.0 / ctx.n_vertices))
 
-    def scatter_schema(self) -> str:
-        return "dst long, msum double"
-
     def make_scatter(self, P: int):
-        def scatter(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-            if len(left) == 0 or len(right) == 0:
-                return pd.DataFrame({"dst": np.empty(0, np.int64), "msum": np.empty(0, np.float64)})
-            b = left.iloc[0]
-            p, nloc = int(b["part_id"]), int(b["n_local"])
-            indptr, _indices, coeff, udst, e2u = _block_arrays(b)
-            rank = _local_values(right, "rank", p, P, nloc).astype(np.float64)
+        def scatter(key, left: pa.Table, right: pa.Table) -> pa.Table:
+            if left.num_rows == 0 or right.num_rows == 0:
+                return _empty_packed({"msum": pa.float64()})
+            p = left["part_id"][0].as_py()
+            indptr = _block_np(left, "indptr")
+            coeff = _block_np(left, "coeff")
+            udst = _block_np(left, "udst")
+            e2u = _block_np(left, "e2u")
+            rank, _ = _dense_state(right, "rank", p, P)
             contrib = np.repeat(rank, np.diff(indptr)) * coeff
             partial = np.bincount(e2u, weights=contrib, minlength=len(udst))
-            return pd.DataFrame({"dst": udst, "msum": partial})
+            return _packed_msgs(P, udst, {"msum": partial})
 
         return scatter
+
+    def make_apply(self, P: int, n: int, dmass: float):
+        d = self.d
+
+        def apply(key, msgs: pa.Table, state: pa.Table) -> pa.Table:
+            p, nloc = key[0].as_py(), state.num_rows
+            if nloc == 0:
+                return pa.table(
+                    {
+                        "vid": pa.array([], pa.int64()),
+                        "part_id": pa.array([], pa.int32()),
+                        "dangling": pa.array([], pa.bool_()),
+                        "rank": pa.array([], pa.float64()),
+                        "_delta": pa.array([], pa.float64()),
+                    }
+                )
+            rank_old, _ = _dense_state(state, "rank", p, P)
+            dang, _ = _dense_state(state, "dangling", p, P)
+            msum = np.zeros(nloc)
+            if msgs.num_rows:
+                dstf = _pa_flat(msgs, "dst")
+                msumf = _pa_flat(msgs, "msum")
+                msum = np.bincount((dstf - p) // P, weights=msumf, minlength=nloc)
+            rank_new = (1.0 - d) / n + d * (msum + dmass / n)
+            return pa.table(
+                {
+                    "vid": pa.array(p + np.arange(nloc, dtype=np.int64) * P),
+                    "part_id": pa.array(np.full(nloc, p, np.int32)),
+                    "dangling": pa.array(dang),
+                    "rank": pa.array(rank_new),
+                    "_delta": pa.array(np.abs(rank_new - rank_old)),
+                }
+            )
+
+        return apply
 
     def superstep(self, ctx: GraphContext, state: DataFrame, carry: dict | None = None) -> DataFrame:
         d, n = self.d, ctx.n_vertices
@@ -177,39 +273,38 @@ class PageRankProgram:
             dmass = carry["dangling_mass"] or 0.0
         else:
             dmass = state.where("dangling").agg(F.sum("rank")).collect()[0][0] or 0.0
+        packed_schema = "part_id int, dst array<long>, msum array<double>"
         msgs = (
             ctx.blocks.groupby("part_id")
             .cogroup(state.groupby("part_id"))
-            .applyInPandas(self.make_scatter(ctx.P), self.scatter_schema())
+            .applyInArrow(self.make_scatter(ctx.P), packed_schema)
         )
         if ctx.hub_edges is not None:
             # op 47: hub adjacency scattered by broadcast-join — hub state is
-            # tiny, hub edges stay hash-spread, no straggler partition.
+            # tiny, hub edges stay hash-spread, no straggler partition.  The
+            # per-edge products are packed into the same array-row message
+            # format so they ride the single destination shuffle.
             hub_state = state.join(F.broadcast(ctx.hub_vids), "vid").select(
                 F.col("vid").alias("src"), "rank"
             )
-            hub_msgs = (
-                ctx.hub_edges.join(F.broadcast(hub_state), "src")
-                .groupBy("dst")
-                .agg(F.sum(F.col("rank") * F.col("coeff")).alias("msum"))
+            hub_rows = ctx.hub_edges.join(F.broadcast(hub_state), "src").select(
+                F.pmod(F.col("dst"), F.lit(ctx.P)).cast("int").alias("part_id"),
+                "dst",
+                (F.col("rank") * F.col("coeff")).alias("msum"),
+            )
+            hub_msgs = hub_rows.groupBy("part_id").applyInArrow(
+                _pack_hub_rows, packed_schema
             )
             msgs = msgs.unionByName(hub_msgs)
-        acc = msgs.groupBy("dst").agg(F.sum("msum").alias("msum"))
+        # ONE shuffle: packed message rows to their destination partition;
+        # the cogroup finalizes sum + rank update in numpy (no groupBy(dst),
+        # no join, no per-row shuffle records).
         return (
-            state.join(acc.withColumnRenamed("dst", "vid"), "vid", "left")
-            .select(
-                "vid",
-                "part_id",
-                "dangling",
-                (
-                    F.lit((1.0 - d) / n)
-                    + F.lit(d) * (F.coalesce("msum", F.lit(0.0)) + F.lit(dmass / n))
-                ).alias("rank"),
-                F.abs(
-                    F.lit((1.0 - d) / n)
-                    + F.lit(d) * (F.coalesce("msum", F.lit(0.0)) + F.lit(dmass / n))
-                    - F.col("rank")
-                ).alias("_delta"),
+            msgs.groupby("part_id")
+            .cogroup(state.groupby("part_id"))
+            .applyInArrow(
+                self.make_apply(ctx.P, n, dmass),
+                "vid long, part_id int, dangling boolean, rank double, _delta double",
             )
         )
 
@@ -236,38 +331,66 @@ class ComponentsProgram:
     def init_state(self, ctx: GraphContext) -> DataFrame:
         return ctx.vertex_base.select("vid", "part_id", F.col("vid").alias("comp"))
 
-    def scatter_schema(self) -> str:
-        return "dst long, mmin long"
-
     def make_scatter(self, P: int):
-        def scatter(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-            if len(left) == 0 or len(right) == 0:
-                return pd.DataFrame({"dst": np.empty(0, np.int64), "mmin": np.empty(0, np.int64)})
-            b = left.iloc[0]
-            p, nloc = int(b["part_id"]), int(b["n_local"])
-            indptr, _indices, _coeff, udst, e2u = _block_arrays(b)
-            comp = _local_values(right, "comp", p, P, nloc).astype(np.int64)
+        def scatter(key, left: pa.Table, right: pa.Table) -> pa.Table:
+            if left.num_rows == 0 or right.num_rows == 0:
+                return _empty_packed({"mmin": pa.int64()})
+            p = left["part_id"][0].as_py()
+            indptr = _block_np(left, "indptr")
+            udst = _block_np(left, "udst")
+            e2u = _block_np(left, "e2u")
+            comp, _ = _dense_state(right, "comp", p, P)
             comp_rep = np.repeat(comp, np.diff(indptr))
             partial = np.full(len(udst), np.iinfo(np.int64).max, dtype=np.int64)
             np.minimum.at(partial, e2u, comp_rep)
-            return pd.DataFrame({"dst": udst, "mmin": partial})
+            return _packed_msgs(P, udst, {"mmin": partial})
 
         return scatter
+
+    @staticmethod
+    def make_apply(P: int):
+        def apply(key, msgs: pa.Table, state: pa.Table) -> pa.Table:
+            p, nloc = key[0].as_py(), state.num_rows
+            if nloc == 0:
+                return pa.table(
+                    {
+                        "vid": pa.array([], pa.int64()),
+                        "part_id": pa.array([], pa.int32()),
+                        "comp": pa.array([], pa.int64()),
+                        "_changed": pa.array([], pa.int64()),
+                    }
+                )
+            comp_old, _ = _dense_state(state, "comp", p, P)
+            mmin = np.full(nloc, np.iinfo(np.int64).max, np.int64)
+            if msgs.num_rows:
+                mloc = (_pa_flat(msgs, "dst") - p) // P
+                np.minimum.at(mmin, mloc, _pa_flat(msgs, "mmin"))
+            comp_new = np.minimum(comp_old, mmin)
+            return pa.table(
+                {
+                    "vid": pa.array(p + np.arange(nloc, dtype=np.int64) * P),
+                    "part_id": pa.array(np.full(nloc, p, np.int32)),
+                    "comp": pa.array(comp_new),
+                    "_changed": pa.array((comp_new < comp_old).astype(np.int64)),
+                }
+            )
+
+        return apply
 
     def superstep(self, ctx: GraphContext, state: DataFrame, carry: dict | None = None) -> DataFrame:
         msgs = (
             ctx.ublocks.groupby("part_id")
             .cogroup(state.groupby("part_id"))
-            .applyInPandas(self.make_scatter(ctx.P), self.scatter_schema())
+            .applyInArrow(
+                self.make_scatter(ctx.P), "part_id int, dst array<long>, mmin array<long>"
+            )
         )
-        acc = msgs.groupBy("dst").agg(F.min("mmin").alias("mmin"))
         return (
-            state.join(acc.withColumnRenamed("dst", "vid"), "vid", "left")
-            .select(
-                "vid",
-                "part_id",
-                F.least(F.col("comp"), F.coalesce("mmin", F.col("comp"))).alias("comp"),
-                (F.coalesce("mmin", F.col("comp")) < F.col("comp")).cast("long").alias("_changed"),
+            msgs.groupby("part_id")
+            .cogroup(state.groupby("part_id"))
+            .applyInArrow(
+                self.make_apply(ctx.P),
+                "vid long, part_id int, comp long, _changed long",
             )
         )
 
@@ -294,20 +417,16 @@ class LabelPropProgram:
     def init_state(self, ctx: GraphContext) -> DataFrame:
         return ctx.vertex_base.select("vid", "part_id", F.col("vid").alias("label"))
 
-    def scatter_schema(self) -> str:
-        return "dst long, label long, cnt long"
-
     def make_scatter(self, P: int):
-        def scatter(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-            empty = pd.DataFrame(
-                {"dst": np.empty(0, np.int64), "label": np.empty(0, np.int64), "cnt": np.empty(0, np.int64)}
-            )
-            if len(left) == 0 or len(right) == 0:
+        def scatter(key, left: pa.Table, right: pa.Table) -> pa.Table:
+            empty = _empty_packed({"label": pa.int64(), "cnt": pa.int64()})
+            if left.num_rows == 0 or right.num_rows == 0:
                 return empty
-            b = left.iloc[0]
-            p, nloc = int(b["part_id"]), int(b["n_local"])
-            indptr, _indices, _coeff, udst, e2u = _block_arrays(b)
-            label = _local_values(right, "label", p, P, nloc).astype(np.int64)
+            p = left["part_id"][0].as_py()
+            indptr = _block_np(left, "indptr")
+            udst = _block_np(left, "udst")
+            e2u = _block_np(left, "e2u")
+            label, _ = _dense_state(right, "label", p, P)
             lab_rep = np.repeat(label, np.diff(indptr))
             # run-length count of (udst_idx, label) pairs
             order = np.lexsort((lab_rep, e2u))
@@ -318,32 +437,76 @@ class LabelPropProgram:
             boundary[1:] = (ui[1:] != ui[:-1]) | (ll[1:] != ll[:-1])
             idx = np.flatnonzero(boundary)
             cnt = np.diff(np.append(idx, len(ui)))
-            return pd.DataFrame(
-                {"dst": udst[ui[boundary]], "label": ll[boundary], "cnt": cnt}
+            # message key is (dst, label); _packed_msgs splits on dst % P,
+            # which groups by destination partition exactly as required
+            return _packed_msgs(
+                P, udst[ui[boundary]], {"label": ll[boundary], "cnt": cnt}
             )
 
         return scatter
+
+    @staticmethod
+    def make_apply(P: int):
+        def apply(key, msgs: pa.Table, state: pa.Table) -> pa.Table:
+            p, nloc = key[0].as_py(), state.num_rows
+            if nloc == 0:
+                return pa.table(
+                    {
+                        "vid": pa.array([], pa.int64()),
+                        "part_id": pa.array([], pa.int32()),
+                        "label": pa.array([], pa.int64()),
+                        "_changed": pa.array([], pa.int64()),
+                    }
+                )
+            label_old, _ = _dense_state(state, "label", p, P)
+            label_new = label_old.copy()
+            if msgs.num_rows:
+                mloc = (_pa_flat(msgs, "dst") - p) // P
+                lab = _pa_flat(msgs, "label")
+                cnt = _pa_flat(msgs, "cnt")
+                # 1) sum partial counts per (vertex, label) — partials arrive
+                #    from multiple source blocks
+                order = np.lexsort((lab, mloc))
+                ml, ll, cc = mloc[order], lab[order], cnt[order]
+                boundary = np.ones(len(ml), dtype=bool)
+                boundary[1:] = (ml[1:] != ml[:-1]) | (ll[1:] != ll[:-1])
+                gidx = np.cumsum(boundary) - 1
+                sums = np.bincount(gidx, weights=cc)
+                gml, gll = ml[boundary], ll[boundary]
+                # 2) argmax per vertex: most frequent label, ties -> min
+                #    label (groups are label-sorted per vertex, so a stable
+                #    sort on -count keeps min-label first among ties)
+                order2 = np.lexsort((gll, -sums, gml))
+                gm2 = gml[order2]
+                first = np.ones(len(gm2), dtype=bool)
+                first[1:] = gm2[1:] != gm2[:-1]
+                label_new[gm2[first]] = gll[order2][first]
+            return pa.table(
+                {
+                    "vid": pa.array(p + np.arange(nloc, dtype=np.int64) * P),
+                    "part_id": pa.array(np.full(nloc, p, np.int32)),
+                    "label": pa.array(label_new),
+                    "_changed": pa.array((label_new != label_old).astype(np.int64)),
+                }
+            )
+
+        return apply
 
     def superstep(self, ctx: GraphContext, state: DataFrame, carry: dict | None = None) -> DataFrame:
         msgs = (
             ctx.ublocks.groupby("part_id")
             .cogroup(state.groupby("part_id"))
-            .applyInPandas(self.make_scatter(ctx.P), self.scatter_schema())
-        )
-        counts = msgs.groupBy("dst", "label").agg(F.sum("cnt").alias("cnt"))
-        w = Window.partitionBy("dst").orderBy(F.desc("cnt"), F.asc("label"))
-        winner = (
-            counts.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .select(F.col("dst").alias("vid"), F.col("label").alias("new_label"))
+            .applyInArrow(
+                self.make_scatter(ctx.P),
+                "part_id int, dst array<long>, label array<long>, cnt array<long>",
+            )
         )
         return (
-            state.join(winner, "vid", "left")
-            .select(
-                "vid",
-                "part_id",
-                F.coalesce("new_label", "label").alias("label"),
-                (F.coalesce("new_label", "label") != F.col("label")).cast("long").alias("_changed"),
+            msgs.groupby("part_id")
+            .cogroup(state.groupby("part_id"))
+            .applyInArrow(
+                self.make_apply(ctx.P),
+                "vid long, part_id int, label long, _changed long",
             )
         )
 
@@ -384,7 +547,29 @@ def run_program(
     re-invoked with the same root resumes from the latest complete superstep
     (op 53).  Without it, localCheckpoint gives the same plan truncation
     without durability.
+
+    AQE is disabled for the duration of the loop: superstep plans are fully
+    pinned (explicit P-way partitioning, fixed shapes), so adaptive re-
+    planning only adds per-job latency — measured ~0.3-1s per superstep —
+    and its partition coalescing can silently undo the co-partitioning
+    (SURVEY.md §7 trap 4).  Restored afterwards for the relational glue.
     """
+    aqe_prev = ctx.spark.conf.get("spark.sql.adaptive.enabled", "true")
+    ctx.spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _run_program_inner(ctx, program, max_iter, ckpt_root, resume, init_state)
+    finally:
+        ctx.spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
+
+
+def _run_program_inner(
+    ctx: GraphContext,
+    program,
+    max_iter: int,
+    ckpt_root: str | None,
+    resume: bool,
+    init_state: DataFrame | None,
+) -> RunResult:
     ckpt = None
     if ckpt_root is not None:
         ckpt = CheckpointManager(

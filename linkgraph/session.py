@@ -47,8 +47,18 @@ def get_spark(
         # AlwaysPreTouch (no page-fault stalls while the heap grows) gave
         # flat superstep walls. Applied at JVM launch; no-op on an already
         # running JVM (getOrCreate reuse).
-        "spark.driver.extraJavaOptions": "-XX:G1HeapRegionSize=32m -XX:+AlwaysPreTouch",
-        "spark.executor.extraJavaOptions": "-XX:G1HeapRegionSize=32m",
+        # GCLockerRetryAllocationCount: Arrow/netty JNI critical sections
+        # hold the GCLocker while tasks allocate multi-MB buffers; the JDK
+        # default of 2 retries aborts the task under pressure ("Retried
+        # waiting for GCLocker too often").
+        "spark.driver.extraJavaOptions": (
+            "-XX:G1HeapRegionSize=32m -XX:+AlwaysPreTouch "
+            "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=100"
+        ),
+        "spark.executor.extraJavaOptions": (
+            "-XX:G1HeapRegionSize=32m "
+            "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=100"
+        ),
     }
     if extra_conf:
         conf.update(extra_conf)
