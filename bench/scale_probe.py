@@ -40,9 +40,11 @@ def main() -> None:
         app_name=f"scale-probe-{args.cpus}",
         master=f"local[{args.cpus}]",
         shuffle_partitions=args.partitions,
-        # 16g, not the full host: oversized heaps made young collections and
-        # first-touch page faults the dominant superstep-wall noise source.
-        extra_conf={"spark.driver.memory": "16g"},
+        # Sized to hold the CSR block caches (~30B/edge directed+undirected)
+        # with headroom, but NOT the full host: oversized heaps made young
+        # collections and first-touch page faults the dominant superstep-
+        # wall noise source before the G1 region/pretouch pins.
+        extra_conf={"spark.driver.memory": "24g"},
     )
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -634,9 +634,18 @@ def _run_program_inner(
                 metrics={k: stats[k] for k in stats if k != "wall_s"},
                 per_partition=per_partition,
             )
-            state = ckpt.read_state(t)
-        else:
-            state = ns.select(*program.state_cols).localCheckpoint()
+        # Continuation state comes from the CACHED result, not a parquet
+        # read-back: the durable write above is for resume (op 53); re-
+        # scanning it every superstep added a scan+decode per iteration.
+        # repartition re-pins HashPartitioning(part_id) (cogroup output
+        # partitioning is unknown to Catalyst), so the next superstep's two
+        # cogroups reuse it with no extra exchange; localCheckpoint keeps
+        # the plan one superstep deep (op 54).
+        state = (
+            ns.select(*program.state_cols)
+            .repartition(ctx.P, "part_id")
+            .localCheckpoint()
+        )
         ns.unpersist()
         stats["wall_s"] = time.monotonic() - tic
         stats["superstep"] = t

@@ -129,12 +129,34 @@ def synth_power_edges(
 
     Used by the BENCH scaling-evidence runs where the transcript-derived
     graph at test tiers is too small to be compute-bound.  Multi-edges are
-    kept (w=1 rows; multiplicities collapse in the CSR build)."""
-    rng = np.random.default_rng(seed)
-    src = rng.integers(0, n_vertices, size=n_edges, dtype=np.int64)
-    dst = (rng.zipf(zipf_a, size=n_edges).astype(np.int64) - 1) % n_vertices
-    pdf = pd.DataFrame({"src": src, "dst": dst, "w": np.ones(n_edges)})
-    return spark.createDataFrame(pdf).repartition(parts)
+    kept (w=1 rows; multiplicities collapse in the CSR build).
+
+    Generated DISTRIBUTED: one seeded rng per partition (seed ⊕ partition
+    id), numpy-vectorized inside mapInArrow — no driver-side materialization,
+    so probe graphs scale to hundreds of millions of edges.  Deterministic
+    for a given (seed, parts) regardless of scheduling."""
+    import pyarrow as pa
+
+    def gen(it):
+        for batch in it:
+            for pid in batch.column(0).to_pylist():
+                pid = int(pid)
+                m = n_edges // parts + (1 if pid < n_edges % parts else 0)
+                rng = np.random.default_rng(seed * 1_000_003 + pid)
+                src = rng.integers(0, n_vertices, size=m, dtype=np.int64)
+                dst = (rng.zipf(zipf_a, size=m).astype(np.int64) - 1) % n_vertices
+                for lo in range(0, m, 2_000_000):
+                    hi = min(lo + 2_000_000, m)
+                    yield pa.record_batch(
+                        {
+                            "src": pa.array(src[lo:hi]),
+                            "dst": pa.array(dst[lo:hi]),
+                            "w": pa.array(np.ones(hi - lo)),
+                        }
+                    )
+
+    base = spark.range(parts).repartition(parts, "id")
+    return base.mapInArrow(gen, "src long, dst long, w double")
 
 
 def graph_from_edges(edges: DataFrame, n_vertices: int):
