@@ -59,7 +59,11 @@ def oracle_sql() -> dict[str, str]:
     from linkgraph.engine_queries import registry as engine_registry
     from linkgraph.relational import REGISTRY
 
+    from linkgraph.graph_oracles import pagerank_fixed_sql
+
     out = {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}
     for reg in (engine_registry(), datapipe_registry(), ann_registry()):
         out.update({name: sql for name, (_fn, sql) in reg.items() if sql is not None})
+    # flagship: fixed 5-superstep PageRank, top-10 -> unrolled-CTE oracle
+    out["pagerank_top10"] = pagerank_fixed_sql(5, limit=10, with_vid=True)
     return out

@@ -8,9 +8,9 @@ the hot path too:
   DuckDB recursive-CTE transitive closure (component id = min vkey).
 - engine_triangles: triangles.py (degree-oriented 2-join) against the
   3-way self-join SQL.
-- engine_pagerank / engine_labelprop: no SQL equivalent (iterative to
-  convergence) -> rows-only for the driver; exactness covered in pytest
-  against the single-node references.
+- engine_pagerank / engine_labelprop: FIXED-iteration runs, hash-checked
+  against unrolled-CTE DuckDB oracles (graph_oracles.py); run-to-convergence
+  exactness is covered in pytest against the single-node references.
 """
 
 from __future__ import annotations
@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .flagship import events_graph
+from .graph_oracles import labelprop_fixed_sql, pagerank_fixed_sql
 from .io import load_table
 from .pregel import (
     ComponentsProgram,
@@ -132,14 +133,23 @@ def engine_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # here would drift — engine_triangles reuses it via the registry below)
 
 
+_PR_STEPS = 5
+_LPA_STEPS = 5
+
+
 def engine_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CSR-path PageRank to 1e-8 on the events graph; top-20 (rows-only)."""
+    """CSR-path PageRank, FIXED 5 supersteps on the events graph; top-20.
+
+    Fixed iteration count makes the CSR gather-scatter engine itself
+    hash-checkable against the unrolled-CTE DuckDB oracle
+    (graph_oracles.pagerank_fixed_sql); convergence-mode exactness is
+    covered by pytest vs networkx (tests/test_pregel.py)."""
     g, ctx = _events_ctx(spark, sf_dir)
     try:
-        res = run_program(ctx, PageRankProgram(tol=1e-8), max_iter=200)
+        res = run_program(ctx, PageRankProgram(tol=0.0), fixed_iters=_PR_STEPS)
         return (
             res.state.join(g.vertices, "vid")
-            .select("vkey", F.round("rank", 8).alias("rank"))
+            .select("vkey", F.round("rank", 6).alias("rank"))
             .orderBy(F.desc("rank"), "vkey")
             .limit(20)
         )
@@ -147,16 +157,26 @@ def engine_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ctx.unpersist()
 
 
+SQL_ENGINE_PAGERANK = pagerank_fixed_sql(_PR_STEPS, limit=20, with_vid=False)
+
+
 def engine_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Synchronous LPA labels on the events graph (rows-only)."""
+    """Synchronous LPA, FIXED 5 supersteps on the events graph.
+
+    vids are assigned by sorted vkey (flagship.events_graph), so the
+    engine's min-vid tiebreak == the oracle's min-vkey tiebreak and labels
+    map 1:1 into vkey space (graph_oracles.labelprop_fixed_sql)."""
     g, ctx = _events_ctx(spark, sf_dir)
     try:
-        res = run_program(ctx, LabelPropProgram(), max_iter=20)
+        res = run_program(ctx, LabelPropProgram(), fixed_iters=_LPA_STEPS)
         v = g.vertices.select("vkey", "vid")
         lab_key = v.select(F.col("vid").alias("label"), F.col("vkey").alias("label_key"))
         return res.state.join(v, "vid").join(lab_key, "label").select("vkey", "label_key")
     finally:
         ctx.unpersist()
+
+
+SQL_ENGINE_LABELPROP = labelprop_fixed_sql(_LPA_STEPS)
 
 
 def registry():
@@ -165,6 +185,6 @@ def registry():
     return {
         "engine_components": (engine_components, SQL_ENGINE_COMPONENTS),
         "engine_triangles": (engine_triangles, SQL_TRIANGLE_COUNT),
-        "engine_pagerank": (engine_pagerank, None),
-        "engine_labelprop": (engine_labelprop, None),
+        "engine_pagerank": (engine_pagerank, SQL_ENGINE_PAGERANK),
+        "engine_labelprop": (engine_labelprop, SQL_ENGINE_LABELPROP),
     }

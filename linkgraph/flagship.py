@@ -59,12 +59,17 @@ def events_graph(events: DataFrame) -> GraphTables:
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
-    """5 fixed PageRank supersteps on the events graph; top-10 by rank."""
+    """5 fixed PageRank supersteps on the events graph; top-10 by rank.
+
+    Fixed iteration count + rank rounded to 6 decimals (and ORDERED by the
+    rounded value) make this hash-checkable against the unrolled-CTE DuckDB
+    oracle (graph_oracles.pagerank_fixed_sql) — double summation-order noise
+    is ~1e-15 relative, far below the rounding grain."""
     graph = events_graph(load_table(spark, sf_dir, "events"))
     res = pagerank_naive(graph, tol=0.0, max_iter=5)
     return (
         res.ranks.join(graph.vertices, "vid")
-        .select("vid", "vkey", "vtype", "rank")
+        .select("vid", "vkey", "vtype", F.round("rank", 6).alias("rank"))
         .orderBy(F.desc("rank"), "vid")
         .limit(10)
     )

@@ -1,0 +1,126 @@
+"""DuckDB oracle SQL for the FIXED-ITERATION graph queries (SURVEY.md §5.5).
+
+A fixed-k PageRank / label-propagation run is SQL-expressible by unrolling k
+iterations as chained CTEs over the events-derived edge table; that turns the
+driver's rows-only gate rows (``pagerank_top10``, ``engine_pagerank``,
+``engine_labelprop``) into full rows+schema+hash checks (VERDICT r01 item 1).
+
+The generators below emit ANSI SQL that DuckDB runs directly on the
+pre-registered ``events`` view.  Semantics mirrored exactly:
+
+- graph: consecutive-event edges ``event_type(i) -> event_type(i+1)`` per
+  user (stable order ts, event_id) plus ``user:<id> -> event_type``
+  invocation edges; w = multiplicity (flagship.events_graph).
+- vids: dense, assigned by sorted vkey (``row_number() OVER (ORDER BY vkey)
+  - 1``) — identical to the Spark side's sorted-window assignment.
+- PageRank: r_t(v) = (1-d)/n + d*(sum_{u->v} r_{t-1}(u)*w/out_w(u)
+  + dangling_mass_{t-1}/n); float64; matches pagerank_naive / the CSR
+  engine (pregel.PageRankProgram) exactly.
+- LPA: synchronous, new label = most frequent neighbour label over the
+  undirected simple graph, ties -> min label, isolated vertices keep theirs;
+  labels live in vkey space (min vid == min vkey under sorted assignment).
+
+Ranks are rounded to 6 decimals ON BOTH SIDES and top-k ordering uses the
+rounded value, so double summation-order noise (~1e-15 relative after 5
+iterations) cannot flip the hash or the k-boundary.
+"""
+
+from __future__ import annotations
+
+# Edge derivation + vertex numbering shared by all three oracles.  Matches
+# flagship.events_graph + relational._EVENTS_EDGE_SQL.
+_GRAPH_CTES = """
+base AS (
+  SELECT user_id, event_type, ts, event_id FROM events
+), turn AS (
+  SELECT event_type AS s,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
+  FROM base
+), ek AS (
+  SELECT s, t FROM turn WHERE t IS NOT NULL
+  UNION ALL
+  SELECT 'user:' || CAST(user_id AS VARCHAR) AS s, event_type AS t FROM base
+), e AS (
+  SELECT s, t, CAST(count(*) AS DOUBLE) AS w FROM ek GROUP BY s, t
+), v AS (
+  SELECT vkey, CAST(row_number() OVER (ORDER BY vkey) - 1 AS BIGINT) AS vid
+  FROM (SELECT DISTINCT vkey
+        FROM (SELECT s AS vkey FROM ek UNION ALL SELECT t AS vkey FROM ek))
+), nn AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM v
+)"""
+
+
+def pagerank_fixed_sql(k: int, limit: int, d: float = 0.85, with_vid: bool = False) -> str:
+    """Unrolled k-superstep weighted PageRank, top-``limit`` by rounded rank."""
+    ctes = [
+        _GRAPH_CTES,
+        "outw AS (SELECT s, sum(w) AS out_w FROM e GROUP BY s)",
+        "coeff AS (SELECT e.s, e.t, e.w / o.out_w AS c FROM e JOIN outw o USING (s))",
+        # dangling = no out-edges (out_deg == 0)
+        "dang AS (SELECT v.vkey FROM v LEFT JOIN outw o ON o.s = v.vkey WHERE o.s IS NULL)",
+        "r0 AS (SELECT vkey, 1.0 / (SELECT n FROM nn) AS r FROM v)",
+    ]
+    for i in range(1, k + 1):
+        p = f"r{i - 1}"
+        ctes.append(
+            f"d{i} AS (SELECT coalesce(sum(r.r), 0.0) AS dm FROM {p} r JOIN dang USING (vkey))"
+        )
+        ctes.append(
+            f"m{i} AS (SELECT c.t AS vkey, sum(p.r * c.c) AS ms "
+            f"FROM coeff c JOIN {p} p ON p.vkey = c.s GROUP BY c.t)"
+        )
+        # CAST the damping literals to DOUBLE so DuckDB's decimal arithmetic
+        # cannot diverge (bit-for-bit the same (1-d) as Python's float math).
+        dd = f"CAST({d!r} AS DOUBLE)"
+        ctes.append(
+            f"r{i} AS (SELECT v.vkey, (CAST(1.0 AS DOUBLE) - {dd}) / (SELECT n FROM nn) "
+            f"+ {dd} * (coalesce(m.ms, 0.0) + (SELECT dm FROM d{i}) / (SELECT n FROM nn)) AS r "
+            f"FROM v LEFT JOIN m{i} m USING (vkey))"
+        )
+    if with_vid:
+        select = (
+            "SELECT v.vid, v.vkey, "
+            "CASE WHEN v.vkey LIKE 'user:%' THEN 'actor' ELSE 'tool' END AS vtype, "
+            "round(r.r, 6) AS rank"
+        )
+        order = "ORDER BY round(r.r, 6) DESC, v.vid"
+    else:
+        select = "SELECT v.vkey, round(r.r, 6) AS rank"
+        order = "ORDER BY round(r.r, 6) DESC, v.vkey"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\n{select}\nFROM r{k} r JOIN v USING (vkey)\n{order}\nLIMIT {limit}"
+    )
+
+
+def labelprop_fixed_sql(k: int) -> str:
+    """Unrolled k-superstep synchronous LPA over the undirected simple graph;
+    output (vkey, label_key) in vkey space."""
+    ctes = [
+        _GRAPH_CTES,
+        # undirected simple adjacency (both directions, self-loops dropped)
+        "und AS (SELECT DISTINCT a, b FROM ("
+        "SELECT s AS a, t AS b FROM ek WHERE s <> t "
+        "UNION ALL SELECT t AS a, s AS b FROM ek WHERE s <> t))",
+        "l0 AS (SELECT vkey, vkey AS lbl FROM v)",
+    ]
+    for i in range(1, k + 1):
+        p = f"l{i - 1}"
+        ctes.append(
+            f"c{i} AS (SELECT u.a AS vkey, p.lbl, count(*) AS c "
+            f"FROM und u JOIN {p} p ON p.vkey = u.b GROUP BY u.a, p.lbl)"
+        )
+        ctes.append(
+            f"b{i} AS (SELECT vkey, lbl FROM ("
+            f"SELECT vkey, lbl, row_number() OVER (PARTITION BY vkey ORDER BY c DESC, lbl) AS rn "
+            f"FROM c{i}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"l{i} AS (SELECT p.vkey, coalesce(b.lbl, p.lbl) AS lbl "
+            f"FROM {p} p LEFT JOIN b{i} b USING (vkey))"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT vkey, lbl AS label_key FROM l{k}"
+    )

@@ -175,25 +175,31 @@ def _empty_packed(payloads: dict[str, "pa.DataType"]) -> "pa.Table":
     return pa.table(cols)
 
 
-def _pack_hub_rows(key: tuple, tbl: pa.Table) -> pa.Table:
-    """groupBy(part_id).applyInArrow packer: per-edge hub message rows of one
-    destination partition -> one packed array row (same wire format as
-    _packed_msgs, so hub messages union with block messages).
+def _make_hub_packer(payload_names: tuple[str, ...]):
+    """groupBy(part_id).applyInArrow packer factory: per-edge hub message
+    rows of one destination partition -> one packed array row (same wire
+    format as _packed_msgs, so hub messages union with block messages).
+    Works for any payload column set (msum / mmin / label+cnt)."""
 
-    NOTE: the (key, table) type hints are load-bearing — PySpark 4.1.2's
-    GroupedData.applyInArrow raises UnboundLocalError if hint inference
-    fails (group_ops.py:936)."""
-    p = key[0].as_py()
-    dst = _pa_np(tbl["dst"])
-    msum = _pa_np(tbl["msum"])
-    offs = pa.array(np.array([0, len(dst)], dtype=np.int32))
-    return pa.table(
-        {
+    def pack(key: tuple, tbl: pa.Table) -> pa.Table:
+        # NOTE: the (key, table) type hints are load-bearing — PySpark
+        # 4.1.2's GroupedData.applyInArrow raises UnboundLocalError if hint
+        # inference fails (group_ops.py:936).
+        p = key[0].as_py()
+        dst = _pa_np(tbl["dst"])
+        offs = pa.array(np.array([0, len(dst)], dtype=np.int32))
+        cols: dict[str, object] = {
             "part_id": pa.array(np.array([p], dtype=np.int32)),
             "dst": pa.ListArray.from_arrays(offs, pa.array(dst)),
-            "msum": pa.ListArray.from_arrays(offs, pa.array(msum)),
         }
-    )
+        for name in payload_names:
+            cols[name] = pa.ListArray.from_arrays(offs, pa.array(_pa_np(tbl[name])))
+        return pa.table(cols)
+
+    return pack
+
+
+_pack_hub_rows = _make_hub_packer(("msum",))
 
 
 # --------------------------------------------------------------------------
@@ -539,8 +545,14 @@ def run_program(
     ckpt_root: str | None = None,
     resume: bool = True,
     init_state: DataFrame | None = None,
+    fixed_iters: int | None = None,
 ) -> RunResult:
     """Drive a vertex program to convergence (SURVEY.md §2.10 skeleton).
+
+    ``fixed_iters=k`` runs EXACTLY k supersteps, ignoring the program's
+    convergence test — the fixed-iteration form is SQL-expressible (unrolled
+    CTEs), which is what makes the iterative engine paths hash-checkable
+    against the DuckDB oracle (VERDICT r01 item 1).
 
     With ``ckpt_root``: every superstep is durably checkpointed with lineage
     + metrics and the next superstep reads back from parquet; a killed run
@@ -557,7 +569,9 @@ def run_program(
     aqe_prev = ctx.spark.conf.get("spark.sql.adaptive.enabled", "true")
     ctx.spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        return _run_program_inner(ctx, program, max_iter, ckpt_root, resume, init_state)
+        return _run_program_inner(
+            ctx, program, max_iter, ckpt_root, resume, init_state, fixed_iters
+        )
     finally:
         ctx.spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
 
@@ -569,6 +583,7 @@ def _run_program_inner(
     ckpt_root: str | None,
     resume: bool,
     init_state: DataFrame | None,
+    fixed_iters: int | None = None,
 ) -> RunResult:
     ckpt = None
     if ckpt_root is not None:
@@ -600,7 +615,8 @@ def _run_program_inner(
     from pyspark.sql.functions import concat_ws, count, crc32, lit
     from pyspark.sql.functions import sum as fsum
 
-    for t in range(t0 + 1, max_iter + 1):
+    last_iter = fixed_iters if fixed_iters is not None else max_iter
+    for t in range(t0 + 1, last_iter + 1):
         tic = time.monotonic()
         ns = program.superstep(ctx, state, carry).persist()
         # ONE job for convergence stats AND the checkpoint's per-partition
@@ -651,7 +667,7 @@ def _run_program_inner(
         stats["superstep"] = t
         history.append(stats)
         carry = stats
-        if program.done(stats):
+        if fixed_iters is None and program.done(stats):
             converged = True
             break
     return RunResult(state, t, converged, history, resumed_from=t0)

@@ -432,6 +432,106 @@ FROM orders GROUP BY 1, 2
 """
 
 
+def q_date_trunc(spark, sf_dir):
+    """Literal date_trunc month bucketing (op 36, named primitive)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").cast("string").alias("month_start")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+SQL_DATE_TRUNC = """
+SELECT CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month_start,
+       count(*) AS n_orders, round(avg(o_totalprice), 4) AS avg_price
+FROM orders GROUP BY 1
+"""
+
+
+def q_time_window(spark, sf_dir):
+    """Tumbling time-window aggregation via window() (op 36).  1-day windows
+    align to UTC midnight (session tz pinned UTC), i.e. date_trunc('day')."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("date").cast("string").alias("day"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SQL_TIME_WINDOW = """
+SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS — the third grouping-set form beside rollup and
+    cube (op 20).  Declared through spark.sql over a temp view: still one
+    Catalyst Expand+Aggregate plan, identical to the DataFrame forms."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def q_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (op 19, HLL++) with an rsd-bounded gate: the
+    sketch estimate must land within 5% of the exact count (rsd=0.01).  The
+    estimate itself is engine-specific (Spark HLL++ vs DuckDB HLL would
+    never hash-match), so the row emits the EXACT count plus the bound
+    verdict — a broken sketch flips approx_ok."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.agg(
+            F.countDistinct("o_custkey").alias("exact_cnt"),
+            F.approx_count_distinct("o_custkey", rsd=0.01).alias("_approx"),
+        )
+        .select(
+            "exact_cnt",
+            (
+                F.abs(F.col("_approx") - F.col("exact_cnt"))
+                <= 0.05 * F.col("exact_cnt")
+            )
+            .cast("long")
+            .alias("approx_ok"),
+        )
+    )
+
+
+SQL_APPROX_DISTINCT = """
+SELECT count(DISTINCT o_custkey) AS exact_cnt, CAST(1 AS BIGINT) AS approx_ok
+FROM orders
+"""
+
+
 def q_array_words(spark, sf_dir):
     """explode(split()) word frequency over part names (op 37)."""
     p = _t(spark, sf_dir, "part")
@@ -623,6 +723,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "except_custkeys": (q_except_custkeys, SQL_EXCEPT_CUSTKEYS),
     "string_ops": (q_string_ops, SQL_STRING_OPS),
     "date_buckets": (q_date_buckets, SQL_DATE_BUCKETS),
+    "date_trunc_month": (q_date_trunc, SQL_DATE_TRUNC),
+    "time_window_day": (q_time_window, SQL_TIME_WINDOW),
+    "grouping_sets_orders": (q_grouping_sets, SQL_GROUPING_SETS),
+    "approx_distinct": (q_approx_distinct, SQL_APPROX_DISTINCT),
     "array_words": (q_array_words, SQL_ARRAY_WORDS),
     "json_props": (q_json_props, SQL_JSON_PROPS),
     "higher_order_array": (q_higher_order_array, SQL_HIGHER_ORDER_ARRAY),
