@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from linkgraph.datapipe import registry as datapipe_registry
     from linkgraph.engine_queries import registry as engine_registry
     from linkgraph.flagship import flagship
+    from linkgraph.multimodal import registry as multimodal_registry
     from linkgraph.relational import REGISTRY
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -47,6 +48,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update({name: fn for name, (fn, _sql) in engine_registry().items()})
     out.update({name: fn for name, (fn, _sql) in datapipe_registry().items()})
     out.update({name: fn for name, (fn, _sql) in ann_registry().items()})
+    out.update({name: fn for name, (fn, _sql) in multimodal_registry().items()})
     out["pagerank_top10"] = lambda spark, sf_dir: flagship(spark, sf_dir)
     return out
 
@@ -57,12 +59,13 @@ def oracle_sql() -> dict[str, str]:
     from linkgraph.ann import registry as ann_registry
     from linkgraph.datapipe import registry as datapipe_registry
     from linkgraph.engine_queries import registry as engine_registry
+    from linkgraph.multimodal import registry as multimodal_registry
     from linkgraph.relational import REGISTRY
 
     from linkgraph.graph_oracles import pagerank_fixed_sql
 
     out = {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}
-    for reg in (engine_registry(), datapipe_registry(), ann_registry()):
+    for reg in (engine_registry(), datapipe_registry(), ann_registry(), multimodal_registry()):
         out.update({name: sql for name, (_fn, sql) in reg.items() if sql is not None})
     # flagship: fixed 5-superstep PageRank, top-10 -> unrolled-CTE oracle
     out["pagerank_top10"] = pagerank_fixed_sql(5, limit=10, with_vid=True)

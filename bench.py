@@ -110,9 +110,15 @@ def main() -> None:
         )
         extra["components_supersteps"] = cc.supersteps
 
+        # fixed 10 supersteps: sync-LPA tie trajectories depend on the vid
+        # numbering, so convergence-step counts drift across id-assignment
+        # schemes; pinning the iteration count keeps round-over-round walls
+        # comparing identical work.
         lp = timed(
             "labelprop",
-            lambda: run_program(ctx, LabelPropProgram(), max_iter=10, ckpt_root=ckpt_root),
+            lambda: run_program(
+                ctx, LabelPropProgram(), max_iter=10, ckpt_root=ckpt_root, fixed_iters=10
+            ),
         )
         extra["labelprop_supersteps"] = lp.supersteps
 

@@ -215,16 +215,8 @@ def _planted_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def emb_near_dups_lsh(
-    spark: SparkSession, sf_dir: str, tau: float = PLANT_TAU, max_bucket: int = 10_000
-) -> DataFrame:
-    """LSH-candidate near-dup pairs over the planted-duplicate table,
-    exact-cosine verified (the 100 TB scale path, gated at production tau).
-
-    Hash-checked against the exact self-join oracle on the same planted
-    union: the row FAILS if bucketing, the candidate join, or the re-rank
-    breaks (each planted pair must collide in all 8 tables)."""
-    v = _planted_vectors(spark, sf_dir)
+def _near_dups_lsh_core(v: DataFrame, tau: float, max_bucket: int) -> DataFrame:
+    """LSH-candidate near-dup pairs from a vectors DF (vec_id, e, nrm)."""
     b = lsh_buckets(v.select("vec_id", F.col("e").alias("embedding")), 64)
     sizes = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
     b = b.join(
@@ -245,6 +237,27 @@ def emb_near_dups_lsh(
         )
         .where(F.col("cos_sim") >= tau)
     )
+
+
+def emb_near_dups_lsh(
+    spark: SparkSession, sf_dir: str, tau: float = NEAR_TAU, max_bucket: int = 10_000
+) -> DataFrame:
+    """LSH-candidate near-dup pairs, exact-cosine verified (scale path).
+    Recall vs the exact form is pytest-proven on planted fixtures
+    (tests/test_ann.py); the DRIVER gate runs the planted variant below."""
+    return _near_dups_lsh_core(_vectors(spark, sf_dir), tau, max_bucket)
+
+
+def emb_near_dups_lsh_gate(
+    spark: SparkSession, sf_dir: str, max_bucket: int = 10_000
+) -> DataFrame:
+    """Driver gate row for the LSH near-dup scale path, on the
+    planted-duplicate union at production tau (PLANT_TAU).
+
+    Hash-checked against the exact self-join oracle on the same planted
+    union: the row FAILS if bucketing, the candidate join, or the re-rank
+    breaks (each planted pair must collide in all 8 tables)."""
+    return _near_dups_lsh_core(_planted_vectors(spark, sf_dir), PLANT_TAU, max_bucket)
 
 
 SQL_EMB_NEAR_DUPS_LSH = f"""
@@ -296,5 +309,5 @@ def registry():
         "emb_near_dups_exact": (emb_near_dups_exact, SQL_EMB_NEAR_DUPS_EXACT),
         "ann_lsh_topk": (ann_lsh_topk, None),        # covered by ann_lsh_recall
         "ann_lsh_recall": (ann_lsh_recall, SQL_ANN_LSH_RECALL),
-        "emb_near_dups_lsh": (emb_near_dups_lsh, SQL_EMB_NEAR_DUPS_LSH),
+        "emb_near_dups_lsh": (emb_near_dups_lsh_gate, SQL_EMB_NEAR_DUPS_LSH),
     }

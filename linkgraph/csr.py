@@ -103,23 +103,25 @@ def _make_pack(P: int, V: int):
     return pack
 
 
-def build_csr_blocks(edges: DataFrame, n_vertices: int, P: int) -> DataFrame:
+def build_csr_blocks(
+    edges: DataFrame, n_vertices: int, P: int, presummed: bool = False
+) -> DataFrame:
     """Pack (src, dst, w) edges into P hash-partitioned CSR block rows.
 
     Parallel multi-edges are pre-summed (groupBy) so nnz is the number of
-    distinct (src, dst) pairs.  The result is repartitioned by ``part_id``
-    with exactly the session's shuffle partition count so the per-superstep
-    ``cogroup`` on ``part_id`` reuses the partitioning without an exchange —
-    callers should ``.persist()`` the returned DataFrame.
+    distinct (src, dst) pairs; pass ``presummed=True`` when the input is
+    already one row per (src, dst) — e.g. the shared pre-summed scan in
+    GraphContext.build or symmetrize() output — to skip that shuffle
+    entirely (VERDICT r01 item 5).  The result is repartitioned by
+    ``part_id`` with exactly the session's shuffle partition count so the
+    per-superstep ``cogroup`` on ``part_id`` reuses the partitioning without
+    an exchange — callers should ``.persist()`` the returned DataFrame.
 
     Scale note: P bounds block size; choose P so nnz/P stays ~<= 50M edges
     (SURVEY.md §7 trap 5) — the packed arrays must fit a Python worker.
     """
-    e = (
-        edges.groupBy("src", "dst")
-        .agg(F.sum("w").alias("w"))
-        .withColumn("part", F.pmod(F.col("src"), F.lit(P)).cast("int"))
-    )
+    e = edges if presummed else edges.groupBy("src", "dst").agg(F.sum("w").alias("w"))
+    e = e.withColumn("part", F.pmod(F.col("src"), F.lit(P)).cast("int"))
     blocks = e.groupBy("part").applyInPandas(_make_pack(P, n_vertices), BLOCK_SCHEMA)
     return blocks.repartition(P, "part_id")
 

@@ -125,10 +125,13 @@ def build_vertices(ekeys: DataFrame, distributed: bool = False) -> DataFrame:
 
     # Distributed deterministic dense ids: bucket by hash, compute bucket
     # offsets on the driver (B rows), then bucket-local row_number + offset.
+    # The bucketed key set is materialized once (localCheckpoint): the
+    # offsets job and the final id assignment would otherwise each re-run
+    # the full distinct over the edge-key stream.
     n_buckets = 256
     bucketed = keys.withColumn(
         "b", F.pmod(F.xxhash64("vtype", "vkey"), F.lit(n_buckets)).cast("int")
-    )
+    ).localCheckpoint()
     counts = {r["b"]: r["c"] for r in bucketed.groupBy("b").agg(F.count("*").alias("c")).collect()}
     offsets, acc = {}, 0
     for b in range(n_buckets):
@@ -201,9 +204,15 @@ def build_degrees(edges: DataFrame, vertices: DataFrame) -> DataFrame:
 
 
 def build_graph(
-    transcripts: DataFrame, distributed_ids: bool = False, cache: bool = False
+    transcripts: DataFrame, distributed_ids: bool = True, cache: bool = False
 ) -> GraphTables:
     """Full derivation: transcripts -> (vertices, edges, degrees).
+
+    ``distributed_ids`` defaults to True — the PRODUCTION path: vid
+    assignment never funnels through a single task (the global-sort
+    variant's single-partition window is a scale-killer past ~10^7
+    vertices; VERDICT r01 item 3).  Pass False only where downstream logic
+    needs vids globally ordered by (vtype, vkey).
 
     ``cache=True`` eagerly materializes the edge-key stream once
     (localCheckpoint) so the vertex/edge/degree builds don't each re-run the

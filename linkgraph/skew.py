@@ -57,14 +57,16 @@ def detect_hubs(degrees: DataFrame, theta: int, side: str = "out") -> DataFrame:
 
 
 def split_hub_edges(
-    edges: DataFrame, degrees: DataFrame, theta: int
+    edges: DataFrame, degrees: DataFrame, theta: int, presummed: bool = False
 ) -> tuple[DataFrame, DataFrame]:
     """Partition the edge table into (non_hub, hub) by source out-degree.
 
     hub edges carry the PageRank scatter coefficient w/out_w(src) so the
-    broadcast-join scatter needs no degree lookup at superstep time."""
+    broadcast-join scatter needs no degree lookup at superstep time.
+    ``presummed=True`` skips the multi-edge pre-sum when the input is
+    already one row per (src, dst)."""
     hubs = detect_hubs(degrees, theta, side="out")
-    e = edges.groupBy("src", "dst").agg(F.sum("w").alias("w"))
+    e = edges if presummed else edges.groupBy("src", "dst").agg(F.sum("w").alias("w"))
     hub_e = (
         e.join(F.broadcast(hubs), e.src == hubs.vid, "inner")
         .join(degrees.select(F.col("vid").alias("src2"), "out_w"), e.src == F.col("src2"))

@@ -1,11 +1,18 @@
-"""Skew handling (ops 22, 47): salted agg equality + hub-split PageRank."""
+"""Skew handling (ops 22, 47): salted agg equality + hub-split PageRank,
+plus the undirected hub split that keeps CC/LPA scatter flat."""
 
 import numpy as np
 from pyspark.sql import functions as F
 
 from linkgraph.derive import build_graph
-from linkgraph.pregel import GraphContext, PageRankProgram, run_program
-from linkgraph.ref_single_node import pagerank_ref
+from linkgraph.pregel import (
+    ComponentsProgram,
+    GraphContext,
+    LabelPropProgram,
+    PageRankProgram,
+    run_program,
+)
+from linkgraph.ref_single_node import components_ref, lpa_ref, pagerank_ref
 from linkgraph.skew import detect_hubs, salted_sum, split_hub_edges
 from linkgraph.synth import micro_transcripts, synth_transcripts
 
@@ -50,7 +57,7 @@ def test_hub_detection_and_split(spark):
 def test_hub_split_pagerank_matches_reference(spark):
     g = build_graph(synth_transcripts(spark, n_conversations=60, seed=42))
     src, dst, w, n = edges_numpy(g)
-    ctx = GraphContext.build(g, 8, hub_theta=5)
+    ctx = GraphContext.build(g, 8, hub_theta=5, hub_floor=0)
     try:
         assert ctx.nnz_hub > 0  # split actually engaged
         res = run_program(ctx, PageRankProgram(tol=1e-8), max_iter=200)
@@ -65,10 +72,53 @@ def test_hub_split_pagerank_matches_reference(spark):
 def test_hub_split_pagerank_star_hub(spark):
     g = build_graph(micro_transcripts(spark, "star_hub"))
     src, dst, w, n = edges_numpy(g)
-    ctx = GraphContext.build(g, 4, hub_theta=0)  # every src is a "hub"
+    ctx = GraphContext.build(g, 4, hub_theta=0, hub_floor=0)  # every src is a "hub"
     try:
         res = run_program(ctx, PageRankProgram(tol=1e-10), max_iter=200)
         r = ranks_numpy(res.state.select("vid", "rank"), n)
         assert np.allclose(r, pagerank_ref(src, dst, w, n, tol=1e-10)[0], atol=1e-6)
+    finally:
+        ctx.unpersist()
+
+
+def _col(state, col, n):
+    pdf = state.select("vid", col).toPandas()
+    out = np.zeros(n, dtype=np.int64)
+    out[pdf["vid"].to_numpy(np.int64)] = pdf[col].to_numpy(np.int64)
+    return out
+
+
+def test_undirected_hub_split_cc_lpa_exact_star_hub(spark):
+    """VERDICT r01 item 4: the symmetrized blocks get their own hub split,
+    so a hub's undirected adjacency no longer serializes one CC/LPA scatter
+    partition — and the results stay exact vs the single-node references."""
+    g = build_graph(micro_transcripts(spark, "star_hub"))
+    src, dst, _w, n = edges_numpy(g)
+    ctx = GraphContext.build(g, 4, hub_theta=2, hub_floor=0)
+    try:
+        assert ctx.nnz_uhub > 0, "undirected hub split must engage on the star"
+        # total undirected nnz (blocks + hub) matches the no-split build
+        ctx_ref = GraphContext.build(g, 4)
+        assert ctx.nnz_undirected == ctx_ref.nnz_undirected
+        ctx_ref.unpersist()
+        cc = run_program(ctx, ComponentsProgram(), max_iter=50)
+        assert (_col(cc.state, "comp", n) == components_ref(src, dst, n)).all()
+        lp = run_program(ctx, LabelPropProgram(), max_iter=20)
+        assert (_col(lp.state, "label", n) == lpa_ref(src, dst, n, max_iter=20)).all()
+    finally:
+        ctx.unpersist()
+
+
+def test_undirected_hub_split_cc_lpa_exact_synth(spark):
+    g = build_graph(synth_transcripts(spark, n_conversations=60, seed=42))
+    src, dst, _w, n = edges_numpy(g)
+    ctx = GraphContext.build(g, 8, hub_theta=5, hub_floor=0)
+    try:
+        assert ctx.nnz_uhub > 0
+        cc = run_program(ctx, ComponentsProgram(), max_iter=100)
+        assert cc.converged
+        assert (_col(cc.state, "comp", n) == components_ref(src, dst, n)).all()
+        lp = run_program(ctx, LabelPropProgram(), max_iter=30)
+        assert (_col(lp.state, "label", n) == lpa_ref(src, dst, n, max_iter=30)).all()
     finally:
         ctx.unpersist()
