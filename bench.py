@@ -71,6 +71,23 @@ def main() -> None:
 
     n_conv = max(50, int(CONVS_PER_SF * sf))
     ckpt_root = tempfile.mkdtemp(prefix="lg_bench_ck_")
+
+    # Steady-state warm-up (NOT timed): one P-partition Arrow-UDF job +
+    # shuffle pre-forks the Python worker pool, compiles the codegen paths,
+    # and faults in the pre-touched heap.  A production cluster pays these
+    # once per executor lifetime, not per query, so the timed numbers below
+    # measure per-query cost; documented in BENCH/BASELINE.md.
+    def _warm(key, tbl):
+        return tbl
+
+    (
+        spark.range(0, cpus * 4, 1, cpus)
+        .withColumn("g", F.col("id") % cpus)
+        .groupBy("g")
+        .applyInArrow(_warm, "id long, g long")
+        .count()
+    )
+
     try:
         # -- graph pipeline ------------------------------------------------
         transcripts = synth_transcripts(

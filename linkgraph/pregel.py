@@ -98,19 +98,51 @@ class GraphContext:
 
         spark = graph.edges.sparkSession
         # cache the derivation once: vertices/edges plans are embedded in
-        # every downstream table (degrees, blocks, fingerprint).
+        # every downstream table (degrees, blocks, fingerprint).  persist()
+        # is lazy — the caches FILL as a side effect of the two jobs below
+        # (vertex count; esum scan over edges), so no extra materialization
+        # job is spent on either.
         graph.vertices.persist()
-        n = graph.vertices.count()
         graph.edges.persist()
-        graph.edges.count()
-        # ONE pre-summed simple edge scan shared by the directed build, the
-        # hub splits, and the symmetrized build (previously each ran its own
-        # groupBy(src, dst) pass over the raw edge table).
-        esum = (
-            graph.edges.groupBy("src", "dst")
-            .agg(F.sum("w").alias("w"))
-            .localCheckpoint()
-        )
+        # Two independent jobs launched from concurrent threads: the vertex
+        # count (needed to size the dense CSR index space) and ONE
+        # pre-summed simple edge scan shared by the directed build, the hub
+        # splits, the symmetrized build, and the fingerprint (previously
+        # each ran its own groupBy(src, dst) pass over the raw edge table).
+        pre: dict[str, Any] = {}
+
+        def _count_vertices() -> None:
+            pre["n"] = graph.vertices.count()
+
+        def _esum() -> None:
+            pre["esum"] = (
+                graph.edges.groupBy("src", "dst")
+                .agg(F.sum("w").alias("w"))
+                .localCheckpoint()
+            )
+
+        pre_errs: list[BaseException] = []
+
+        def _pre_guard(fn):
+            def run():
+                try:
+                    fn()
+                except BaseException as exc:
+                    pre_errs.append(exc)
+
+            return run
+
+        pre_threads = [
+            threading.Thread(target=_pre_guard(fn), daemon=True)
+            for fn in (_count_vertices, _esum)
+        ]
+        for th in pre_threads:
+            th.start()
+        for th in pre_threads:
+            th.join()
+        if pre_errs:
+            raise pre_errs[0]
+        n, esum = pre["n"], pre["esum"]
 
         out: dict[str, Any] = {}
         errs: list[BaseException] = []
@@ -213,7 +245,10 @@ class GraphContext:
             )
 
         def _fp() -> None:
-            out["fp"] = input_fingerprint(graph.edges)
+            # anchored on the pre-summed simple edge table (a tiny cached
+            # leaf) rather than a second full scan of the raw edge table —
+            # equally deterministic, order-insensitive lineage identity.
+            out["fp"] = input_fingerprint(esum)
 
         def _guard(fn):
             def run():
