@@ -98,7 +98,9 @@ parallelism levels; median superstep wall over steps 3..{args.steps}:
 **Scaling efficiency ({lo_n} -> {hi_n} cores) = (thru_{hi_n}/thru_{lo_n})/{factor:.0f} =
 {eff:.3f}** (target >= 0.8).
 """
-    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # raw per-run output; the curated BENCH/BASELINE.md is maintained by
+    # hand from these (it aggregates multiple level pairs + analysis).
+    path = os.path.join(REPO, "BENCH", f"scaling_{lo_n}_{hi_n}.md")
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
         f.write(md.lstrip())

@@ -1,0 +1,168 @@
+"""Streaming ingestion (SURVEY.md §2.11 / §1.4 — HOOVER's streaming posture).
+
+HOOVER ingests transcript turns continuously and re-converges its graphs as
+data lands.  The Spark realization is Structured Streaming over the landing
+directory:
+
+    transcripts parquet files --readStream-->
+      per-conversation stateful pairing (applyInPandasWithState) -->
+        edge-key deltas -->
+      running weighted edge counts (streaming groupBy, update mode) -->
+        sink (memory for tests; parquet/kafka in production)
+
+The hard part is the consecutive-turn edge: ``lead()`` windows are not
+allowed on streaming DataFrames, and a conversation's turns may be SPLIT
+across micro-batches.  ``streaming_edge_keys`` therefore keys the stream by
+``conv_id`` and keeps one tiny state row per conversation — the last seen
+(turn_idx, actor_key) — so the cross-batch boundary pair is emitted exactly
+once when the continuation arrives.  State is O(active conversations) ×
+~100 bytes, partition-parallel, and managed by Spark's state store
+(checkpointed with the query, so a killed stream resumes exactly — the
+streaming twin of checkpoint.py's superstep resume).
+
+Ordering contract (documented, matching the batch derivation's sort key):
+turns of one conversation arrive in nondecreasing ``turn_idx`` order across
+micro-batches (transcript logs are append-only).  Within a micro-batch any
+order is fine (sorted here); regressions across batches would need a
+watermark + reorder buffer, which transcript appends don't require.
+
+Downstream, the converged graph algorithms re-run from the accumulated edge
+table via incremental.py's warm start — supersteps are driver-side loops,
+deliberately OUTSIDE the streaming query (SURVEY.md §1.4).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .derive import TOOL, TURN
+
+TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+
+_EDGE_KEY_SCHEMA = StructType(
+    [
+        StructField("src_key", StringType()),
+        StructField("dst_key", StringType()),
+        StructField("etype", StringType()),
+    ]
+)
+
+# last seen (turn_idx, actor_key) per conversation
+_STATE_SCHEMA = StructType(
+    [
+        StructField("last_idx", LongType()),
+        StructField("last_actor", StringType()),
+    ]
+)
+
+
+def stream_transcripts(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over a transcript landing directory (op §2.1's
+    streaming twin).  ``max_files_per_trigger`` bounds micro-batch size."""
+    reader = spark.readStream.schema(TRANSCRIPT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def streaming_edge_keys(transcripts: DataFrame) -> DataFrame:
+    """Per-conversation stateful consecutive-turn + tool-edge derivation.
+
+    Emits the same (src_key, dst_key, etype) rows as the batch
+    ``derive.edge_keys`` — property-tested equal in tests/test_streaming.py —
+    including pairs that straddle micro-batch boundaries."""
+
+    def pair(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if rows.empty:
+            return
+        rows = rows.sort_values(["turn_idx", "ts"], kind="mergesort")
+        actors = rows["role"].str.strip().str.lower()
+        tools = rows["tool"].str.strip().str.lower()
+
+        src, dst, et = [], [], []
+        if state.exists:
+            last_idx, last_actor = state.get
+            src.append(last_actor)
+            dst.append(actors.iloc[0])
+            et.append(TURN)
+        a = actors.to_numpy()
+        for i in range(len(a) - 1):
+            src.append(a[i])
+            dst.append(a[i + 1])
+            et.append(TURN)
+        mask = tools.notna()
+        src.extend(actors[mask])
+        dst.extend(tools[mask])
+        et.extend([TOOL] * int(mask.sum()))
+
+        state.update((int(rows["turn_idx"].iloc[-1]), a[-1]))
+        yield pd.DataFrame({"src_key": src, "dst_key": dst, "etype": et})
+
+    return transcripts.groupBy("conv_id").applyInPandasWithState(
+        pair,
+        outputStructType=_EDGE_KEY_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_edge_counts(edge_keys: DataFrame) -> DataFrame:
+    """Running weighted edge table: the streaming twin of
+    ``derive.build_edges``'s groupBy — state-store-backed partial counts,
+    emitted in update mode."""
+    return edge_keys.groupBy("src_key", "dst_key", "etype").agg(
+        F.count(F.lit(1)).cast("double").alias("w")
+    )
+
+
+def ingest_available_now(
+    spark: SparkSession,
+    in_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "linkgraph_ingest",
+    max_files_per_trigger: int | None = 1,
+):
+    """Drain everything currently in ``in_dir`` through the stateful
+    pipeline into an in-memory table ``query_name``, then return the
+    finished StreamingQuery.  Complete mode keeps the memory table exactly
+    the running edge table (test-friendly); production swaps the sink for
+    an update-mode merge into parquet/kafka.  The state-store checkpoint
+    (``checkpoint_dir``) makes the stream resumable either way."""
+    counts = streaming_edge_counts(
+        streaming_edge_keys(
+            stream_transcripts(spark, in_dir, max_files_per_trigger)
+        )
+    )
+    q = (
+        counts.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,80 @@
+"""Streaming ingestion (linkgraph/streaming.py): the stateful
+consecutive-turn pairing must reproduce the batch derivation exactly, even
+when conversations are split across micro-batches."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from linkgraph.derive import edge_keys
+from linkgraph.streaming import ingest_available_now
+from linkgraph.synth import synth_transcripts
+
+
+@pytest.fixture
+def landing_dirs():
+    in_dir = tempfile.mkdtemp(prefix="lg_stream_in_")
+    ck_dir = tempfile.mkdtemp(prefix="lg_stream_ck_")
+    yield in_dir, ck_dir
+    shutil.rmtree(in_dir, ignore_errors=True)
+    shutil.rmtree(ck_dir, ignore_errors=True)
+
+
+def test_streaming_counts_equal_batch_derivation(spark, landing_dirs):
+    in_dir, ck_dir = landing_dirs
+    t = synth_transcripts(spark, n_conversations=30, seed=42).orderBy(
+        "conv_id", "turn_idx"
+    )
+    pdf = t.toPandas()
+
+    # three files SPLITTING conversations mid-stream: file boundaries cut
+    # straight through the row ranges, so many convs have turns in two
+    # files -> the cross-batch pair must come from the conv state, not the
+    # in-batch window.  Per-conv turn_idx stays nondecreasing across files
+    # (the documented append-log contract).
+    n = len(pdf)
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        chunk = pdf.iloc[cuts[i]:cuts[i + 1]]
+        spark.createDataFrame(chunk).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(in_dir, f"batch_{i}")
+        )
+    # flatten: the file source reads a directory of parquet files
+    flat = []
+    for i in range(3):
+        d = os.path.join(in_dir, f"batch_{i}")
+        for f_ in os.listdir(d):
+            if f_.endswith(".parquet"):
+                flat.append((os.path.join(d, f_), os.path.join(in_dir, f"part_{i}.parquet")))
+    import time as _time
+
+    now = _time.time()
+    for k, (src, dst) in enumerate(flat):
+        shutil.copyfile(src, dst)
+        # FileStreamSource orders micro-batches by modification time; same-
+        # second copies tie, so pin strictly increasing mtimes (the real
+        # landing pattern: files arrive seconds apart).
+        os.utime(dst, (now + k, now + k))
+    for i in range(3):
+        shutil.rmtree(os.path.join(in_dir, f"batch_{i}"))
+
+    q = ingest_available_now(
+        spark, in_dir, ck_dir, query_name="t_stream_counts", max_files_per_trigger=1
+    )
+    assert q.lastProgress is not None
+
+    got = {
+        (r["src_key"], r["dst_key"], r["etype"]): r["w"]
+        for r in spark.table("t_stream_counts").collect()
+    }
+    want = {
+        (r["src_key"], r["dst_key"], r["etype"]): float(r["w"])
+        for r in edge_keys(t)
+        .groupBy("src_key", "dst_key", "etype")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        .collect()
+    }
+    assert got == want
