@@ -438,8 +438,56 @@ SELECT q_id, vec_id, cos_sim, rk FROM (
 """
 
 
+# --------------------------------------------------------------------------
+# deterministic split / sampling
+# --------------------------------------------------------------------------
+
+_TEST_PCT = 10
+_VAL_PCT = 10
+
+
+def doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucketed train/val/test assignment — the
+    reproducible-sampling primitive of a training-data pipeline: the split
+    is a pure function of doc_id (salted so it is independent of the
+    content hashes used by the dedup ops), stable across runs, machines,
+    and engine versions, and never needs a shuffle beyond the final count.
+
+    At 100 TB this is a narrow column expression fused into any scan; the
+    per-split accounting row here is the driver-gate surface."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        _md5_int(F.concat_ws(":", F.lit("split"), F.col("doc_id").cast("string"))),
+        F.lit(100),
+    )
+    split = (
+        F.when(bucket < _TEST_PCT, F.lit("test"))
+        .when(bucket < _TEST_PCT + _VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return (
+        d.select(split.alias("split"))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+SQL_DOC_SPLIT = f"""
+WITH b AS (
+  SELECT {_sql_md5_int("concat_ws(':', 'split', CAST(doc_id AS VARCHAR))")} % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < {_TEST_PCT} THEN 'test'
+            WHEN bucket < {_TEST_PCT + _VAL_PCT} THEN 'val'
+            ELSE 'train' END AS split,
+       count(*) AS n_docs
+FROM b GROUP BY 1
+"""
+
+
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
     return {
+        "doc_split": (doc_split, SQL_DOC_SPLIT),
         "doc_exact_dedup": (doc_exact_dedup, SQL_DOC_EXACT_DEDUP),
         "doc_minhash": (doc_minhash, SQL_DOC_MINHASH),
         "doc_near_dups": (doc_near_dups, SQL_DOC_NEAR_DUPS),
