@@ -180,6 +180,8 @@ SQL_ENGINE_LABELPROP = labelprop_fixed_sql(_LPA_STEPS)
 
 
 def registry():
+    from .graph_oracles import kcore_fixed_sql
+    from .kcore import engine_kcore
     from .relational import SQL_TRIANGLE_COUNT
 
     return {
@@ -187,4 +189,5 @@ def registry():
         "engine_triangles": (engine_triangles, SQL_TRIANGLE_COUNT),
         "engine_pagerank": (engine_pagerank, SQL_ENGINE_PAGERANK),
         "engine_labelprop": (engine_labelprop, SQL_ENGINE_LABELPROP),
+        "engine_kcore": (engine_kcore, kcore_fixed_sql(3, 8)),
     }

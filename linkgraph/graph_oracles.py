@@ -124,3 +124,30 @@ def labelprop_fixed_sql(k: int) -> str:
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT vkey, lbl AS label_key FROM l{k}"
     )
+
+
+def kcore_fixed_sql(k: int, iters: int) -> str:
+    """Unrolled ``iters``-peel k-core over the events graph's undirected
+    simple view; output (vkey, core_deg) with core_deg the induced degree
+    of the surviving set — mirrors kcore.engine_kcore exactly (including
+    the not-necessarily-converged fixed-iteration semantics)."""
+    ctes = [
+        _GRAPH_CTES,
+        # undirected simple adjacency (both directions, self-loops dropped)
+        "und AS (SELECT DISTINCT a, b FROM ("
+        "SELECT s AS a, t AS b FROM ek WHERE s <> t "
+        "UNION ALL SELECT t AS a, s AS b FROM ek WHERE s <> t))",
+        "a0 AS (SELECT DISTINCT a AS vkey FROM und)",
+    ]
+    for i in range(1, iters + 1):
+        p = f"a{i - 1}"
+        ctes.append(
+            f"d{i} AS (SELECT u.a AS vkey, count(*) AS c FROM und u "
+            f"JOIN {p} x ON u.a = x.vkey JOIN {p} y ON u.b = y.vkey GROUP BY u.a)"
+        )
+        ctes.append(f"a{i} AS (SELECT vkey FROM d{i} WHERE c >= {k})")
+    ctes.append(
+        f"dfin AS (SELECT u.a AS vkey, count(*) AS c FROM und u "
+        f"JOIN a{iters} x ON u.a = x.vkey JOIN a{iters} y ON u.b = y.vkey GROUP BY u.a)"
+    )
+    return "WITH " + ",\n".join(ctes) + "\nSELECT vkey, c AS core_deg FROM dfin"
