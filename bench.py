@@ -141,7 +141,7 @@ def main() -> None:
 
         tri = timed("triangles", lambda: count_triangles(g))
         extra["triangles_total"] = tri.total
-        tri.triangles.unpersist()
+        tri.unpersist()
         ctx.unpersist()
 
         # -- relational coverage on the driver tables ----------------------

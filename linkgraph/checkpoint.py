@@ -137,13 +137,14 @@ class CheckpointManager:
         with open(p) as f:
             return json.load(f)
 
-    def latest_complete(self) -> tuple[int, dict] | None:
+    def latest_complete(self, max_t: int | None = None) -> tuple[int, dict] | None:
         """Newest superstep whose manifest chain validates (resume point).
 
         A step counts as complete iff: manifest exists, fingerprint matches,
         parquet _SUCCESS marker exists, and stored per-partition row counts
         sum to the parquet row count.  Walks downward so a torn newest step
-        falls back to its parent (= lineage chain)."""
+        falls back to its parent (= lineage chain).  ``max_t`` caps the
+        resume point (fixed-iteration runs must not resume past step k)."""
         if not os.path.isdir(self.algo_dir):
             return None
         steps = sorted(
@@ -151,6 +152,8 @@ class CheckpointManager:
             for d in os.listdir(self.algo_dir)
             if d.startswith("step_") and not d.endswith("._tmp")
         )
+        if max_t is not None:
+            steps = [t for t in steps if t <= max_t]
         for t in reversed(steps):
             m = self.manifest(t)
             if m is None or m.get("input_fingerprint") != self.fingerprint:

@@ -125,7 +125,7 @@ def engine_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = GraphTables(vertices=vertices, edges=edges, degrees=build_degrees(edges, vertices))
     res = count_triangles(g)
     out = spark.createDataFrame([(res.total,)], "n_triangles bigint")
-    res.triangles.unpersist()
+    res.unpersist()
     return out
 
 

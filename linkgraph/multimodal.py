@@ -7,32 +7,35 @@ is an Arrow-batched pass (``mapInPandas``) that never shuffles the payload
 — decode/feature-extract happen where the bytes already live, only the
 (tiny) extracted metadata ever moves.
 
-This sandbox has no media codecs (no PIL/ffmpeg) and the driver testdata
-has no real media bytes, so the payloads are synthesized DETERMINISTICALLY
-from ``documents.text`` (UTF-8 bytes as the blob) and the decode step is a
-STUB with the real codec behind an import-try: the Spark-side plumbing —
-binary schema, Arrow batch shapes, iterator-of-batches UDF, partition
-preservation, bounded frame explode — is real and oracle-checked, while
-``_decode_payload`` is the single clearly-marked seam where PIL/ffmpeg
-would plug in.
+The driver testdata has no real media bytes, so ``media_table`` synthesizes
+SPEC-COMPLIANT containers deterministically from ``documents.text``:
 
-Oracle story (the reason payloads are text-derived): DuckDB computes the
-same md5 over the same UTF-8 bytes, so even the Python-side decode row is a
-full rows+schema+hash gate row, not a rows-only one.
+- ``image/bmp``  — a valid 8-bit BMP (BITMAPFILEHEADER + BITMAPINFOHEADER +
+                   256-entry grayscale palette) whose single pixel row is the
+                   UTF-8 text bytes (rows 4-byte padded per spec).
+- ``audio/wav``  — a valid RIFF/WAVE file (PCM fmt chunk, 8-bit mono, data
+                   chunk = the text bytes, RIFF even-padding honoured).
+- ``video/avi``  — a valid RIFF/AVI skeleton (LIST hdrl → avih main header,
+                   LIST movi → one '00db' frame whose payload is the text).
 
-Ops:
-- ``media_table``     — documents -> (doc_id, mime, payload binary, n_bytes)
-- ``media_stats``     — per-mime payload accounting (pure built-ins)
-- ``media_decode``    — mapInPandas stub-decode: fingerprint + fake
-                        width/height/frame-count derived from the payload
-                        md5 (codec seam)
-- ``media_frames``    — bounded frame sampling for videos (sequence +
-                        explode, no UDF)
+``media_decode`` then REALLY decodes: it walks the BMP header fields, the
+RIFF chunk list (fmt /data), and the AVI LIST tree (avih/movi) byte-for-byte
+— width/height/frame-count/sample-rate come out of the binary structures,
+not out of a formula (the formulas live only in the synthesizer and the
+DuckDB oracle).  A corrupted header or a broken payload column fails the
+decode.  The content fingerprint is md5 over the DECODED media data (pixel
+row / PCM samples / frame bytes) = md5 of the text bytes, which is what
+keeps the DuckDB oracle a full rows+schema+hash gate.
+
+Compressed real-world formats (PNG/JPEG/MP4) still need a codec library;
+that seam is ``_HAVE_CODEC`` — absent in this container, the pure-Python
+container parsers above are the real, exercised path.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -42,32 +45,100 @@ from pyspark.sql import functions as F
 from .io import load_table
 
 # mime assignment is doc_id mod 3 — deterministic, oracle-mirrorable
-_MIMES = ("image/png", "audio/wav", "video/mp4")
+_MIMES = ("image/bmp", "audio/wav", "video/avi")
 
-try:  # the real-codec seam: absent in this container, stub path taken
+try:  # codec seam for COMPRESSED formats (PNG/JPEG/MP4); absent in sandbox
     from PIL import Image  # noqa: F401
 
     _HAVE_CODEC = True
 except ImportError:
     _HAVE_CODEC = False
 
+# deterministic synthesis parameters (mirrored in the oracle SQL)
+_WAV_RATES = 8  # sample_rate = 8000 + 1000 * (doc_id % 8)
+_AVI_USEC_PER_FRAME = 40_000  # 25 fps -> duration_ms = n_frames * 40
+
+_BMP_PALETTE = b"".join(bytes((i, i, i, 0)) for i in range(256))  # grayscale
+
+
+def _bmp_encode(data: bytes) -> bytes:
+    """Valid 8-bpp BMP: one pixel row = ``data`` (width=len, height=1)."""
+    n = len(data)
+    pad = (-n) % 4  # BMP rows are 4-byte aligned
+    row = data + b"\x00" * pad
+    off = 14 + 40 + len(_BMP_PALETTE)
+    file_header = b"BM" + struct.pack("<IHHI", off + len(row), 0, 0, off)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, n, 1, 1, 8, 0, len(row), 2835, 2835, 256, 0
+    )
+    return file_header + info_header + _BMP_PALETTE + row
+
+
+def _riff_chunk(tag: bytes, body: bytes) -> bytes:
+    """RIFF chunk: tag + LE size + body + even-pad byte (per spec)."""
+    return tag + struct.pack("<I", len(body)) + body + b"\x00" * (len(body) % 2)
+
+
+def _wav_encode(data: bytes, sample_rate: int) -> bytes:
+    """Valid RIFF/WAVE, PCM 8-bit mono, data chunk = ``data``."""
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate, 1, 8)
+    body = b"WAVE" + _riff_chunk(b"fmt ", fmt) + _riff_chunk(b"data", data)
+    return _riff_chunk(b"RIFF", body)
+
+
+def _avi_encode(data: bytes, width: int, height: int, n_frames: int) -> bytes:
+    """Valid RIFF/AVI skeleton: hdrl(avih) + movi(one 00db frame)."""
+    avih = struct.pack(
+        "<14I", _AVI_USEC_PER_FRAME, 0, 0, 0, n_frames, 0, 1, 0,
+        width, height, 0, 0, 0, 0,
+    )
+    hdrl = _riff_chunk(b"LIST", b"hdrl" + _riff_chunk(b"avih", avih))
+    movi = _riff_chunk(b"LIST", b"movi" + _riff_chunk(b"00db", data))
+    return _riff_chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def _synth_payload(doc_id: int, text: str) -> tuple[str, bytes]:
+    """Deterministic (mime, container bytes) for a document."""
+    data = text.encode("utf-8")
+    r = doc_id % 3
+    if r == 0:
+        return _MIMES[0], _bmp_encode(data)
+    if r == 1:
+        return _MIMES[1], _wav_encode(data, 8000 + 1000 * (doc_id % _WAV_RATES))
+    return _MIMES[2], _avi_encode(
+        data, 160 + 8 * (doc_id % 80), 120 + 8 * (doc_id % 60), 1 + doc_id % 120
+    )
+
 
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> opaque binary payloads with typed metadata.
 
-    Payload bytes are the UTF-8 encoding of ``text`` (deterministic fake
-    media); at production scale this column is the raw image/audio/video
-    blob read from parquet binary columns and everything downstream is
-    unchanged."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.element_at(
-            F.array(*[F.lit(m) for m in _MIMES]),
-            (F.pmod("doc_id", F.lit(3)) + 1).cast("int"),
-        ).alias("mime"),
-        F.encode("text", "UTF-8").alias("payload"),
-        F.length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
+    Payloads are real containers (see module docstring) built in an
+    Arrow-batched pass; at production scale this column is the raw
+    image/audio/video blob read from parquet binary columns and everything
+    downstream is unchanged.  (Variable-length blob synthesis/decode is
+    inherently per-element work — the canonical mapInPandas case; no blob
+    ever moves through a shuffle.)"""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pairs = [
+                _synth_payload(int(d), t)
+                for d, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            payloads = [p for _, p in pairs]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "mime": [m for m, _ in pairs],
+                    "payload": payloads,
+                    "n_bytes": pd.Series([len(p) for p in payloads], dtype="int64"),
+                }
+            )
+
+    return docs.mapInPandas(
+        synth, "doc_id long, mime string, payload binary, n_bytes long"
     )
 
 
@@ -84,35 +155,119 @@ def media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_MEDIA_STATS = """
+# container size formulas (synthesizer ground truth, for the oracle):
+#   bmp: 14 + 40 + 1024 header/palette + n + row-pad(4)      = 1078 + n + pad4
+#   wav: 12 RIFF + 24 fmt + 8 data hdr + n + even-pad        = 44 + n + n%2
+#   avi: 12 RIFF + 8+4+8+56 hdrl + 8+4+8 movi + n + even-pad = 108 + n + n%2
+_SQL_MEDIA_BASE = """
 WITH m AS (
-  SELECT doc_id,
-         CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
-              ELSE 'video/mp4' END AS mime,
-         octet_length(encode(text)) AS n_bytes
+  SELECT doc_id, doc_id % 3 AS r, octet_length(encode(text)) AS n,
+         md5(text) AS fp
   FROM documents
+), sized AS (
+  SELECT doc_id, r, n, fp,
+         CASE r WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'audio/wav'
+                ELSE 'video/avi' END AS mime,
+         CAST(CASE r WHEN 0 THEN 1078 + n + (4 - n % 4) % 4
+                     WHEN 1 THEN 44 + n + n % 2
+                     ELSE 108 + n + n % 2 END AS BIGINT) AS n_bytes
+  FROM m
 )
+"""
+
+SQL_MEDIA_STATS = _SQL_MEDIA_BASE + """
 SELECT mime, count(*) AS n_docs, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
        round(avg(n_bytes), 3) AS avg_bytes
-FROM m GROUP BY mime
+FROM sized GROUP BY mime
 """
 
 
-def _decode_payload(payload: bytes, mime: str) -> tuple[str, int, int, int]:
-    """STUB decode — the codec seam.
+def _parse_bmp(payload: bytes) -> tuple[str, int, int, int, int, int]:
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pixel_off,) = struct.unpack_from("<I", payload, 10)
+    width, height = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    if bpp != 8 or height != 1:
+        raise ValueError(f"unexpected BMP geometry bpp={bpp} h={height}")
+    pixels = payload[pixel_off : pixel_off + width]  # row minus 4-byte pad
+    return hashlib.md5(pixels).hexdigest(), width, height, 1, 0, 0
 
-    A real deployment decodes here (PIL for images, ffmpeg/soundfile for
-    audio/video) inside the same Arrow batch loop.  The stub derives
-    deterministic fake dimensions from the payload md5 so the output is
-    (a) stable, (b) reproducible by the DuckDB oracle, (c) actually a
-    function of the bytes — a broken payload column changes the result."""
-    if _HAVE_CODEC and mime == "image/png":  # pragma: no cover (no PIL here)
-        raise NotImplementedError("real codec path exercised only outside sandbox")
-    fp = hashlib.md5(payload).hexdigest()
-    width = 16 + int(fp[0:4], 16) % 2048
-    height = 16 + int(fp[4:8], 16) % 2048
-    n_frames = 1 if mime == "image/png" else 1 + int(fp[8:12], 16) % 120
-    return fp, width, height, n_frames
+
+def _riff_walk(body: bytes) -> Iterator[tuple[bytes, bytes]]:
+    """Yield (tag, chunk_body) pairs of a RIFF chunk sequence."""
+    i = 0
+    while i + 8 <= len(body):
+        tag = body[i : i + 4]
+        (size,) = struct.unpack_from("<I", body, i + 4)
+        yield tag, body[i + 8 : i + 8 + size]
+        i += 8 + size + (size % 2)  # even-pad per spec
+
+
+def _parse_wav(payload: bytes) -> tuple[str, int, int, int, int, int]:
+    tag, body = next(_riff_walk(payload))
+    if tag != b"RIFF" or body[:4] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    rate, data = None, None
+    for ctag, cbody in _riff_walk(body[4:]):
+        if ctag == b"fmt ":
+            (rate,) = struct.unpack_from("<I", cbody, 4)
+        elif ctag == b"data":
+            data = cbody
+    if rate is None or data is None:
+        raise ValueError("WAVE missing fmt /data chunk")
+    duration_ms = len(data) * 1000 // rate  # 8-bit mono: 1 byte per sample
+    return hashlib.md5(data).hexdigest(), 0, 0, 0, rate, duration_ms
+
+
+def _parse_avi(payload: bytes) -> tuple[str, int, int, int, int, int]:
+    tag, body = next(_riff_walk(payload))
+    if tag != b"RIFF" or body[:4] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    meta, frame = None, None
+    for ctag, cbody in _riff_walk(body[4:]):
+        if ctag != b"LIST":
+            continue
+        if cbody[:4] == b"hdrl":
+            for htag, hbody in _riff_walk(cbody[4:]):
+                if htag == b"avih":
+                    usec, frames, width, height = (
+                        struct.unpack_from("<I", hbody, 0)[0],
+                        struct.unpack_from("<I", hbody, 16)[0],
+                        struct.unpack_from("<I", hbody, 32)[0],
+                        struct.unpack_from("<I", hbody, 36)[0],
+                    )
+                    meta = (usec, frames, width, height)
+        elif cbody[:4] == b"movi":
+            for mtag, mbody in _riff_walk(cbody[4:]):
+                if mtag in (b"00db", b"00dc"):
+                    frame = mbody
+                    break
+    if meta is None or frame is None:
+        raise ValueError("AVI missing avih/movi")
+    usec, frames, width, height = meta
+    return (
+        hashlib.md5(frame).hexdigest(),
+        width,
+        height,
+        frames,
+        0,
+        frames * usec // 1000,
+    )
+
+
+_PARSERS = {"image/bmp": _parse_bmp, "audio/wav": _parse_wav, "video/avi": _parse_avi}
+
+
+def _decode_payload(payload: bytes, mime: str) -> tuple[str, int, int, int, int, int]:
+    """REAL decode of the supported containers (BMP/WAV/AVI headers walked
+    byte-for-byte); compressed formats are the ``_HAVE_CODEC`` seam."""
+    parser = _PARSERS.get(mime)
+    if parser is None:
+        if _HAVE_CODEC:  # pragma: no cover — no codec lib in this container
+            raise NotImplementedError("compressed-format decode needs PIL/ffmpeg")
+        raise ValueError(f"unsupported mime {mime!r}")
+    return parser(bytes(payload))
 
 
 def media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -120,7 +275,8 @@ def media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ``mapInPandas`` (iterator of pandas batches) — the payload column never
     shuffles; each task decodes its own partition's blobs and emits only
-    the small metadata frame."""
+    the small metadata frame.  width/height/n_frames/sample_rate are parsed
+    from the container bytes, ``fp`` is md5 over the decoded media data."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -137,32 +293,32 @@ def media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "width": pd.Series([t[1] for t in meta], dtype="int32"),
                     "height": pd.Series([t[2] for t in meta], dtype="int32"),
                     "n_frames": pd.Series([t[3] for t in meta], dtype="int32"),
+                    "sample_rate": pd.Series([t[4] for t in meta], dtype="int32"),
+                    "duration_ms": pd.Series([t[5] for t in meta], dtype="int64"),
                 }
             )
 
     return media_table(spark, sf_dir).mapInPandas(
         decode,
         "doc_id long, mime string, n_bytes long, fp string, "
-        "width int, height int, n_frames int",
+        "width int, height int, n_frames int, sample_rate int, duration_ms long",
     )
 
 
-SQL_MEDIA_DECODE = """
-WITH m AS (
-  SELECT doc_id,
-         CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
-              ELSE 'video/mp4' END AS mime,
-         octet_length(encode(text)) AS n_bytes,
-         md5(text) AS fp
-  FROM documents
-)
+SQL_MEDIA_DECODE = _SQL_MEDIA_BASE + """
 SELECT doc_id, mime, n_bytes, fp,
-       CAST(16 + CAST(('0x' || substr(fp, 1, 4)) AS INTEGER) % 2048 AS INTEGER) AS width,
-       CAST(16 + CAST(('0x' || substr(fp, 5, 4)) AS INTEGER) % 2048 AS INTEGER) AS height,
-       CAST(CASE WHEN mime = 'image/png' THEN 1
-                 ELSE 1 + CAST(('0x' || substr(fp, 9, 4)) AS INTEGER) % 120
-            END AS INTEGER) AS n_frames
-FROM m
+       CAST(CASE r WHEN 0 THEN n WHEN 1 THEN 0
+                   ELSE 160 + 8 * (doc_id % 80) END AS INTEGER) AS width,
+       CAST(CASE r WHEN 0 THEN 1 WHEN 1 THEN 0
+                   ELSE 120 + 8 * (doc_id % 60) END AS INTEGER) AS height,
+       CAST(CASE r WHEN 0 THEN 1 WHEN 1 THEN 0
+                   ELSE 1 + doc_id % 120 END AS INTEGER) AS n_frames,
+       CAST(CASE r WHEN 1 THEN 8000 + 1000 * (doc_id % 8)
+                   ELSE 0 END AS INTEGER) AS sample_rate,
+       CAST(CASE r WHEN 1 THEN (n * 1000) // (8000 + 1000 * (doc_id % 8))
+                   WHEN 2 THEN (1 + doc_id % 120) * 40
+                   ELSE 0 END AS BIGINT) AS duration_ms
+FROM sized
 """
 
 _FRAME_STEP = 7  # sample every 7th frame, capped — explode stays bounded
@@ -172,7 +328,7 @@ def media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded frame sampling for video payloads (no UDF: the frame-index
     explode is sequence + explode on the decoded metadata, so the payload
     itself is touched exactly once, in media_decode)."""
-    dec = media_decode(spark, sf_dir).where(F.col("mime") == "video/mp4")
+    dec = media_decode(spark, sf_dir).where(F.col("mime") == "video/avi")
     return dec.select(
         "doc_id",
         F.explode(
@@ -182,13 +338,9 @@ def media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_MEDIA_FRAMES = f"""
-WITH m AS (
-  SELECT doc_id, md5(text) AS fp
+WITH n AS (
+  SELECT doc_id, 1 + doc_id % 120 AS n_frames
   FROM documents WHERE doc_id % 3 = 2
-), n AS (
-  SELECT doc_id,
-         1 + CAST(('0x' || substr(fp, 9, 4)) AS INTEGER) % 120 AS n_frames
-  FROM m
 )
 SELECT doc_id, CAST(unnest(generate_series(0, n_frames - 1, {_FRAME_STEP})) AS BIGINT) AS frame_idx
 FROM n

@@ -115,11 +115,31 @@ class GraphContext:
             pre["n"] = graph.vertices.count()
 
         def _esum() -> None:
-            pre["esum"] = (
+            esum = (
                 graph.edges.groupBy("src", "dst")
                 .agg(F.sum("w").alias("w"))
                 .localCheckpoint()
             )
+            pre["esum"] = esum
+            # Per-src degree/weight off the materialized esum — ONE tiny
+            # (V_src rows) table shared by the hub split, the dangling base,
+            # and every nnz/max-degree statistic below; previously the
+            # build_degrees plan (2 groupBys + 2 joins over the raw edge
+            # cache) re-ran in both the split and the base thread.  out_deg
+            # here counts distinct dsts, i.e. the CSR row LENGTH — the
+            # quantity hub splitting actually guards.
+            dirdeg = (
+                esum.groupBy("src")
+                .agg(F.count(F.lit(1)).alias("out_deg"), F.sum("w").alias("out_w"))
+                .withColumnRenamed("src", "vid")
+                .localCheckpoint()
+            )
+            pre["dirdeg"] = dirdeg
+            row = dirdeg.agg(
+                F.max("out_deg").alias("mx"), F.sum("out_deg").alias("nnz")
+            ).collect()[0]
+            pre["max_out"] = int(row["mx"] or 0)
+            pre["nnz_total"] = int(row["nnz"] or 0)
 
         pre_errs: list[BaseException] = []
 
@@ -175,70 +195,96 @@ class GraphContext:
             hub_edges = hub_vids = None
             nnz_hub = 0
             pr_edges = esum
-            if hub_theta is not None:
-                non_hub, hub_e = split_hub_edges(
-                    esum, graph.degrees, _theta_eff(esum.count()), presummed=True
-                )
+            dirdeg = pre["dirdeg"]
+            theta = _theta_eff(pre["nnz_total"]) if hub_theta is not None else None
+            # Short-circuit: the split only exists for rows that can straggle
+            # a scatter task; when the max out-degree is under theta_eff the
+            # whole hub pipeline (split joins + 2 materializations + counts)
+            # is provably a no-op — skip it.  At bench/toy scale this is the
+            # common case (theta_eff floor 64k >> max degree).
+            if theta is not None and pre["max_out"] > theta:
+                non_hub, hub_e = split_hub_edges(esum, dirdeg, theta, presummed=True)
                 hub_edges = hub_e.repartition(P, "src", "dst").localCheckpoint()
-                nnz_hub = hub_edges.count()
-                if nnz_hub == 0:
-                    hub_edges = None
-                else:
-                    hub_vids = (
-                        hub_edges.select("src")
-                        .distinct()
-                        .withColumnRenamed("src", "vid")
-                        .localCheckpoint()
-                    )
+                # hub nnz = total CSR row length of the hub srcs (exact: esum
+                # has one row per (src, dst)) — a tiny dirdeg agg instead of
+                # a count over the materialized hub edges.
+                nnz_hub = int(
+                    dirdeg.where(F.col("out_deg") > theta)
+                    .agg(F.sum("out_deg"))
+                    .collect()[0][0]
+                )
+                hub_vids = (
+                    dirdeg.where(F.col("out_deg") > theta)
+                    .select("vid")
+                    .localCheckpoint()
+                )
                 pr_edges = non_hub
             blocks = build_csr_blocks(pr_edges, n, P, presummed=True).localCheckpoint()
             out["blocks"] = blocks
             out["hub_edges"], out["hub_vids"], out["nnz_hub"] = hub_edges, hub_vids, nnz_hub
-            out["nnz_d"] = int(blocks.agg(F.sum("nnz")).collect()[0][0] or 0)
+            out["nnz_d"] = pre["nnz_total"] - nnz_hub
 
         def _undirected() -> None:
             sym = symmetrize(esum)
             uhub_edges = uhub_vids = None
             nnz_uhub = 0
+            nnz_ub = None
             if hub_theta is not None:
-                # materialize once: consumed by the degree agg, the split,
-                # and the pack
+                # materialize once: consumed by the degree agg, the (rare)
+                # split, and the pack
                 sym = sym.localCheckpoint()
                 udeg = (
                     sym.groupBy("src")
                     .agg(F.count(F.lit(1)).alias("out_deg"), F.sum("w").alias("out_w"))
                     .withColumnRenamed("src", "vid")
                 )
-                non_hub_u, uhub_e = split_hub_edges(
-                    sym, udeg, _theta_eff(sym.count()), presummed=True
-                )
-                uhub_edges = (
-                    uhub_e.select("src", "dst").repartition(P, "src", "dst").localCheckpoint()
-                )
-                nnz_uhub = uhub_edges.count()
-                if nnz_uhub == 0:
-                    uhub_edges = None
-                else:
+                urow = udeg.agg(
+                    F.max("out_deg").alias("mx"), F.sum("out_deg").alias("nnz")
+                ).collect()[0]
+                umax, unnz = int(urow["mx"] or 0), int(urow["nnz"] or 0)
+                theta = _theta_eff(unnz)
+                if umax > theta:  # same short-circuit as the directed side
+                    udeg = udeg.localCheckpoint()  # referenced twice by the split
+                    non_hub_u, uhub_e = split_hub_edges(sym, udeg, theta, presummed=True)
+                    uhub_edges = (
+                        uhub_e.select("src", "dst").repartition(P, "src", "dst").localCheckpoint()
+                    )
+                    nnz_uhub = int(
+                        udeg.where(F.col("out_deg") > theta)
+                        .agg(F.sum("out_deg"))
+                        .collect()[0][0]
+                    )
                     uhub_vids = (
-                        uhub_edges.select("src")
-                        .distinct()
-                        .withColumnRenamed("src", "vid")
+                        udeg.where(F.col("out_deg") > theta)
+                        .select("vid")
                         .localCheckpoint()
                     )
-                sym = non_hub_u.select("src", "dst", "w")
+                    sym = non_hub_u.select("src", "dst", "w")
+                nnz_ub = unnz - nnz_uhub
             ublocks = build_csr_blocks(sym, n, P, presummed=True).localCheckpoint()
             out["ublocks"] = ublocks
             out["uhub_edges"], out["uhub_vids"], out["nnz_uhub"] = (
                 uhub_edges, uhub_vids, nnz_uhub,
             )
-            out["nnz_ub"] = int(ublocks.agg(F.sum("nnz")).collect()[0][0] or 0)
+            # hub_theta=None path has no degree scan to reuse — fall back to
+            # the block-nnz agg (tiny: P rows).
+            out["nnz_ub"] = (
+                nnz_ub
+                if nnz_ub is not None
+                else int(ublocks.agg(F.sum("nnz")).collect()[0][0] or 0)
+            )
 
         def _base() -> None:
+            # dangling ⇔ no out-edges ⇔ vid absent from the per-src degree
+            # table (identical to build_degrees' out_deg == 0, without
+            # re-running its two groupBys + two joins over the edge cache).
             out["base"] = (
-                graph.degrees.select(
+                graph.vertices.select("vid")
+                .join(pre["dirdeg"].select("vid", "out_deg"), "vid", "left")
+                .select(
                     "vid",
                     F.pmod(F.col("vid"), F.lit(P)).cast("int").alias("part_id"),
-                    (F.col("out_deg") == 0).alias("dangling"),
+                    F.col("out_deg").isNull().alias("dangling"),
                 )
                 .repartition(P, "part_id")
                 .localCheckpoint()
@@ -788,7 +834,12 @@ def _run_program_inner(
     t0 = 0
     state = None
     if ckpt is not None and resume:
-        latest = ckpt.latest_complete()
+        # With fixed_iters, a stale chain from a LONGER run with the same
+        # fingerprint may hold steps beyond k; resuming past k would skip the
+        # loop and return over-iterated state as the "exactly k" result, so
+        # resume points are capped at fixed_iters (t0 == k is fine: the
+        # checkpointed state IS the k-step answer).
+        latest = ckpt.latest_complete(max_t=fixed_iters)
         if latest is not None:
             t0 = latest[0]
             state = ckpt.read_state(t0)
@@ -810,86 +861,126 @@ def _run_program_inner(
     from pyspark.sql.functions import concat_ws, count, crc32, lit
     from pyspark.sql.functions import sum as fsum
 
-    writer: threading.Thread | None = None
+    class _CkptWriter:
+        """One durable write in flight, overlapped with the next superstep's
+        compute — but never silent: a failed ckpt.write (disk full, parquet
+        error) is captured and re-raised at the next submit()/join(), so a
+        broken durability surface aborts the run instead of reporting
+        success with a hole in the resume chain."""
+
+        def __init__(self) -> None:
+            self._thread: threading.Thread | None = None
+            self._err: BaseException | None = None
+
+        def submit(self, fn, *args, **kwargs) -> None:
+            self.join()  # re-raises any previous write failure
+
+            def run():
+                try:
+                    fn(*args, **kwargs)
+                except BaseException as e:  # noqa: BLE001 — re-raised in join
+                    self._err = e
+
+            self._thread = threading.Thread(target=run, daemon=True)
+            self._thread.start()
+
+        def wait(self) -> None:
+            """Join without raising (error-path cleanup: the in-flight write
+            finishes or fails before the superstep's own exception propagates;
+            any write error is kept and surfaced by a later join())."""
+            if self._thread is not None:
+                self._thread.join()
+                self._thread = None
+
+        def join(self) -> None:
+            self.wait()
+            if self._err is not None:
+                err, self._err = self._err, None
+                raise err
+
+    writer = _CkptWriter()
     last_iter = fixed_iters if fixed_iters is not None else max_iter
-    for t in range(t0 + 1, last_iter + 1):
-        tic = time.monotonic()
-        # persist + stats job FIRST, then checkpoint FROM the cache.  The
-        # order is load-bearing: LogicalRDD from localCheckpoint PRESERVES
-        # the origin plan's estimated statistics, and the cogroup stats
-        # visitor is a product over children sizeInBytes — checkpointing the
-        # raw cogroup plan makes each superstep's state inherit the product
-        # of the previous one (bit-length triples per superstep; by ~step 16
-        # Catalyst spins on million-bit BigInteger multiplies and then
-        # throws "BigInteger would overflow supported range").  Materializing
-        # the cache first makes InMemoryRelation report ACTUAL bytes, so the
-        # checkpointed state's stats stay small and bounded.
-        ns = program.superstep(ctx, state, carry).persist()
-        # Convergence stats AND the checkpoint's per-partition lineage
-        # (rows + checksum) in one cache-filling job: per-partition
-        # aggregates, reduced driver-side with the program's reducers
-        # (max/sum decompose).
-        part_rows = (
-            ns.groupBy("part_id")
-            .agg(
-                count(lit(1)).alias("_rows"),
-                fsum(crc32(concat_ws(",", *program.state_cols))).alias("_cksum"),
-                *program.stat_exprs(),
+    try:
+        for t in range(t0 + 1, last_iter + 1):
+            tic = time.monotonic()
+            # persist + stats job FIRST, then checkpoint FROM the cache.  The
+            # order is load-bearing: LogicalRDD from localCheckpoint PRESERVES
+            # the origin plan's estimated statistics, and the cogroup stats
+            # visitor is a product over children sizeInBytes — checkpointing the
+            # raw cogroup plan makes each superstep's state inherit the product
+            # of the previous one (bit-length triples per superstep; by ~step 16
+            # Catalyst spins on million-bit BigInteger multiplies and then
+            # throws "BigInteger would overflow supported range").  Materializing
+            # the cache first makes InMemoryRelation report ACTUAL bytes, so the
+            # checkpointed state's stats stay small and bounded.
+            ns = program.superstep(ctx, state, carry).persist()
+            # Convergence stats AND the checkpoint's per-partition lineage
+            # (rows + checksum) in one cache-filling job: per-partition
+            # aggregates, reduced driver-side with the program's reducers
+            # (max/sum decompose).
+            part_rows = (
+                ns.groupBy("part_id")
+                .agg(
+                    count(lit(1)).alias("_rows"),
+                    fsum(crc32(concat_ws(",", *program.state_cols))).alias("_cksum"),
+                    *program.stat_exprs(),
+                )
+                .collect()
             )
-            .collect()
-        )
-        stats: dict[str, Any] = {}
-        for name, reducer in program.stat_reducers.items():
-            vals = [r[name] for r in part_rows if r[name] is not None]
-            stats[name] = reducer(vals) if vals else None
-        stats.update({"wall_s": None, "edges_scattered": nnz})
-        per_partition = sorted(
-            (
-                {"part_id": r["part_id"], "rows": r["_rows"], "checksum": int(r["_cksum"] or 0)}
-                for r in part_rows
-            ),
-            key=lambda d: d["part_id"],
-        )
-        # Continuation state from the CACHE (cheap scan): repartition
-        # re-pins HashPartitioning(part_id) (cogroup output partitioning is
-        # unknown to Catalyst) so the next superstep's two cogroups reuse it
-        # with no extra exchange; localCheckpoint keeps the plan one
-        # superstep deep (op 54) with actual (bounded) stats — see above.
-        state = (
-            ns.select(*program.state_cols)
-            .repartition(ctx.P, "part_id")
-            .localCheckpoint()
-        )
-        ns.unpersist()
-        if ckpt is not None:
-            # The durable write is needed only for resume (op 53), never by
-            # the next superstep (which reads the checkpointed state) — so
-            # it runs on a writer thread OVERLAPPED with superstep t+1's
-            # compute.  It reads the checkpointed `state` (independent of
-            # the just-released ns cache).  One writer at a time keeps step
-            # dirs + metrics.jsonl ordered; a crash mid-write is already
-            # handled by the tmp-dir rename + manifest revalidation in
-            # CheckpointManager (resume falls back to the newest complete
-            # step).
-            if writer is not None:
-                writer.join()
-            writer = threading.Thread(
-                target=ckpt.write,
-                args=(t, state),
-                kwargs={
-                    "metrics": {k: stats[k] for k in stats if k != "wall_s"},
-                    "per_partition": per_partition,
-                },
-                daemon=True,
+            stats: dict[str, Any] = {}
+            for name, reducer in program.stat_reducers.items():
+                vals = [r[name] for r in part_rows if r[name] is not None]
+                stats[name] = reducer(vals) if vals else None
+            stats.update({"wall_s": None, "edges_scattered": nnz})
+            per_partition = sorted(
+                (
+                    {"part_id": r["part_id"], "rows": r["_rows"], "checksum": int(r["_cksum"] or 0)}
+                    for r in part_rows
+                ),
+                key=lambda d: d["part_id"],
             )
-            writer.start()
-        stats["wall_s"] = time.monotonic() - tic
-        stats["superstep"] = t
-        history.append(stats)
-        carry = stats
-        if fixed_iters is None and program.done(stats):
-            converged = True
-            break
-    if writer is not None:
-        writer.join()
+            # Continuation state from the CACHE (cheap scan): repartition
+            # re-pins HashPartitioning(part_id) (cogroup output partitioning is
+            # unknown to Catalyst) so the next superstep's two cogroups reuse it
+            # with no extra exchange; localCheckpoint keeps the plan one
+            # superstep deep (op 54) with actual (bounded) stats — see above.
+            state = (
+                ns.select(*program.state_cols)
+                .repartition(ctx.P, "part_id")
+                .localCheckpoint()
+            )
+            ns.unpersist()
+            if ckpt is not None:
+                # The durable write is needed only for resume (op 53), never by
+                # the next superstep (which reads the checkpointed state) — so
+                # it runs on a writer thread OVERLAPPED with superstep t+1's
+                # compute.  It reads the checkpointed `state` (independent of
+                # the just-released ns cache).  One writer at a time keeps step
+                # dirs + metrics.jsonl ordered (submit() joins the previous
+                # write and re-raises its failure); a crash mid-write is
+                # already handled by the tmp-dir rename + manifest
+                # revalidation in CheckpointManager (resume falls back to the
+                # newest complete step).
+                writer.submit(
+                    ckpt.write,
+                    t,
+                    state,
+                    metrics={k: stats[k] for k in stats if k != "wall_s"},
+                    per_partition=per_partition,
+                )
+            stats["wall_s"] = time.monotonic() - tic
+            stats["superstep"] = t
+            history.append(stats)
+            carry = stats
+            if fixed_iters is None and program.done(stats):
+                converged = True
+                break
+    except BaseException:
+        # A failing superstep must not leave the write thread dangling (the
+        # old code skipped the final join on the error path, so interpreter
+        # exit could kill the daemon mid-write).  Join it — without masking
+        # the propagating superstep error — then unwind.
+        writer.wait()
+        raise
+    writer.join()  # surface any failure of the final durable write
     return RunResult(state, t, converged, history, resumed_from=t0)

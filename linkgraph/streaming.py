@@ -108,10 +108,10 @@ def streaming_edge_keys(transcripts: DataFrame) -> DataFrame:
             dst.append(actors.iloc[0])
             et.append(TURN)
         a = actors.to_numpy()
-        for i in range(len(a) - 1):
-            src.append(a[i])
-            dst.append(a[i + 1])
-            et.append(TURN)
+        # consecutive pairs, vectorized: (a[0],a[1]), (a[1],a[2]), ...
+        src.extend(a[:-1])
+        dst.extend(a[1:])
+        et.extend([TURN] * max(len(a) - 1, 0))
         mask = tools.notna()
         src.extend(actors[mask])
         dst.extend(tools[mask])

@@ -76,6 +76,42 @@ def test_ann_lsh_rerank_is_exact(spark, planted_dir):
     assert (merged["cos_sim_a"] == merged["cos_sim_e"]).all()
 
 
+@pytest.fixture(scope="module")
+def planted_dir_32(tmp_path_factory):
+    """Same planted layout at a DIFFERENT embedding width (32-d): guards the
+    r02 regression where the LSH path hardcoded dim=64 and silently
+    mis-hashed any other width."""
+    dim = 32
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((200, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    dups = base[:50] + 0.15 * rng.standard_normal((50, dim)) / np.sqrt(dim)
+    M = np.vstack([dups, base]).astype(np.float32)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(len(M), dtype=np.int64),
+            "embedding": list(M),
+            "label": np.zeros(len(M), dtype=np.int32),
+        }
+    )
+    d = tmp_path_factory.mktemp("planted32")
+    pdf.to_parquet(d / "embeddings.parquet")
+    return str(d)
+
+
+def test_ann_lsh_works_on_32d(spark, planted_dir_32):
+    nq = 30
+    exact = ann_topk_cosine(spark, planted_dir_32).where(f"q_id < {nq}").toPandas()
+    approx = ann_lsh_topk(spark, planted_dir_32, k=1, n_queries=nq).toPandas()
+    top1 = exact[exact["rk"] == 1][["q_id", "vec_id"]]
+    got = approx[approx["rk"] == 1][["q_id", "vec_id"]]
+    merged = top1.merge(got, on="q_id", suffixes=("_e", "_a"))
+    hit = (merged["vec_id_e"] == merged["vec_id_a"]).mean()
+    assert hit >= 0.8, f"top-1 recall {hit:.2f} on 32-d planted duplicates"
+    # planted truth at 32-d: query i's nearest neighbour is i + 50
+    assert (top1["vec_id"] == top1["q_id"] + 50).mean() == 1.0
+
+
 def test_emb_near_dups_lsh_vs_exact(spark, planted_dir):
     tau = 0.9
     exact = emb_near_dups_exact(spark, planted_dir, tau=tau).toPandas()

@@ -1,10 +1,19 @@
-"""Multimodal binary-column plumbing (linkgraph/multimodal.py): opaque
-payload schema, Arrow-batched stub decode, bounded frame sampling."""
+"""Multimodal binary-column ops (linkgraph/multimodal.py): opaque payload
+schema, REAL pure-Python container decode (BMP/WAV/AVI), bounded frame
+sampling.  Decode results are checked against the synthesis FORMULAS and
+md5-of-text — independent ground truth, not the parser itself."""
 
 import hashlib
+import struct
 
+import pytest
+
+from linkgraph.io import load_table
 from linkgraph.multimodal import (
     _FRAME_STEP,
+    _parse_avi,
+    _parse_bmp,
+    _parse_wav,
     media_decode,
     media_frames,
     media_table,
@@ -12,8 +21,10 @@ from linkgraph.multimodal import (
 
 SF = "/root/testdata/sf0.001"
 
+_MAGIC = {"image/bmp": b"BM", "audio/wav": b"RIFF", "video/avi": b"RIFF"}
 
-def test_media_table_schema_and_bytes(spark):
+
+def test_media_table_schema_and_container_magic(spark):
     m = media_table(spark, SF)
     assert dict(m.dtypes) == {
         "doc_id": "bigint",
@@ -21,27 +32,47 @@ def test_media_table_schema_and_bytes(spark):
         "payload": "binary",
         "n_bytes": "bigint",
     }
-    rows = m.limit(50).collect()
+    rows = m.limit(60).collect()
     assert rows
     for r in rows:
-        assert isinstance(r["payload"], (bytes, bytearray))
-        assert len(r["payload"]) == r["n_bytes"]
-        assert r["mime"] == ("image/png", "audio/wav", "video/mp4")[r["doc_id"] % 3]
+        p = bytes(r["payload"])
+        assert len(p) == r["n_bytes"]
+        mime = ("image/bmp", "audio/wav", "video/avi")[r["doc_id"] % 3]
+        assert r["mime"] == mime
+        assert p.startswith(_MAGIC[mime])
+        if mime == "audio/wav":
+            assert p[8:12] == b"WAVE"
+        if mime == "video/avi":
+            assert p[8:12] == b"AVI "
 
 
-def test_media_decode_matches_local_codec_stub(spark):
-    payloads = {r["doc_id"]: bytes(r["payload"]) for r in media_table(spark, SF).collect()}
+def test_media_decode_roundtrips_real_headers(spark):
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    }
     dec = {r["doc_id"]: r.asDict() for r in media_decode(spark, SF).collect()}
-    assert dec.keys() == payloads.keys()
+    assert dec.keys() == texts.keys()
     for doc_id, row in dec.items():
-        fp = hashlib.md5(payloads[doc_id]).hexdigest()
-        assert row["fp"] == fp
-        assert row["width"] == 16 + int(fp[0:4], 16) % 2048
-        assert row["height"] == 16 + int(fp[4:8], 16) % 2048
-        if row["mime"] == "image/png":
-            assert row["n_frames"] == 1
-        else:
-            assert row["n_frames"] == 1 + int(fp[8:12], 16) % 120
+        data = texts[doc_id].encode("utf-8")
+        n = len(data)
+        # fp is md5 over the DECODED media data (pixels/samples/frame)
+        assert row["fp"] == hashlib.md5(data).hexdigest()
+        r = doc_id % 3
+        if r == 0:  # BMP: width = byte count, single row
+            assert (row["width"], row["height"], row["n_frames"]) == (n, 1, 1)
+            assert row["n_bytes"] == 1078 + n + (-n) % 4
+        elif r == 1:  # WAV: rate + duration from the fmt/data chunks
+            rate = 8000 + 1000 * (doc_id % 8)
+            assert row["sample_rate"] == rate
+            assert row["duration_ms"] == n * 1000 // rate
+            assert row["n_bytes"] == 44 + n + n % 2
+        else:  # AVI: avih geometry + frame count
+            assert row["width"] == 160 + 8 * (doc_id % 80)
+            assert row["height"] == 120 + 8 * (doc_id % 60)
+            assert row["n_frames"] == 1 + doc_id % 120
+            assert row["duration_ms"] == (1 + doc_id % 120) * 40
+            assert row["n_bytes"] == 108 + n + n % 2
 
 
 def test_media_frames_bounded_and_video_only(spark):
@@ -53,5 +84,14 @@ def test_media_frames_bounded_and_video_only(spark):
     assert by_doc, "sf0.001 must contain at least one video-mime doc"
     for doc_id, idxs in by_doc.items():
         meta = dec[doc_id]
-        assert meta["mime"] == "video/mp4"
+        assert meta["mime"] == "video/avi"
         assert sorted(idxs) == list(range(0, meta["n_frames"], _FRAME_STEP))
+
+
+def test_decode_rejects_corrupt_containers():
+    with pytest.raises(ValueError):
+        _parse_bmp(b"XX" + b"\x00" * 60)
+    with pytest.raises(ValueError):
+        _parse_wav(b"RIFF\x04\x00\x00\x00JUNK")
+    with pytest.raises((ValueError, StopIteration)):
+        _parse_avi(b"notariff")

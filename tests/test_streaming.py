@@ -78,3 +78,75 @@ def test_streaming_counts_equal_batch_derivation(spark, landing_dirs):
         .collect()
     }
     assert got == want
+
+
+def _edge_counts_oracle(t):
+    return {
+        (r["src_key"], r["dst_key"], r["etype"]): float(r["w"])
+        for r in edge_keys(t)
+        .groupBy("src_key", "dst_key", "etype")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        .collect()
+    }
+
+
+def test_streaming_resume_from_checkpoint(spark, landing_dirs):
+    """Kill/restart twin of the batch resume property (streaming.py's
+    resumability claim): drain half the landing files, let the query
+    terminate, land the rest, restart from the SAME state-store checkpoint.
+    The per-conversation pairing state AND the running counts must survive
+    the restart — final counts equal the batch derivation, including the
+    consecutive-turn pair that straddles the stop boundary."""
+    import time as _time
+
+    in_dir, ck_dir = landing_dirs
+    t = synth_transcripts(spark, n_conversations=20, seed=7).orderBy(
+        "conv_id", "turn_idx"
+    )
+    pdf = t.toPandas()
+    n = len(pdf)
+    # cut INSIDE a conversation so the restart boundary splits it: the
+    # boundary pair can only come from state restored from the checkpoint.
+    cut = n // 2
+    while cut < n and pdf.iloc[cut - 1]["conv_id"] != pdf.iloc[cut]["conv_id"]:
+        cut += 1
+    assert cut < n
+    now = _time.time()
+
+    def land(chunk, name, mtime):
+        tmp = os.path.join(in_dir, f"_stage_{name}")
+        spark.createDataFrame(chunk).coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(
+            os.path.join(tmp, f_) for f_ in os.listdir(tmp) if f_.endswith(".parquet")
+        )
+        dst = os.path.join(in_dir, f"{name}.parquet")
+        shutil.copyfile(src, dst)
+        os.utime(dst, (mtime, mtime))
+        shutil.rmtree(tmp)
+
+    land(pdf.iloc[:cut], "part_0", now)
+    q1 = ingest_available_now(
+        spark, in_dir, ck_dir, query_name="t_resume_a", max_files_per_trigger=1
+    )
+    assert not q1.isActive  # availableNow drained and terminated ("killed")
+    partial = {
+        (r["src_key"], r["dst_key"], r["etype"]): r["w"]
+        for r in spark.table("t_resume_a").collect()
+    }
+    assert partial == _edge_counts_oracle(
+        spark.createDataFrame(pdf.iloc[:cut])
+    ), "pre-restart counts must match the batch derivation of the first half"
+
+    land(pdf.iloc[cut:], "part_1", now + 60)
+    q2 = ingest_available_now(
+        spark, in_dir, ck_dir, query_name="t_resume_b", max_files_per_trigger=1
+    )
+    assert not q2.isActive
+    got = {
+        (r["src_key"], r["dst_key"], r["etype"]): r["w"]
+        for r in spark.table("t_resume_b").collect()
+    }
+    assert got == _edge_counts_oracle(t)
+    # the restart really did new work (file-source log skipped part_0,
+    # processed part_1) and the totals grew past the pre-restart table
+    assert sum(got.values()) > sum(partial.values())

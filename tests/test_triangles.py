@@ -18,7 +18,7 @@ def test_golden_totals(spark, name, total):
     g = build_graph(micro_transcripts(spark, name))
     res = count_triangles(g)
     assert res.total == total
-    res.triangles.unpersist()
+    res.unpersist()
 
 
 def test_synth_vs_references(spark):
@@ -40,4 +40,4 @@ def test_synth_vs_references(spark):
     assert res.total == sum(nx_tri.values()) // 3
     for v in range(n):
         assert got.get(v, 0) == nx_tri[v]
-    res.triangles.unpersist()
+    res.unpersist()
