@@ -19,13 +19,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .flagship import events_graph
-from .graph_oracles import labelprop_fixed_sql, pagerank_fixed_sql
+from .graph_oracles import (
+    bfs_fixed_sql,
+    labelprop_fixed_sql,
+    pagerank_fixed_sql,
+    ppr_fixed_sql,
+)
 from .io import load_table
 from .pregel import (
+    BFS_INF,
+    BFSProgram,
     ComponentsProgram,
     GraphContext,
     LabelPropProgram,
     PageRankProgram,
+    PersonalizedPageRankProgram,
     run_program,
 )
 from .triangles import count_triangles
@@ -178,10 +186,66 @@ def engine_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_ENGINE_LABELPROP = labelprop_fixed_sql(_LPA_STEPS)
 
+_BFS_STEPS = 6
+
+
+def engine_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSR-path BFS hop distance, FIXED 6 supersteps from the min-vkey
+    vertex on the events graph's undirected simple view; output
+    (vkey, dist) for reached vertices — hash-checked against the
+    unrolled-CTE oracle (graph_oracles.bfs_fixed_sql).  vid 0 == min vkey
+    under flagship.events_graph's sorted assignment."""
+    g, ctx = _events_ctx(spark, sf_dir)
+    try:
+        src = spark.createDataFrame([(0,)], "vid long")
+        res = run_program(ctx, BFSProgram(src), fixed_iters=_BFS_STEPS)
+        return (
+            res.state.where(F.col("dist") < F.lit(int(BFS_INF)))
+            .join(g.vertices.select("vid", "vkey"), "vid")
+            .select("vkey", "dist")
+        )
+    finally:
+        ctx.unpersist()
+
+
+SQL_ENGINE_BFS = bfs_fixed_sql(_BFS_STEPS)
+
+
+def engine_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSR-path personalized PageRank, FIXED 5 supersteps, seeds = the
+    actor ('user:*') vertices; top-20 by rounded rank — hash-checked
+    against graph_oracles.ppr_fixed_sql."""
+    g, ctx = _events_ctx(spark, sf_dir)
+    try:
+        seeds = g.vertices.where(F.col("vtype") == "actor").select("vid")
+        res = run_program(
+            ctx, PersonalizedPageRankProgram(seeds, tol=0.0), fixed_iters=_PR_STEPS
+        )
+        return (
+            res.state.join(g.vertices.select("vid", "vkey"), "vid")
+            .select("vkey", F.round("rank", 6).alias("rank"))
+            .orderBy(F.desc("rank"), "vkey")
+            .limit(20)
+        )
+    finally:
+        ctx.unpersist()
+
+
+SQL_ENGINE_PPR = ppr_fixed_sql(_PR_STEPS, limit=20)
+
 
 def registry():
-    from .graph_oracles import kcore_fixed_sql
+    from .graph_oracles import hits_fixed_sql, kcore_fixed_sql
+    from .hits import engine_hits
     from .kcore import engine_kcore
+    from .linkpred import (
+        SQL_CLUSTERING_COEFF,
+        SQL_DEGREE_HIST,
+        SQL_JACCARD_PAIRS,
+        q_clustering_coeff,
+        q_degree_hist,
+        q_jaccard_pairs,
+    )
     from .relational import SQL_TRIANGLE_COUNT
 
     return {
@@ -190,4 +254,10 @@ def registry():
         "engine_pagerank": (engine_pagerank, SQL_ENGINE_PAGERANK),
         "engine_labelprop": (engine_labelprop, SQL_ENGINE_LABELPROP),
         "engine_kcore": (engine_kcore, kcore_fixed_sql(3, 8)),
+        "engine_bfs": (engine_bfs, SQL_ENGINE_BFS),
+        "engine_ppr": (engine_ppr, SQL_ENGINE_PPR),
+        "engine_hits": (engine_hits, hits_fixed_sql(5, 20)),
+        "clustering_coeff": (q_clustering_coeff, SQL_CLUSTERING_COEFF),
+        "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
+        "degree_hist": (q_degree_hist, SQL_DEGREE_HIST),
     }

@@ -126,6 +126,118 @@ def labelprop_fixed_sql(k: int) -> str:
     )
 
 
+def bfs_fixed_sql(k: int) -> str:
+    """Unrolled k-superstep multi-source-capable BFS (source = min vkey) over
+    the undirected simple events graph; output (vkey, dist) for reached
+    vertices — mirrors pregel.BFSProgram run with fixed_iters=k."""
+    ctes = [
+        _GRAPH_CTES,
+        "und AS (SELECT DISTINCT a, b FROM ("
+        "SELECT s AS a, t AS b FROM ek WHERE s <> t "
+        "UNION ALL SELECT t AS a, s AS b FROM ek WHERE s <> t))",
+        "d0 AS (SELECT vkey, CASE WHEN vkey = (SELECT min(vkey) FROM v) "
+        "THEN 0 ELSE NULL END AS dist FROM v)",
+    ]
+    for i in range(1, k + 1):
+        p = f"d{i - 1}"
+        ctes.append(
+            f"m{i} AS (SELECT u.a AS vkey, min(p.dist) + 1 AS nd "
+            f"FROM und u JOIN {p} p ON p.vkey = u.b "
+            f"WHERE p.dist IS NOT NULL GROUP BY u.a)"
+        )
+        ctes.append(
+            f"d{i} AS (SELECT p.vkey, CASE "
+            f"WHEN p.dist IS NULL THEN m.nd "
+            f"WHEN m.nd IS NULL THEN p.dist "
+            f"ELSE least(p.dist, m.nd) END AS dist "
+            f"FROM {p} p LEFT JOIN m{i} m USING (vkey))"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT vkey, CAST(dist AS BIGINT) AS dist FROM d{k} WHERE dist IS NOT NULL"
+    )
+
+
+def ppr_fixed_sql(k: int, limit: int, d: float = 0.85) -> str:
+    """Unrolled k-superstep personalized PageRank, seeds = actor vertices
+    (vkey LIKE 'user:%'), teleport + dangling mass to the seed distribution;
+    top-``limit`` by rounded rank — mirrors pregel.PersonalizedPageRankProgram."""
+    ctes = [
+        _GRAPH_CTES,
+        "outw AS (SELECT s, sum(w) AS out_w FROM e GROUP BY s)",
+        "coeff AS (SELECT e.s, e.t, e.w / o.out_w AS c FROM e JOIN outw o USING (s))",
+        "dang AS (SELECT v.vkey FROM v LEFT JOIN outw o ON o.s = v.vkey WHERE o.s IS NULL)",
+        "ns AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM v WHERE vkey LIKE 'user:%')",
+        "sw AS (SELECT vkey, CASE WHEN vkey LIKE 'user:%' "
+        "THEN CAST(1.0 AS DOUBLE) / (SELECT k FROM ns) ELSE CAST(0.0 AS DOUBLE) END AS s "
+        "FROM v)",
+        "r0 AS (SELECT vkey, s AS r FROM sw)",
+    ]
+    dd = f"CAST({d!r} AS DOUBLE)"
+    for i in range(1, k + 1):
+        p = f"r{i - 1}"
+        ctes.append(
+            f"d{i} AS (SELECT coalesce(sum(r.r), 0.0) AS dm FROM {p} r JOIN dang USING (vkey))"
+        )
+        ctes.append(
+            f"m{i} AS (SELECT c.t AS vkey, sum(p.r * c.c) AS ms "
+            f"FROM coeff c JOIN {p} p ON p.vkey = c.s GROUP BY c.t)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT v.vkey, (CAST(1.0 AS DOUBLE) - {dd}) * sw.s "
+            f"+ {dd} * (coalesce(m.ms, 0.0) + (SELECT dm FROM d{i}) * sw.s) AS r "
+            f"FROM v JOIN sw USING (vkey) LEFT JOIN m{i} m USING (vkey))"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT v.vkey, round(r.r, 6) AS rank\nFROM r{k} r JOIN v USING (vkey)"
+        + f"\nORDER BY round(r.r, 6) DESC, v.vkey\nLIMIT {limit}"
+    )
+
+
+def hits_fixed_sql(k: int, limit: int) -> str:
+    """Unrolled k-iteration HITS (hubs & authorities, L1-normalized each
+    half-step) over the DISTINCT directed simple events edges; top-``limit``
+    by rounded authority — mirrors hits.engine_hits exactly (same update
+    order: authorities from h_{t-1}, normalize, hubs from normalized a_t,
+    normalize)."""
+    # Each CTE references its predecessor exactly ONCE (the L1 normalizer is
+    # a ``sum(..) OVER ()`` window, not a scalar subquery): a second reference
+    # per level makes CTE inlining re-expand the whole upstream chain, i.e.
+    # O(2^k) scans of the events parquet — DuckDB dies on file handles.
+    ctes = [
+        _GRAPH_CTES,
+        "ed AS (SELECT DISTINCT s, t FROM e)",
+        "h0 AS (SELECT vkey, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS h FROM v)",
+    ]
+    for i in range(1, k + 1):
+        p = f"h{i - 1}"
+        ctes.append(
+            f"ar{i} AS (SELECT ed.t AS vkey, sum(p.h) AS a "
+            f"FROM ed JOIN {p} p ON p.vkey = ed.s GROUP BY ed.t)"
+        )
+        ctes.append(
+            f"a{i} AS (SELECT v.vkey, "
+            f"coalesce(r.a, 0.0) / sum(coalesce(r.a, 0.0)) OVER () AS a "
+            f"FROM v LEFT JOIN ar{i} r USING (vkey))"
+        )
+        ctes.append(
+            f"hr{i} AS (SELECT ed.s AS vkey, sum(a.a) AS h "
+            f"FROM ed JOIN a{i} a ON a.vkey = ed.t GROUP BY ed.s)"
+        )
+        ctes.append(
+            f"h{i} AS (SELECT v.vkey, "
+            f"coalesce(r.h, 0.0) / sum(coalesce(r.h, 0.0)) OVER () AS h "
+            f"FROM v LEFT JOIN hr{i} r USING (vkey))"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT a.vkey, round(a.a, 6) AS authority, round(h.h, 6) AS hub"
+        + f"\nFROM a{k} a JOIN h{k} h USING (vkey)"
+        + f"\nORDER BY round(a.a, 6) DESC, a.vkey\nLIMIT {limit}"
+    )
+
+
 def kcore_fixed_sql(k: int, iters: int) -> str:
     """Unrolled ``iters``-peel k-core over the events graph's undirected
     simple view; output (vkey, core_deg) with core_deg the induced degree

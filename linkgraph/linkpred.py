@@ -1,0 +1,329 @@
+"""Local structure analytics: clustering coefficient, common-neighbor /
+Jaccard link prediction, degree distribution (SURVEY.md §2.10 family).
+
+All three are classic link-graph primitives (Watts-Strogatz clustering,
+Liben-Nowell/Kleinberg link prediction) expressed as pure Catalyst plans —
+equi-joins + hash aggregates, no Python in the loop.
+
+Scale notes (100 TB posture):
+- clustering_coefficient reuses the degree-ORIENTED triangle enumeration
+  (triangles.py): wedge fan-out is bounded by the low endpoint's degree, so
+  hubs generate no wedges and the join is skew-safe.
+- jaccard_pairs enumerates wedges through shared neighbors — Σ_n deg(n)²
+  grows quadratically at super-hubs, the known cost of common-neighbor
+  link prediction.  ``max_deg`` excludes hub intermediaries from candidate
+  generation (the standard mitigation: a neighbor shared with everyone
+  carries no signal); at production scale set it ~p99 degree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .derive import GraphTables, undirected_simple_edges
+from .triangles import count_triangles
+
+
+def clustering_coefficients(graph: GraphTables) -> DataFrame:
+    """Per-vertex local clustering coefficient over the undirected simple
+    view: lcc(v) = 2*tri(v) / (deg(v)*(deg(v)-1)); 0 where deg < 2.
+    Returns (vid, lcc) for every vertex of the graph."""
+    und = undirected_simple_edges(graph.edges)
+    deg = (
+        und.select(F.col("u").alias("vid"))
+        .unionByName(und.select(F.col("v").alias("vid")))
+        .groupBy("vid")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    tri = count_triangles(graph)
+    try:
+        out = (
+            graph.vertices.select("vid")
+            .join(deg, "vid", "left")
+            .join(tri.per_vertex, "vid", "left")
+            .select(
+                "vid",
+                F.when(
+                    F.col("deg") >= 2,
+                    2.0 * F.coalesce("n_tri", F.lit(0))
+                    / (F.col("deg") * (F.col("deg") - 1)),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("lcc"),
+            )
+            .localCheckpoint()  # per_vertex cache is released on return
+        )
+    finally:
+        tri.unpersist()
+    return out
+
+
+def jaccard_pairs(graph: GraphTables, max_deg: int | None = None) -> DataFrame:
+    """Jaccard link-prediction scores for NON-adjacent vertex pairs with at
+    least one common neighbor: (p, q, common, jaccard) with p < q,
+    jaccard = |N(p)∩N(q)| / |N(p)∪N(q)| over the undirected simple view.
+
+    ``max_deg``: exclude intermediary vertices with degree > max_deg from
+    candidate generation (hub mitigation — see module docstring); degrees in
+    the Jaccard denominator always use the FULL graph."""
+    und = undirected_simple_edges(graph.edges).localCheckpoint()
+    adj = und.select(F.col("u").alias("v"), F.col("v").alias("nb")).unionByName(
+        und.select(F.col("v").alias("v"), F.col("u").alias("nb"))
+    )
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+
+    thru = adj
+    if max_deg is not None:
+        keep = deg.where(F.col("deg") <= max_deg).select(F.col("v").alias("nb"))
+        thru = adj.join(keep, "nb")
+
+    # wedges through a shared neighbor -> candidate pairs (p < q)
+    x = thru.select(F.col("nb"), F.col("v").alias("p"))
+    y = thru.select(F.col("nb"), F.col("v").alias("q"))
+    common = (
+        x.join(y, "nb")
+        .where(F.col("p") < F.col("q"))
+        .groupBy("p", "q")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    # drop pairs that are already edges (u < v matches p < q)
+    cand = common.join(
+        und.withColumnRenamed("u", "p").withColumnRenamed("v", "q"),
+        ["p", "q"],
+        "left_anti",
+    )
+    dp = deg.select(F.col("v").alias("p"), F.col("deg").alias("dp"))
+    dq = deg.select(F.col("v").alias("q"), F.col("deg").alias("dq"))
+    return (
+        cand.join(dp, "p")
+        .join(dq, "q")
+        .select(
+            "p",
+            "q",
+            "common",
+            (F.col("common") / (F.col("dp") + F.col("dq") - F.col("common"))).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+def degree_histogram(graph: GraphTables) -> DataFrame:
+    """Out-degree distribution over the DISTINCT directed simple edge set:
+    (out_deg, n_vertices), zero-out-degree vertices included."""
+    ed = graph.edges.select("src", "dst").distinct()
+    deg = ed.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    return (
+        graph.vertices.select("vid")
+        .join(deg.withColumnRenamed("src", "vid"), "vid", "left")
+        .select(F.coalesce("out_deg", F.lit(0)).alias("out_deg"))
+        .groupBy("out_deg")
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+    )
+
+
+# --------------------------------------------------------------------------
+# driver gate rows (events graph, vkey space) + DuckDB oracles
+# --------------------------------------------------------------------------
+
+# shared events-graph SQL prelude (mirrors flagship.events_graph; same CTE
+# shapes as graph_oracles._GRAPH_CTES, inlined so each oracle is standalone)
+_EV_CTES = """
+base AS (
+  SELECT user_id, event_type, ts, event_id FROM events
+), turn AS (
+  SELECT event_type AS s,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
+  FROM base
+), ek AS (
+  SELECT s, t FROM turn WHERE t IS NOT NULL
+  UNION ALL
+  SELECT 'user:' || CAST(user_id AS VARCHAR) AS s, event_type AS t FROM base
+), v AS (
+  SELECT DISTINCT vkey
+  FROM (SELECT s AS vkey FROM ek UNION ALL SELECT t AS vkey FROM ek)
+), uv AS (
+  SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS v FROM ek WHERE s <> t
+)"""
+
+
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex clustering coefficient of the events graph, rounded 6dp."""
+    from .flagship import events_graph
+    from .io import load_table
+
+    g = events_graph(load_table(spark, sf_dir, "events"))
+    return (
+        clustering_coefficients(g)
+        .join(g.vertices.select("vid", "vkey"), "vid")
+        .select("vkey", F.round("lcc", 6).alias("lcc"))
+    )
+
+
+SQL_CLUSTERING_COEFF = (
+    "WITH "
+    + _EV_CTES
+    + """,
+deg AS (
+  SELECT vkey, count(*) AS deg
+  FROM (SELECT u AS vkey FROM uv UNION ALL SELECT v AS vkey FROM uv)
+  GROUP BY vkey
+), tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM uv e1
+  JOIN uv e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN uv e3 ON e3.u = e1.v AND e3.v = e2.v
+), pv AS (
+  SELECT vkey, count(*) AS n_tri
+  FROM (SELECT a AS vkey FROM tri UNION ALL SELECT b AS vkey FROM tri
+        UNION ALL SELECT c AS vkey FROM tri)
+  GROUP BY vkey
+)
+SELECT v.vkey,
+       round(CASE WHEN coalesce(d.deg, 0) >= 2
+                  THEN 2.0 * coalesce(pv.n_tri, 0) / (d.deg * (d.deg - 1))
+                  ELSE 0.0 END, 6) AS lcc
+FROM v LEFT JOIN deg d USING (vkey) LEFT JOIN pv USING (vkey)
+"""
+)
+
+
+# The raw events TURN graph at gate scale is a complete K_{|types|} (every
+# type follows every type), which makes both link prediction and the degree
+# histogram vacuous.  The AFFINITY bipartite graph — user <-> event_type
+# edges kept only where the invocation count clears a threshold — has real
+# structure (per-(user, type) counts vary ~3..24 at sf0.01), and is the
+# canonical link-prediction substrate anyway (co-invocation similarity).
+_AFFINITY_MIN_COUNT = 15
+
+
+def _affinity_graph(spark: SparkSession, sf_dir: str) -> GraphTables:
+    """Bipartite affinity graph: ``user:<id> -> event_type`` where the user
+    invoked the type >= _AFFINITY_MIN_COUNT times.  vids dense by sorted
+    vkey (so vid order == vkey order, which the oracles rely on)."""
+    from .derive import build_degrees
+    from .io import load_table
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    aff = (
+        e.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .where(F.col("m") >= _AFFINITY_MIN_COUNT)
+        .select(
+            F.concat(F.lit("user:"), F.col("user_id").cast("string")).alias("src_key"),
+            F.col("event_type").alias("dst_key"),
+            F.col("m").cast("double").alias("w"),
+        )
+    )
+    # vertex set = ALL users + ALL types (zero-degree vertices kept so the
+    # histogram sees them), ids dense by sorted vkey
+    keys = (
+        e.select(F.concat(F.lit("user:"), F.col("user_id").cast("string")).alias("vkey"))
+        .unionByName(e.select(F.col("event_type").alias("vkey")))
+        .distinct()
+    )
+    vw = Window.orderBy("vkey")
+    vertices = keys.select(
+        "vkey",
+        (F.row_number().over(vw) - 1).cast("long").alias("vid"),
+        F.when(F.col("vkey").startswith("user:"), F.lit("actor"))
+        .otherwise(F.lit("tool"))
+        .alias("vtype"),
+    )
+    v = F.broadcast(vertices)
+    edges = (
+        aff.join(v.select(F.col("vkey").alias("src_key"), F.col("vid").alias("src")), "src_key")
+        .join(v.select(F.col("vkey").alias("dst_key"), F.col("vid").alias("dst")), "dst_key")
+        .select("src", "dst", F.lit("tool").alias("etype"), "w")
+    )
+    return GraphTables(vertices=vertices, edges=edges, degrees=build_degrees(edges, vertices))
+
+
+# User vertices have degree <= |types| (bounded at every scale); type
+# vertices have degree ~ |users| (hubs).  max_deg=8 keeps users as wedge
+# intermediaries (type-type similarity through shared users — linear cost)
+# and excludes the type hubs (whose wedges are the quadratic user-user
+# explosion).  Bound chosen vs the bipartite structure, not the data scale.
+_JACCARD_MAX_DEG = 8
+
+_AFF_SQL_CTES = f"""
+aff AS (
+  SELECT 'user:' || CAST(user_id AS VARCHAR) AS u, event_type AS v
+  FROM events GROUP BY user_id, event_type
+  HAVING count(*) >= {_AFFINITY_MIN_COUNT}
+), allv AS (
+  SELECT DISTINCT vkey FROM (
+    SELECT 'user:' || CAST(user_id AS VARCHAR) AS vkey FROM events
+    UNION ALL SELECT event_type FROM events)
+)"""
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 non-adjacent vertex pairs of the affinity bipartite graph by
+    Jaccard score, hub intermediaries excluded (max_deg) — exercises the
+    generic jaccard_pairs operator end to end."""
+    g = _affinity_graph(spark, sf_dir)
+    jp = jaccard_pairs(g, max_deg=_JACCARD_MAX_DEG)
+    vp = g.vertices.select(F.col("vid").alias("p"), F.col("vkey").alias("p_key"))
+    vq = g.vertices.select(F.col("vid").alias("q"), F.col("vkey").alias("q_key"))
+    return (
+        jp.join(vp, "p")
+        .join(vq, "q")
+        .select("p_key", "q_key", "common", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy(F.desc(F.round("jaccard", 6)), "p_key", "q_key")
+        .limit(20)
+    )
+
+
+SQL_JACCARD_PAIRS = (
+    "WITH "
+    + _AFF_SQL_CTES
+    + f""",
+adj AS (
+  SELECT u AS v, v AS nb FROM aff UNION ALL SELECT v AS v, u AS nb FROM aff
+), deg AS (
+  SELECT v, count(*) AS deg FROM adj GROUP BY v
+), keep AS (
+  SELECT v AS nb FROM deg WHERE deg <= {_JACCARD_MAX_DEG}
+), thru AS (
+  SELECT a.v, a.nb FROM adj a JOIN keep USING (nb)
+), common AS (
+  SELECT x.v AS p, y.v AS q, count(*) AS common
+  FROM thru x JOIN thru y ON x.nb = y.nb AND x.v < y.v
+  GROUP BY x.v, y.v
+), cand AS (
+  SELECT c.* FROM common c
+  LEFT JOIN (SELECT least(u, v) AS lu, greatest(u, v) AS gv FROM aff) e
+    ON e.lu = c.p AND e.gv = c.q
+  WHERE e.lu IS NULL
+)
+SELECT c.p AS p_key, c.q AS q_key, c.common,
+       round(CAST(c.common AS DOUBLE) / (dp.deg + dq.deg - c.common), 6) AS jaccard
+FROM cand c
+JOIN deg dp ON dp.v = c.p
+JOIN deg dq ON dq.v = c.q
+ORDER BY round(CAST(c.common AS DOUBLE) / (dp.deg + dq.deg - c.common), 6) DESC,
+         c.p, c.q
+LIMIT 20
+"""
+)
+
+
+def q_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-degree histogram of the affinity bipartite graph (users spread
+    over 0..|types| by threshold, types at 0 — non-degenerate distribution)."""
+    return degree_histogram(_affinity_graph(spark, sf_dir))
+
+
+SQL_DEGREE_HIST = (
+    "WITH "
+    + _AFF_SQL_CTES
+    + """,
+deg AS (SELECT u AS vkey, count(*) AS out_deg FROM aff GROUP BY u)
+SELECT coalesce(d.out_deg, 0) AS out_deg, count(*) AS n_vertices
+FROM allv v LEFT JOIN deg d USING (vkey)
+GROUP BY coalesce(d.out_deg, 0)
+"""
+)

@@ -420,6 +420,7 @@ class PageRankProgram:
 
     name = "pagerank"
     state_cols = ["vid", "part_id", "dangling", "rank"]
+    apply_schema = "vid long, part_id int, dangling boolean, rank double, _delta double"
     uses_undirected = False
 
     def __init__(self, d: float = 0.85, tol: float = 1e-6):
@@ -517,10 +518,7 @@ class PageRankProgram:
         return (
             msgs.groupby("part_id")
             .cogroup(state.groupby("part_id"))
-            .applyInArrow(
-                self.make_apply(ctx.P, n, dmass),
-                "vid long, part_id int, dangling boolean, rank double, _delta double",
-            )
+            .applyInArrow(self.make_apply(ctx.P, n, dmass), self.apply_schema)
         )
 
     def stat_exprs(self):
@@ -534,6 +532,88 @@ class PageRankProgram:
 
     def done(self, stats: dict) -> bool:
         return stats["delta"] < self.tol
+
+
+class PersonalizedPageRankProgram(PageRankProgram):
+    """Personalized PageRank: teleport + dangling mass flow to a seed set.
+
+    Update: r_t(v) = (1-d)*s(v) + d*(sum_{u->v} r_{t-1}(u)*w/out_w(u)
+    + dangling_mass_{t-1}*s(v)), with s the seed distribution (1/|S| on the
+    seed set, 0 elsewhere).  The scatter pass is inherited unchanged from
+    PageRankProgram — only the apply-side reset vector differs, carried as a
+    per-vertex ``sw`` state column so no extra join or broadcast happens
+    inside the superstep loop.  Fixed-iteration runs are hash-checkable
+    against graph_oracles.ppr_fixed_sql (same unrolled-CTE trick as
+    PageRank)."""
+
+    name = "ppr"
+    state_cols = ["vid", "part_id", "dangling", "rank", "sw"]
+    apply_schema = (
+        "vid long, part_id int, dangling boolean, rank double, sw double, _delta double"
+    )
+
+    def __init__(self, seed_vids: DataFrame, d: float = 0.85, tol: float = 1e-6):
+        """``seed_vids``: one-column (vid) DataFrame of teleport targets —
+        kept as a DataFrame (not a collected list) so huge seed sets (e.g.
+        "all actors") never funnel through the driver."""
+        super().__init__(d=d, tol=tol)
+        self.seed_vids = seed_vids
+
+    def init_state(self, ctx: GraphContext) -> DataFrame:
+        seeds = self.seed_vids.select("vid").distinct()
+        n_seeds = seeds.count()
+        if n_seeds == 0:
+            raise ValueError("personalized PageRank needs a non-empty seed set")
+        # seed sets are vertex-scale (<< edges); broadcast the membership join
+        return (
+            ctx.vertex_base.join(
+                F.broadcast(seeds.withColumn("_s", F.lit(True))), "vid", "left"
+            )
+            .withColumn(
+                "sw",
+                F.when(F.col("_s"), F.lit(1.0 / n_seeds)).otherwise(F.lit(0.0)),
+            )
+            .withColumn("rank", F.col("sw"))
+            .select(*self.state_cols)
+        )
+
+    def make_apply(self, P: int, n: int, dmass: float):
+        d = self.d
+
+        def apply(key, msgs: pa.Table, state: pa.Table) -> pa.Table:
+            p, nloc = key[0].as_py(), state.num_rows
+            if nloc == 0:
+                return pa.table(
+                    {
+                        "vid": pa.array([], pa.int64()),
+                        "part_id": pa.array([], pa.int32()),
+                        "dangling": pa.array([], pa.bool_()),
+                        "rank": pa.array([], pa.float64()),
+                        "sw": pa.array([], pa.float64()),
+                        "_delta": pa.array([], pa.float64()),
+                    }
+                )
+            rank_old, _ = _dense_state(state, "rank", p, P)
+            dang, _ = _dense_state(state, "dangling", p, P)
+            sw, _ = _dense_state(state, "sw", p, P)
+            msum = np.zeros(nloc)
+            if msgs.num_rows:
+                dstf = _pa_flat(msgs, "dst")
+                msumf = _pa_flat(msgs, "msum")
+                msum = np.bincount((dstf - p) // P, weights=msumf, minlength=nloc)
+            rank_new = (1.0 - d) * sw + d * (msum + dmass * sw)
+            return pa.table(
+                {
+                    "vid": pa.array(p + np.arange(nloc, dtype=np.int64) * P),
+                    "part_id": pa.array(np.full(nloc, p, np.int32)),
+                    "dangling": pa.array(dang),
+                    "rank": pa.array(rank_new),
+                    "sw": pa.array(sw),
+                    "_delta": pa.array(np.abs(rank_new - rank_old)),
+                }
+            )
+
+        return apply
 
 
 class ComponentsProgram:
@@ -628,6 +708,138 @@ class ComponentsProgram:
         return [F.sum("_changed").alias("changes")]
 
     stat_reducers = {"changes": sum}
+
+    def done(self, stats: dict) -> bool:
+        return stats["changes"] == 0
+
+
+BFS_INF = np.int64(1) << 62  # "unreached"; +1 cannot overflow int64
+
+
+class BFSProgram:
+    """Multi-source BFS hop distance over the undirected simple graph.
+
+    Min-plus propagation on the same CSR blocks as ComponentsProgram:
+    dist_t(v) = min(dist_{t-1}(v), 1 + min_{u~v} dist_{t-1}(u)); unreached
+    vertices carry BFS_INF.  Frontier-sparse: a block only emits messages
+    for destinations whose incoming minimum is finite, so message volume
+    tracks the active frontier, not nnz.  Converges in eccentricity(S)
+    supersteps; fixed-iteration runs hash-check against the unrolled-CTE
+    oracle (graph_oracles.bfs_fixed_sql)."""
+
+    name = "bfs"
+    state_cols = ["vid", "part_id", "dist"]
+    uses_undirected = True
+
+    def __init__(self, source_vids: DataFrame):
+        """``source_vids``: one-column (vid) DataFrame of BFS sources."""
+        self.source_vids = source_vids
+
+    def init_state(self, ctx: GraphContext) -> DataFrame:
+        srcs = self.source_vids.select("vid").distinct().withColumn("_s", F.lit(True))
+        return (
+            ctx.vertex_base.join(F.broadcast(srcs), "vid", "left")
+            .select(
+                "vid",
+                "part_id",
+                F.when(F.col("_s"), F.lit(0))
+                .otherwise(F.lit(int(BFS_INF)))
+                .cast("long")
+                .alias("dist"),
+            )
+        )
+
+    def make_scatter(self, P: int):
+        def scatter(key, left: pa.Table, right: pa.Table) -> pa.Table:
+            empty = _empty_packed({"mmin": pa.int64()})
+            if left.num_rows == 0 or right.num_rows == 0:
+                return empty
+            p = left["part_id"][0].as_py()
+            indptr = _block_np(left, "indptr")
+            udst = _block_np(left, "udst")
+            e2u = _block_np(left, "e2u")
+            dist, _ = _dense_state(right, "dist", p, P)
+            dist_rep = np.repeat(dist, np.diff(indptr))
+            partial = np.full(len(udst), BFS_INF, dtype=np.int64)
+            np.minimum.at(partial, e2u, dist_rep)
+            frontier = partial < BFS_INF  # only reached sources message out
+            if not frontier.any():
+                return empty
+            return _packed_msgs(P, udst[frontier], {"mmin": partial[frontier] + 1})
+
+        return scatter
+
+    @staticmethod
+    def make_apply(P: int):
+        def apply(key, msgs: pa.Table, state: pa.Table) -> pa.Table:
+            p, nloc = key[0].as_py(), state.num_rows
+            if nloc == 0:
+                return pa.table(
+                    {
+                        "vid": pa.array([], pa.int64()),
+                        "part_id": pa.array([], pa.int32()),
+                        "dist": pa.array([], pa.int64()),
+                        "_changed": pa.array([], pa.int64()),
+                    }
+                )
+            dist_old, _ = _dense_state(state, "dist", p, P)
+            mmin = np.full(nloc, BFS_INF, np.int64)
+            if msgs.num_rows:
+                mloc = (_pa_flat(msgs, "dst") - p) // P
+                np.minimum.at(mmin, mloc, _pa_flat(msgs, "mmin"))
+            dist_new = np.minimum(dist_old, mmin)
+            return pa.table(
+                {
+                    "vid": pa.array(p + np.arange(nloc, dtype=np.int64) * P),
+                    "part_id": pa.array(np.full(nloc, p, np.int32)),
+                    "dist": pa.array(dist_new),
+                    "_changed": pa.array((dist_new < dist_old).astype(np.int64)),
+                }
+            )
+
+        return apply
+
+    def superstep(self, ctx: GraphContext, state: DataFrame, carry: dict | None = None) -> DataFrame:
+        packed_schema = "part_id int, dst array<long>, mmin array<long>"
+        msgs = (
+            ctx.ublocks.groupby("part_id")
+            .cogroup(state.groupby("part_id"))
+            .applyInArrow(self.make_scatter(ctx.P), packed_schema)
+        )
+        if ctx.uhub_edges is not None:
+            # op 47 on the undirected side, frontier-filtered: only reached
+            # hub vertices message out (dist + 1 rides the same packed wire
+            # format as the block messages).
+            hub_state = (
+                state.where(F.col("dist") < F.lit(int(BFS_INF)))
+                .join(F.broadcast(ctx.uhub_vids), "vid")
+                .select(F.col("vid").alias("src"), "dist")
+            )
+            hub_rows = ctx.uhub_edges.join(F.broadcast(hub_state), "src").select(
+                F.pmod(F.col("dst"), F.lit(ctx.P)).cast("int").alias("part_id"),
+                "dst",
+                (F.col("dist") + 1).alias("mmin"),
+            )
+            hub_msgs = hub_rows.groupBy("part_id").applyInArrow(
+                _make_hub_packer(("mmin",)), packed_schema
+            )
+            msgs = msgs.unionByName(hub_msgs)
+        return (
+            msgs.groupby("part_id")
+            .cogroup(state.groupby("part_id"))
+            .applyInArrow(
+                self.make_apply(ctx.P),
+                "vid long, part_id int, dist long, _changed long",
+            )
+        )
+
+    def stat_exprs(self):
+        return [
+            F.sum("_changed").alias("changes"),
+            F.sum((F.col("dist") < F.lit(int(BFS_INF))).cast("long")).alias("reached"),
+        ]
+
+    stat_reducers = {"changes": sum, "reached": sum}
 
     def done(self, stats: dict) -> bool:
         return stats["changes"] == 0

@@ -119,6 +119,82 @@ def lpa_ref(src: np.ndarray, dst: np.ndarray, n: int, max_iter: int = 50) -> np.
     return labels
 
 
+def bfs_ref(
+    src: np.ndarray, dst: np.ndarray, n: int, sources: np.ndarray
+) -> np.ndarray:
+    """Hop distance from ``sources`` over the undirected simple view;
+    unreached = -1.  Synchronous level expansion (same trajectory as
+    pregel.BFSProgram per superstep)."""
+    a, b = _undirected_pairs(src, dst)
+    INF = np.iinfo(np.int64).max
+    dist = np.full(n, INF, dtype=np.int64)
+    dist[np.asarray(sources, dtype=np.int64)] = 0
+    while True:
+        relax = np.where(dist[a] < INF, dist[a] + 1, INF)
+        new = dist.copy()
+        np.minimum.at(new, b, relax)
+        if np.array_equal(new, dist):
+            break
+        dist = new
+    return np.where(dist == INF, -1, dist)
+
+
+def ppr_ref(
+    src: np.ndarray,
+    dst: np.ndarray,
+    w: np.ndarray,
+    n: int,
+    seeds: np.ndarray,
+    d: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 1000,
+) -> tuple[np.ndarray, int]:
+    """Personalized PageRank: teleport AND dangling mass to the uniform
+    seed distribution; r_0 = s (matches pregel.PersonalizedPageRankProgram)."""
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    w = np.asarray(w, dtype=np.float64)
+    wout = np.zeros(n, dtype=np.float64)
+    np.add.at(wout, src, w)
+    dangling = wout == 0.0
+    inv_wout_src = w / wout[src]
+    s = np.zeros(n, dtype=np.float64)
+    s[np.asarray(seeds, dtype=np.int64)] = 1.0 / len(seeds)
+
+    r = s.copy()
+    for t in range(1, max_iter + 1):
+        scatter = np.zeros(n, dtype=np.float64)
+        np.add.at(scatter, dst, r[src] * inv_wout_src)
+        dmass = float(r[dangling].sum())
+        r_new = (1.0 - d) * s + d * (scatter + dmass * s)
+        delta = float(np.max(np.abs(r_new - r))) if n else 0.0
+        r = r_new
+        if delta < tol:
+            return r, t
+    return r, max_iter
+
+
+def hits_ref(
+    src: np.ndarray, dst: np.ndarray, n: int, iters: int = 5
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fixed-``iters`` HITS over the DISTINCT directed simple edge set, L1
+    normalization after each half-step (matches hits.hits_scores exactly:
+    authorities from h_{t-1}, normalize, hubs from normalized a_t,
+    normalize).  Returns (authority, hub)."""
+    e = np.unique(np.stack([np.asarray(src, np.int64), np.asarray(dst, np.int64)], axis=1), axis=0)
+    es, ed = e[:, 0], e[:, 1]
+    h = np.full(n, 1.0 / n, dtype=np.float64)
+    a = np.zeros(n, dtype=np.float64)
+    for _ in range(iters):
+        a = np.zeros(n, dtype=np.float64)
+        np.add.at(a, ed, h[es])
+        a /= a.sum()
+        h = np.zeros(n, dtype=np.float64)
+        np.add.at(h, es, a[ed])
+        h /= h.sum()
+    return a, h
+
+
 def triangles_ref(src: np.ndarray, dst: np.ndarray, n: int) -> tuple[np.ndarray, int]:
     """Exact per-vertex triangle counts + global total (undirected simple)."""
     a, b = _undirected_pairs(src, dst)

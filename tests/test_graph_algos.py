@@ -1,0 +1,207 @@
+"""BFS / personalized PageRank / HITS / link-prediction vs single-node
+references (networkx + ref_single_node numpy oracles)."""
+
+import numpy as np
+import pytest
+
+from linkgraph.derive import build_graph
+from linkgraph.hits import hits_scores
+from linkgraph.linkpred import (
+    clustering_coefficients,
+    degree_histogram,
+    jaccard_pairs,
+)
+from linkgraph.pregel import (
+    BFS_INF,
+    BFSProgram,
+    GraphContext,
+    PersonalizedPageRankProgram,
+    run_program,
+)
+from linkgraph.ref_single_node import bfs_ref, hits_ref, ppr_ref
+from linkgraph.synth import micro_transcripts, synth_transcripts
+
+from .conftest import edges_numpy
+
+P = 8
+
+
+@pytest.fixture(scope="module")
+def synth_ctx(spark):
+    g = build_graph(synth_transcripts(spark, n_conversations=60, seed=42))
+    ctx = GraphContext.build(g, P)
+    yield g, ctx
+    ctx.unpersist()
+
+
+def _col(state, name, n, fill=0):
+    pdf = state.toPandas()
+    out = np.full(n, fill, dtype=np.asarray(pdf[name]).dtype)
+    out[pdf["vid"].to_numpy(np.int64)] = pdf[name].to_numpy()
+    return out
+
+
+# -- BFS --------------------------------------------------------------------
+
+def test_bfs_matches_reference_and_networkx(spark, synth_ctx):
+    import networkx as nx
+
+    g, ctx = synth_ctx
+    src, dst, _w, n = edges_numpy(g)
+    sources = spark.createDataFrame([(0,)], "vid long")
+    res = run_program(ctx, BFSProgram(sources), max_iter=100)
+    assert res.converged
+    dist = _col(res.state, "dist", n)
+    dist = np.where(dist == int(BFS_INF), -1, dist)
+
+    ref = bfs_ref(src, dst, n, np.array([0]))
+    assert (dist == ref).all()
+
+    G = nx.Graph()
+    G.add_nodes_from(range(n))
+    G.add_edges_from((s, d) for s, d in zip(src, dst) if s != d)
+    nxd = nx.single_source_shortest_path_length(G, 0)
+    for v in range(n):
+        assert dist[v] == nxd.get(v, -1)
+
+
+def test_bfs_multi_source(spark, synth_ctx):
+    g, ctx = synth_ctx
+    src, dst, _w, n = edges_numpy(g)
+    seeds = [0, n - 1, n // 2]
+    sources = spark.createDataFrame([(s,) for s in seeds], "vid long")
+    res = run_program(ctx, BFSProgram(sources), max_iter=100)
+    dist = _col(res.state, "dist", n)
+    dist = np.where(dist == int(BFS_INF), -1, dist)
+    assert (dist == bfs_ref(src, dst, n, np.array(seeds))).all()
+
+
+def test_bfs_hub_split_equals_unsplit(spark):
+    """Forced undirected hub split (star_hub fixture) changes the plan, not
+    the distances."""
+    g = build_graph(micro_transcripts(spark, "star_hub"), distributed_ids=False)
+    src, dst, _w, n = edges_numpy(g)
+    sources = spark.createDataFrame([(0,)], "vid long")
+
+    ctx_plain = GraphContext.build(g, 4)
+    ctx_split = GraphContext.build(g, 4, hub_theta=2, hub_floor=0)
+    try:
+        assert ctx_split.uhub_edges is not None  # split actually engaged
+        d1 = _col(run_program(ctx_plain, BFSProgram(sources), max_iter=50).state, "dist", n)
+        d2 = _col(run_program(ctx_split, BFSProgram(sources), max_iter=50).state, "dist", n)
+        assert (d1 == d2).all()
+        assert (d1 == np.where(bfs_ref(src, dst, n, np.array([0])) == -1, int(BFS_INF), bfs_ref(src, dst, n, np.array([0])))).all()
+    finally:
+        ctx_plain.unpersist()
+        ctx_split.unpersist()
+
+
+# -- personalized PageRank ----------------------------------------------------
+
+def test_ppr_matches_reference(spark, synth_ctx):
+    g, ctx = synth_ctx
+    src, dst, w, n = edges_numpy(g)
+    seeds = list(range(0, n, 7))
+    seed_df = spark.createDataFrame([(s,) for s in seeds], "vid long")
+    res = run_program(
+        ctx, PersonalizedPageRankProgram(seed_df, tol=1e-8), max_iter=300
+    )
+    assert res.converged
+    r = _col(res.state, "rank", n).astype(np.float64)
+    r_ref, it_ref = ppr_ref(src, dst, w, n, np.array(seeds), tol=1e-8)
+    assert res.supersteps == it_ref
+    assert np.allclose(r, r_ref, atol=1e-6)
+    assert abs(r.sum() - 1.0) < 1e-8  # teleport + dangling both go to seeds
+
+
+def test_ppr_mass_concentrates_on_seed_side(spark, synth_ctx):
+    """Sanity: a single-seed PPR puts more mass on the seed than uniform."""
+    g, ctx = synth_ctx
+    n = ctx.n_vertices
+    seed_df = spark.createDataFrame([(0,)], "vid long")
+    res = run_program(ctx, PersonalizedPageRankProgram(seed_df, tol=1e-8), max_iter=300)
+    r = _col(res.state, "rank", n).astype(np.float64)
+    assert r[0] > 1.0 / n
+
+
+# -- HITS ---------------------------------------------------------------------
+
+def test_hits_matches_reference(spark, synth_ctx):
+    g, _ctx = synth_ctx
+    src, dst, _w, n = edges_numpy(g)
+    out = hits_scores(g, iters=5).toPandas()
+    a = np.zeros(n)
+    h = np.zeros(n)
+    a[out["vid"].to_numpy(np.int64)] = out["authority"].to_numpy()
+    h[out["vid"].to_numpy(np.int64)] = out["hub"].to_numpy()
+    a_ref, h_ref = hits_ref(src, dst, n, iters=5)
+    assert np.allclose(a, a_ref, atol=1e-9)
+    assert np.allclose(h, h_ref, atol=1e-9)
+    assert abs(a.sum() - 1.0) < 1e-9 and abs(h.sum() - 1.0) < 1e-9
+
+
+# -- link prediction / local structure ---------------------------------------
+
+def test_clustering_coefficients_vs_networkx(spark, synth_ctx):
+    import networkx as nx
+
+    g, _ctx = synth_ctx
+    src, dst, _w, n = edges_numpy(g)
+    out = clustering_coefficients(g).toPandas()
+    lcc = np.zeros(n)
+    lcc[out["vid"].to_numpy(np.int64)] = out["lcc"].to_numpy()
+    G = nx.Graph()
+    G.add_nodes_from(range(n))
+    G.add_edges_from((s, d) for s, d in zip(src, dst) if s != d)
+    nx_lcc = nx.clustering(G)
+    assert np.allclose(lcc, [nx_lcc[v] for v in range(n)], atol=1e-12)
+
+
+def test_jaccard_pairs_vs_networkx(spark, synth_ctx):
+    import networkx as nx
+
+    g, _ctx = synth_ctx
+    src, dst, _w, n = edges_numpy(g)
+    G = nx.Graph()
+    G.add_nodes_from(range(n))
+    G.add_edges_from((s, d) for s, d in zip(src, dst) if s != d)
+
+    out = jaccard_pairs(g).toPandas()
+    assert len(out) > 0
+    got = {(int(r.p), int(r.q)): (int(r.common), float(r.jaccard)) for r in out.itertuples()}
+
+    # every produced pair: non-adjacent, correct score
+    for (p, q), (common, jac) in got.items():
+        assert not G.has_edge(p, q)
+        nxj = next(iter(nx.jaccard_coefficient(G, [(p, q)])))[2]
+        assert abs(jac - nxj) < 1e-12
+        assert common == len(set(G[p]) & set(G[q]))
+
+    # completeness: every non-adjacent pair with >=1 common neighbor appears
+    expected = 0
+    for p in range(n):
+        for q in range(p + 1, n):
+            if not G.has_edge(p, q) and set(G[p]) & set(G[q]):
+                expected += 1
+    assert len(got) == expected
+
+
+def test_jaccard_max_deg_excludes_hub_wedges(spark):
+    """star_hub: every leaf pair shares only the hub; max_deg below the hub
+    degree must yield no candidates."""
+    g = build_graph(micro_transcripts(spark, "star_hub"), distributed_ids=False)
+    assert jaccard_pairs(g).count() > 0
+    assert jaccard_pairs(g, max_deg=3).count() == 0
+
+
+def test_degree_histogram_sums_to_vertex_count(spark, synth_ctx):
+    g, ctx = synth_ctx
+    hist = degree_histogram(g).toPandas()
+    assert int(hist["n_vertices"].sum()) == ctx.n_vertices
+    src, dst, _w, n = edges_numpy(g)
+    ed = np.unique(np.stack([src, dst], axis=1), axis=0)
+    deg = np.zeros(n, dtype=np.int64)
+    np.add.at(deg, ed[:, 0], 1)
+    want = {int(k): int(v) for k, v in zip(*np.unique(deg, return_counts=True))}
+    got = {int(r.out_deg): int(r.n_vertices) for r in hist.itertuples()}
+    assert got == want
