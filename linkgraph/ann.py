@@ -299,6 +299,159 @@ WHERE round(list_cosine_similarity(a.e, b.e), 6) >= {PLANT_TAU}
 """
 
 
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the second scale path (coarse quantizer + probe)
+# --------------------------------------------------------------------------
+
+N_CELLS = 16
+NPROBE = 4
+
+
+def _centroids_np(v: DataFrame, n_cells: int) -> np.ndarray:
+    """Deterministic coarse quantizer: the first ``n_cells`` vectors by
+    vec_id, L2-normalized.  (Production would k-means-train offline; the IVF
+    machinery — assignment, inverted lists, probe-restricted search — is
+    identical either way, and a fixed centroid set is what makes the gate
+    row oracle-expressible.)  n_cells rows to the driver is the one bounded
+    collect here: the quantizer IS a broadcast table by construction."""
+    rows = (
+        v.where(F.col("vec_id") < n_cells)
+        .select("vec_id", "e")
+        .orderBy("vec_id")
+        .collect()
+    )
+    C = np.stack([np.asarray(r["e"], dtype=np.float64) for r in rows])
+    return C / np.linalg.norm(C, axis=1, keepdims=True)
+
+
+def _make_cell_udfs(C: np.ndarray, nprobe: int):
+    """(assign, probe) pandas_udfs over the embedding column: nearest-cell
+    id, and the nprobe nearest cell ids — one numpy matmul per Arrow batch;
+    ties broken toward the lower cell id (argmax/argsort are stable)."""
+
+    @pandas_udf("int")
+    def assign(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype="int32")
+        M = np.stack(col.to_numpy()).astype(np.float64)
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+        return pd.Series(np.argmax(M @ C.T, axis=1).astype(np.int32))
+
+    @pandas_udf("array<int>")
+    def probe(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype=object)
+        M = np.stack(col.to_numpy()).astype(np.float64)
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+        sims = M @ C.T
+        # top-nprobe by (sim desc, cell asc): negate + stable mergesort
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    return assign, probe
+
+
+def _ivf_topk(
+    v: DataFrame, query_pred, k: int, n_cells: int = N_CELLS, nprobe: int = NPROBE
+) -> DataFrame:
+    """IVF search: assign every vector to its nearest centroid cell (the
+    inverted lists), probe each query's ``nprobe`` nearest cells, exact
+    cosine re-rank inside the probed cells only.
+
+    Scale shape: assignment is one narrow matmul pass; the candidate join is
+    an equi-join on ``cell`` (a vector lives in exactly ONE cell, probe
+    cells are distinct, so no dedup shuffle is needed — contrast the LSH
+    band join); per-query work is bounded by the probed cells' sizes, never
+    O(N).  The re-rank uses the sequential-fold dot product (same evaluation
+    order as the DuckDB oracle) so the rounded values hash-match."""
+    C = _centroids_np(v, n_cells)
+    assign, probe = _make_cell_udfs(C, nprobe)
+
+    vd = v.select("vec_id", "e", "nrm", assign("e").alias("cell"))
+    qp = v.where(query_pred).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+        F.explode(probe("e")).alias("cell"),
+    )
+    cand = qp.join(vd, "cell").where(F.col("vec_id") != F.col("q_id"))
+    sims = cand.select(
+        "q_id",
+        "vec_id",
+        F.round(_dot() / (F.col("qn") * F.col("nrm")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("q_id", "vec_id", "cos_sim", "rk")
+    )
+
+
+def ann_ivf_topk(
+    spark: SparkSession, sf_dir: str, k: int = ANN_K, n_queries: int = ANN_QUERIES
+) -> DataFrame:
+    """IVF top-k for vec_id < n_queries — fully hash-checked against the
+    DuckDB replica of the same plan (fixed centroids => the assignment,
+    probe set, and re-rank are all SQL-expressible; argmax margins on the
+    testdata are ~1e-2, nine orders above cross-engine float noise)."""
+    return _ivf_topk(_vectors(spark, sf_dir), F.col("vec_id") < n_queries, k)
+
+
+SQL_ANN_IVF_TOPK = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), cents AS (
+  SELECT CAST(vec_id AS INT) AS cell, e AS ce FROM v WHERE vec_id < {N_CELLS}
+), sims AS (
+  SELECT v.vec_id, c.cell, list_cosine_similarity(v.e, c.ce) AS s
+  FROM v CROSS JOIN cents c
+), asg AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+    FROM sims) WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS q_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+    FROM sims WHERE vec_id < {ANN_QUERIES}) WHERE rn <= {NPROBE}
+), cand AS (
+  SELECT p.q_id, a.vec_id FROM probes p JOIN asg a USING (cell)
+  WHERE a.vec_id <> p.q_id
+), rr AS (
+  SELECT c.q_id, c.vec_id,
+         round(list_cosine_similarity(q.e, d.e), 6) AS cos_sim
+  FROM cand c JOIN v q ON q.vec_id = c.q_id JOIN v d ON d.vec_id = c.vec_id
+)
+SELECT q_id, vec_id, cos_sim, rk FROM (
+  SELECT q_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rk
+  FROM rr) WHERE rk <= {ANN_K}
+"""
+
+
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar recall gate for the IVF path, planted-duplicate regime (same
+    construction as ann_lsh_recall): a planted copy has the SAME direction
+    as its source, hence the same nearest cell, and nprobe >= 1 probes the
+    query's own cell — so the source MUST appear in the copy's top-k.  A
+    broken assignment UDF, inverted-list join, or re-rank drives recall to 0
+    and flips the hash."""
+    v = _planted_vectors(spark, sf_dir)
+    ivf = _ivf_topk(v, F.col("vec_id") >= PLANT_OFFSET, ANN_K)
+    hits = ivf.where(F.col("vec_id") == F.col("q_id") - PLANT_OFFSET)
+    return hits.agg(
+        (F.count(F.lit(1)) / F.lit(N_PLANTED) >= RECALL_FLOOR)
+        .cast("long")
+        .alias("recall_ok")
+    )
+
+
+SQL_ANN_IVF_RECALL = "SELECT CAST(1 AS BIGINT) AS recall_ok"
+
+
 RECALL_FLOOR = 0.999
 
 
@@ -332,4 +485,6 @@ def registry():
         "ann_lsh_topk": (ann_lsh_topk, None),        # covered by ann_lsh_recall
         "ann_lsh_recall": (ann_lsh_recall, SQL_ANN_LSH_RECALL),
         "emb_near_dups_lsh": (emb_near_dups_lsh_gate, SQL_EMB_NEAR_DUPS_LSH),
+        "ann_ivf_topk": (ann_ivf_topk, SQL_ANN_IVF_TOPK),
+        "ann_ivf_recall": (ann_ivf_recall, SQL_ANN_IVF_RECALL),
     }

@@ -698,6 +698,113 @@ JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
 """
 
 
+def q_pivot_orders(spark, sf_dir):
+    """Pivot (groupBy().pivot() with an explicit value list — explicit so the
+    plan needs no pre-scan job and the output schema is static, which is
+    also the scale-safe form: an unbounded inferred pivot column set is a
+    driver-memory hazard).  Oracle = conditional aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce("F", F.lit(0)).alias("n_f"),
+        F.coalesce("O", F.lit(0)).alias("n_o"),
+        F.coalesce("P", F.lit(0)).alias("n_p"),
+    )
+
+
+SQL_PIVOT_ORDERS = """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (median / p90) per group — both
+    engines use the type-7 linear-interpolation definition, so the values
+    are hash-comparable after rounding.  (approx_percentile exists as the
+    scale path but its sketch is engine-specific, hence not the gate row.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90_qty"),
+        F.round(F.expr("percentile(l_discount, 0.5)"), 6).alias("median_disc"),
+    )
+
+
+SQL_PERCENTILES = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+       round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+       round(quantile_cont(l_discount, 0.5), 6) AS median_disc
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_ntile_customers(spark, sf_dir):
+    """ntile(4) quartiles over a TOTAL order (acctbal, custkey — the
+    tiebreak makes bucket assignment deterministic under ties), then
+    per-bucket stats."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select("c_acctbal", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        )
+    )
+
+
+SQL_NTILE_CUSTOMERS = """
+SELECT quartile, count(*) AS n,
+       round(min(c_acctbal), 2) AS min_bal,
+       round(max(c_acctbal), 2) AS max_bal,
+       round(avg(c_acctbal), 4) AS avg_bal
+FROM (SELECT c_acctbal,
+             ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+      FROM customer)
+GROUP BY quartile
+"""
+
+
+def q_stats_agg(spark, sf_dir):
+    """Statistical aggregates: corr / covar_samp / stddev_samp / var_samp
+    (op 17 family).  Computed over SMALL-magnitude columns (discount, tax in
+    [0, 0.1]) so 6-decimal rounding sits ~9 orders above double summation
+    noise — the same aggregates over `l_extendedprice` (~1e4 per row, ~1e8
+    sums) would hash-flip on engine-order differences."""
+    li = _t(spark, sf_dir, "lineitem")
+    # + 0.0 normalizes IEEE negative zero (round can emit -0.0 on one engine
+    # and 0.0 on the other, which the string-compare hash sees as a diff)
+    return li.groupBy("l_returnflag").agg(
+        (F.round(F.corr("l_discount", "l_tax"), 6) + 0.0).alias("corr_dt"),
+        (F.round(F.covar_samp("l_discount", "l_tax"), 6) + 0.0).alias("covar_dt"),
+        (F.round(F.stddev_samp("l_discount"), 6) + 0.0).alias("sd_disc"),
+        (F.round(F.var_samp("l_tax"), 6) + 0.0).alias("var_tax"),
+    )
+
+
+SQL_STATS_AGG = """
+SELECT l_returnflag,
+       round(corr(l_discount, l_tax), 6) + 0.0 AS corr_dt,
+       round(covar_samp(l_discount, l_tax), 6) + 0.0 AS covar_dt,
+       round(stddev_samp(l_discount), 6) + 0.0 AS sd_disc,
+       round(var_samp(l_tax), 6) + 0.0 AS var_tax
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -727,6 +834,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "time_window_day": (q_time_window, SQL_TIME_WINDOW),
     "grouping_sets_orders": (q_grouping_sets, SQL_GROUPING_SETS),
     "approx_distinct": (q_approx_distinct, SQL_APPROX_DISTINCT),
+    "pivot_orders": (q_pivot_orders, SQL_PIVOT_ORDERS),
+    "percentiles": (q_percentiles, SQL_PERCENTILES),
+    "ntile_customers": (q_ntile_customers, SQL_NTILE_CUSTOMERS),
+    "stats_agg": (q_stats_agg, SQL_STATS_AGG),
     "array_words": (q_array_words, SQL_ARRAY_WORDS),
     "json_props": (q_json_props, SQL_JSON_PROPS),
     "higher_order_array": (q_higher_order_array, SQL_HIGHER_ORDER_ARRAY),

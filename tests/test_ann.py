@@ -112,6 +112,37 @@ def test_ann_lsh_works_on_32d(spark, planted_dir_32):
     assert (top1["vec_id"] == top1["q_id"] + 50).mean() == 1.0
 
 
+def test_ann_ivf_exhaustive_probe_equals_exact(spark, planted_dir):
+    """nprobe == n_cells probes every inverted list: IVF must reproduce the
+    brute-force top-k exactly (same pairs, same cosines)."""
+    from linkgraph.ann import _ivf_topk, _vectors
+    from pyspark.sql import functions as F
+
+    nq = 20
+    v = _vectors(spark, planted_dir)
+    ivf = _ivf_topk(v, F.col("vec_id") < nq, k=5, n_cells=8, nprobe=8).toPandas()
+    exact = ann_topk_cosine(spark, planted_dir).where(f"q_id < {nq}").toPandas()
+    a = ivf.sort_values(["q_id", "rk"]).reset_index(drop=True)
+    e = exact.sort_values(["q_id", "rk"]).reset_index(drop=True)
+    assert (a[["q_id", "vec_id", "rk"]].values == e[["q_id", "vec_id", "rk"]].values).all()
+    assert np.allclose(a["cos_sim"], e["cos_sim"])
+
+
+def test_ann_ivf_finds_planted_neighbors(spark, planted_dir):
+    """Probe-restricted IVF (nprobe << n_cells): a planted duplicate points
+    the same direction as its source, so the source's cell is always probed
+    and top-1 recall on the planted truth must be high."""
+    from linkgraph.ann import _ivf_topk, _vectors
+    from pyspark.sql import functions as F
+
+    nq = 50
+    v = _vectors(spark, planted_dir)
+    ivf = _ivf_topk(v, F.col("vec_id") < nq, k=1, n_cells=8, nprobe=2).toPandas()
+    got = ivf[ivf["rk"] == 1]
+    hit = (got["vec_id"] == got["q_id"] + N_DUP).mean()
+    assert hit >= 0.9, f"IVF top-1 planted recall {hit:.2f}"
+
+
 def test_emb_near_dups_lsh_vs_exact(spark, planted_dir):
     tau = 0.9
     exact = emb_near_dups_exact(spark, planted_dir, tau=tau).toPandas()
