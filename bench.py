@@ -90,9 +90,17 @@ def main() -> None:
 
     try:
         # -- graph pipeline ------------------------------------------------
-        transcripts = synth_transcripts(
+        # The synthesized transcripts are materialized to parquet ONCE
+        # (untimed setup): the north-rule input is an Iceberg/parquet TABLE,
+        # so derive_and_csr must measure the engine reading a columnar scan —
+        # not the sandbox artifact of re-serializing a driver-side pandas
+        # frame into every job that touches the input (synth.py caveat;
+        # BASELINE.md "input materialization").
+        tdir = ckpt_root + "/transcripts"
+        synth_transcripts(
             spark, n_conversations=n_conv, seed=42, n_agents=200, unique_users=True
-        )
+        ).write.mode("overwrite").parquet(tdir)
+        transcripts = spark.read.parquet(tdir)
 
         def _derive():
             g = build_graph(transcripts, cache=True)
