@@ -24,6 +24,7 @@ from .graph_oracles import (
     labelprop_fixed_sql,
     pagerank_fixed_sql,
     ppr_fixed_sql,
+    sssp_fixed_sql,
 )
 from .io import load_table
 from .pregel import (
@@ -34,6 +35,7 @@ from .pregel import (
     LabelPropProgram,
     PageRankProgram,
     PersonalizedPageRankProgram,
+    SSSPProgram,
     run_program,
 )
 from .triangles import count_triangles
@@ -211,6 +213,27 @@ def engine_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ENGINE_BFS = bfs_fixed_sql(_BFS_STEPS)
 
 
+def engine_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSR-path weighted SSSP (Bellman-Ford gather-scatter), FIXED 6
+    supersteps from the min-vkey vertex over the DIRECTED weighted events
+    graph; output (vkey, dist) for reached vertices — hash-checked against
+    graph_oracles.sssp_fixed_sql."""
+    g, ctx = _events_ctx(spark, sf_dir)
+    try:
+        src = spark.createDataFrame([(0,)], "vid long")
+        res = run_program(ctx, SSSPProgram(src), fixed_iters=_BFS_STEPS)
+        return (
+            res.state.where(F.col("dist") != F.lit(float("inf")))
+            .join(g.vertices.select("vid", "vkey"), "vid")
+            .select("vkey", F.round("dist", 6).alias("dist"))
+        )
+    finally:
+        ctx.unpersist()
+
+
+SQL_ENGINE_SSSP = sssp_fixed_sql(_BFS_STEPS)
+
+
 def engine_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSR-path personalized PageRank, FIXED 5 supersteps, seeds = the
     actor ('user:*') vertices; top-20 by rounded rank — hash-checked
@@ -255,6 +278,7 @@ def registry():
         "engine_labelprop": (engine_labelprop, SQL_ENGINE_LABELPROP),
         "engine_kcore": (engine_kcore, kcore_fixed_sql(3, 8)),
         "engine_bfs": (engine_bfs, SQL_ENGINE_BFS),
+        "engine_sssp": (engine_sssp, SQL_ENGINE_SSSP),
         "engine_ppr": (engine_ppr, SQL_ENGINE_PPR),
         "engine_hits": (engine_hits, hits_fixed_sql(5, 20)),
         "clustering_coeff": (q_clustering_coeff, SQL_CLUSTERING_COEFF),

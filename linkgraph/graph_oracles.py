@@ -158,6 +158,37 @@ def bfs_fixed_sql(k: int) -> str:
     )
 
 
+def sssp_fixed_sql(k: int) -> str:
+    """Unrolled k-superstep Bellman-Ford (source = min vkey) over the
+    DIRECTED weighted events edges (w = multiplicity); output
+    (vkey, dist) for reached vertices — mirrors pregel.SSSPProgram with
+    fixed_iters=k.  Each path cost is the same IEEE add chain on both
+    engines, so the values are bitwise comparable (rounded anyway)."""
+    ctes = [
+        _GRAPH_CTES,
+        "d0 AS (SELECT vkey, CASE WHEN vkey = (SELECT min(vkey) FROM v) "
+        "THEN CAST(0.0 AS DOUBLE) ELSE NULL END AS dist FROM v)",
+    ]
+    for i in range(1, k + 1):
+        p = f"d{i - 1}"
+        ctes.append(
+            f"m{i} AS (SELECT e.t AS vkey, min(p.dist + e.w) AS nd "
+            f"FROM e JOIN {p} p ON p.vkey = e.s "
+            f"WHERE p.dist IS NOT NULL GROUP BY e.t)"
+        )
+        ctes.append(
+            f"d{i} AS (SELECT p.vkey, CASE "
+            f"WHEN p.dist IS NULL THEN m.nd "
+            f"WHEN m.nd IS NULL THEN p.dist "
+            f"ELSE least(p.dist, m.nd) END AS dist "
+            f"FROM {p} p LEFT JOIN m{i} m USING (vkey))"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT vkey, round(dist, 6) AS dist FROM d{k} WHERE dist IS NOT NULL"
+    )
+
+
 def ppr_fixed_sql(k: int, limit: int, d: float = 0.85) -> str:
     """Unrolled k-superstep personalized PageRank, seeds = actor vertices
     (vkey LIKE 'user:%'), teleport + dangling mass to the seed distribution;

@@ -845,6 +845,136 @@ class BFSProgram:
         return stats["changes"] == 0
 
 
+class SSSPProgram:
+    """Single-source shortest paths over the DIRECTED weighted graph —
+    Bellman-Ford relaxation as gather-scatter supersteps.
+
+    dist_t(v) = min(dist_{t-1}(v), min_{u->v} dist_{t-1}(u) + w(u, v)) on
+    the same CSR blocks as PageRank (the packed ``weights`` array is the
+    relaxation cost; unreached = +inf).  Frontier-sparse like BFSProgram.
+    Cross-engine determinism note: each candidate path cost is the same
+    chain of IEEE adds on both the engine and the unrolled-CTE oracle
+    (one add per relaxation of bitwise-identical operands), and min() of
+    identical sets is bitwise identical — so fixed-iteration runs
+    hash-check exactly (graph_oracles.sssp_fixed_sql; rounding is belt and
+    braces only)."""
+
+    name = "sssp"
+    state_cols = ["vid", "part_id", "dist"]
+    uses_undirected = False
+
+    def __init__(self, source_vids: DataFrame):
+        self.source_vids = source_vids
+
+    def init_state(self, ctx: GraphContext) -> DataFrame:
+        srcs = self.source_vids.select("vid").distinct().withColumn("_s", F.lit(True))
+        return (
+            ctx.vertex_base.join(F.broadcast(srcs), "vid", "left")
+            .select(
+                "vid",
+                "part_id",
+                F.when(F.col("_s"), F.lit(0.0))
+                .otherwise(F.lit(float("inf")))
+                .alias("dist"),
+            )
+        )
+
+    def make_scatter(self, P: int):
+        def scatter(key, left: pa.Table, right: pa.Table) -> pa.Table:
+            empty = _empty_packed({"mmin": pa.float64()})
+            if left.num_rows == 0 or right.num_rows == 0:
+                return empty
+            p = left["part_id"][0].as_py()
+            indptr = _block_np(left, "indptr")
+            w = _block_np(left, "weights")
+            udst = _block_np(left, "udst")
+            e2u = _block_np(left, "e2u")
+            dist, _ = _dense_state(right, "dist", p, P)
+            relax = np.repeat(dist, np.diff(indptr)) + w
+            partial = np.full(len(udst), np.inf)
+            np.minimum.at(partial, e2u, relax)
+            frontier = np.isfinite(partial)
+            if not frontier.any():
+                return empty
+            return _packed_msgs(P, udst[frontier], {"mmin": partial[frontier]})
+
+        return scatter
+
+    @staticmethod
+    def make_apply(P: int):
+        def apply(key, msgs: pa.Table, state: pa.Table) -> pa.Table:
+            p, nloc = key[0].as_py(), state.num_rows
+            if nloc == 0:
+                return pa.table(
+                    {
+                        "vid": pa.array([], pa.int64()),
+                        "part_id": pa.array([], pa.int32()),
+                        "dist": pa.array([], pa.float64()),
+                        "_changed": pa.array([], pa.int64()),
+                    }
+                )
+            dist_old, _ = _dense_state(state, "dist", p, P)
+            mmin = np.full(nloc, np.inf)
+            if msgs.num_rows:
+                mloc = (_pa_flat(msgs, "dst") - p) // P
+                np.minimum.at(mmin, mloc, _pa_flat(msgs, "mmin"))
+            dist_new = np.minimum(dist_old, mmin)
+            return pa.table(
+                {
+                    "vid": pa.array(p + np.arange(nloc, dtype=np.int64) * P),
+                    "part_id": pa.array(np.full(nloc, p, np.int32)),
+                    "dist": pa.array(dist_new),
+                    "_changed": pa.array((dist_new < dist_old).astype(np.int64)),
+                }
+            )
+
+        return apply
+
+    def superstep(self, ctx: GraphContext, state: DataFrame, carry: dict | None = None) -> DataFrame:
+        packed_schema = "part_id int, dst array<long>, mmin array<double>"
+        msgs = (
+            ctx.blocks.groupby("part_id")
+            .cogroup(state.groupby("part_id"))
+            .applyInArrow(self.make_scatter(ctx.P), packed_schema)
+        )
+        if ctx.hub_edges is not None:
+            # op 47 directed side, frontier-filtered; relax on the raw w
+            # column the hub split carries alongside coeff.
+            hub_state = (
+                state.where(F.col("dist") != F.lit(float("inf")))
+                .join(F.broadcast(ctx.hub_vids), "vid")
+                .select(F.col("vid").alias("src"), "dist")
+            )
+            hub_rows = ctx.hub_edges.join(F.broadcast(hub_state), "src").select(
+                F.pmod(F.col("dst"), F.lit(ctx.P)).cast("int").alias("part_id"),
+                "dst",
+                (F.col("dist") + F.col("w")).alias("mmin"),
+            )
+            hub_msgs = hub_rows.groupBy("part_id").applyInArrow(
+                _make_hub_packer(("mmin",)), packed_schema
+            )
+            msgs = msgs.unionByName(hub_msgs)
+        return (
+            msgs.groupby("part_id")
+            .cogroup(state.groupby("part_id"))
+            .applyInArrow(
+                self.make_apply(ctx.P),
+                "vid long, part_id int, dist double, _changed long",
+            )
+        )
+
+    def stat_exprs(self):
+        return [
+            F.sum("_changed").alias("changes"),
+            F.sum((F.col("dist") != F.lit(float("inf"))).cast("long")).alias("reached"),
+        ]
+
+    stat_reducers = {"changes": sum, "reached": sum}
+
+    def done(self, stats: dict) -> bool:
+        return stats["changes"] == 0
+
+
 class LabelPropProgram:
     """Synchronous community label propagation, min-label tiebreak (op 50).
 

@@ -139,6 +139,37 @@ def bfs_ref(
     return np.where(dist == INF, -1, dist)
 
 
+def sssp_ref(
+    src: np.ndarray,
+    dst: np.ndarray,
+    w: np.ndarray,
+    n: int,
+    sources: np.ndarray,
+) -> np.ndarray:
+    """Directed weighted shortest paths (Bellman-Ford to fixpoint) from
+    ``sources``; unreached = +inf.  Synchronous relaxation rounds (same
+    trajectory as pregel.SSSPProgram per superstep).  Parallel (src, dst)
+    multi-edges are pre-SUMMED first — the engine relaxes on the pre-summed
+    simple edge table (GraphContext esum), not per multi-edge row."""
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    w = np.asarray(w, dtype=np.float64)
+    key = src * np.int64(n) + dst
+    uk, inv = np.unique(key, return_inverse=True)
+    ws = np.zeros(len(uk))
+    np.add.at(ws, inv, w)
+    src, dst, w = uk // n, uk % n, ws
+    dist = np.full(n, np.inf)
+    dist[np.asarray(sources, dtype=np.int64)] = 0.0
+    while True:
+        relax = dist[src] + w
+        new = dist.copy()
+        np.minimum.at(new, dst, relax)
+        if np.array_equal(new, dist):
+            return dist
+        dist = new
+
+
 def ppr_ref(
     src: np.ndarray,
     dst: np.ndarray,

@@ -61,8 +61,9 @@ def split_hub_edges(
 ) -> tuple[DataFrame, DataFrame]:
     """Partition the edge table into (non_hub, hub) by source out-degree.
 
-    hub edges carry the PageRank scatter coefficient w/out_w(src) so the
-    broadcast-join scatter needs no degree lookup at superstep time.
+    hub edges carry BOTH the PageRank scatter coefficient w/out_w(src)
+    (so the broadcast-join scatter needs no degree lookup at superstep time)
+    and the raw weight w (the min-plus programs — SSSP — relax on it).
     ``presummed=True`` skips the multi-edge pre-sum when the input is
     already one row per (src, dst)."""
     hubs = detect_hubs(degrees, theta, side="out")
@@ -70,7 +71,7 @@ def split_hub_edges(
     hub_e = (
         e.join(F.broadcast(hubs), e.src == hubs.vid, "inner")
         .join(degrees.select(F.col("vid").alias("src2"), "out_w"), e.src == F.col("src2"))
-        .select("src", "dst", (F.col("w") / F.col("out_w")).alias("coeff"))
+        .select("src", "dst", (F.col("w") / F.col("out_w")).alias("coeff"), "w")
     )
     non_hub = e.join(F.broadcast(hubs), e.src == hubs.vid, "left_anti")
     return non_hub, hub_e

@@ -16,9 +16,10 @@ from linkgraph.pregel import (
     BFSProgram,
     GraphContext,
     PersonalizedPageRankProgram,
+    SSSPProgram,
     run_program,
 )
-from linkgraph.ref_single_node import bfs_ref, hits_ref, ppr_ref
+from linkgraph.ref_single_node import bfs_ref, hits_ref, ppr_ref, sssp_ref
 from linkgraph.synth import micro_transcripts, synth_transcripts
 
 from .conftest import edges_numpy
@@ -91,6 +92,64 @@ def test_bfs_hub_split_equals_unsplit(spark):
         d2 = _col(run_program(ctx_split, BFSProgram(sources), max_iter=50).state, "dist", n)
         assert (d1 == d2).all()
         assert (d1 == np.where(bfs_ref(src, dst, n, np.array([0])) == -1, int(BFS_INF), bfs_ref(src, dst, n, np.array([0])))).all()
+    finally:
+        ctx_plain.unpersist()
+        ctx_split.unpersist()
+
+
+# -- weighted SSSP ------------------------------------------------------------
+
+def test_sssp_matches_reference_and_networkx(spark, synth_ctx):
+    import networkx as nx
+
+    g, ctx = synth_ctx
+    src, dst, w, n = edges_numpy(g)
+    sources = spark.createDataFrame([(0,)], "vid long")
+    res = run_program(ctx, SSSPProgram(sources), max_iter=200)
+    assert res.converged
+    dist = _col(res.state, "dist", n, fill=np.inf).astype(np.float64)
+
+    ref = sssp_ref(src, dst, w, n, np.array([0]))
+    finite = np.isfinite(ref)
+    assert (np.isfinite(dist) == finite).all()
+    assert np.allclose(dist[finite], ref[finite])
+
+    G = nx.DiGraph()
+    G.add_nodes_from(range(n))
+    for s, d, ww in zip(src, dst, w):
+        # engine relaxes on the pre-SUMMED simple edge table (esum)
+        if G.has_edge(s, d):
+            G[s][d]["weight"] += float(ww)
+        else:
+            G.add_edge(s, d, weight=float(ww))
+    nxd = nx.single_source_dijkstra_path_length(G, 0)
+    for v in range(n):
+        if v in nxd:
+            assert abs(dist[v] - nxd[v]) < 1e-9
+        else:
+            assert not np.isfinite(dist[v])
+
+
+def test_sssp_hub_split_equals_unsplit(spark):
+    """Forced DIRECTED hub split: the broadcast hub path must relax on the
+    raw w column and give identical distances."""
+    g = build_graph(micro_transcripts(spark, "star_hub"), distributed_ids=False)
+    src, dst, w, n = edges_numpy(g)
+    sources = spark.createDataFrame([(0,)], "vid long")
+    ctx_plain = GraphContext.build(g, 4)
+    # star_hub's hub is on the IN side; the directed split keys on
+    # out-degree, so theta=0 forces every src through the broadcast path
+    ctx_split = GraphContext.build(g, 4, hub_theta=0, hub_floor=0)
+    try:
+        assert ctx_split.hub_edges is not None
+        d1 = _col(run_program(ctx_plain, SSSPProgram(sources), max_iter=50).state, "dist", n, fill=np.inf)
+        d2 = _col(run_program(ctx_split, SSSPProgram(sources), max_iter=50).state, "dist", n, fill=np.inf)
+        f1, f2 = np.isfinite(d1), np.isfinite(d2)
+        assert (f1 == f2).all()
+        assert np.allclose(d1[f1], d2[f2])
+        ref = sssp_ref(src, dst, w, n, np.array([0]))
+        assert (np.isfinite(ref) == f1).all()
+        assert np.allclose(d1[f1], ref[np.isfinite(ref)])
     finally:
         ctx_plain.unpersist()
         ctx_split.unpersist()
