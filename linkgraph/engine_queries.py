@@ -262,9 +262,11 @@ def registry():
     from .hits import engine_hits
     from .kcore import engine_kcore
     from .linkpred import (
+        SQL_ADAMIC_ADAR,
         SQL_CLUSTERING_COEFF,
         SQL_DEGREE_HIST,
         SQL_JACCARD_PAIRS,
+        q_adamic_adar,
         q_clustering_coeff,
         q_degree_hist,
         q_jaccard_pairs,
@@ -283,5 +285,6 @@ def registry():
         "engine_hits": (engine_hits, hits_fixed_sql(5, 20)),
         "clustering_coeff": (q_clustering_coeff, SQL_CLUSTERING_COEFF),
         "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
+        "adamic_adar": (q_adamic_adar, SQL_ADAMIC_ADAR),
         "degree_hist": (q_degree_hist, SQL_DEGREE_HIST),
     }

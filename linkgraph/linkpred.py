@@ -109,6 +109,42 @@ def jaccard_pairs(graph: GraphTables, max_deg: int | None = None) -> DataFrame:
     )
 
 
+def adamic_adar_pairs(graph: GraphTables, max_deg: int | None = None) -> DataFrame:
+    """Adamic-Adar link-prediction scores for NON-adjacent pairs:
+    AA(p, q) = Σ_{n ∈ N(p)∩N(q)} 1/ln(deg(n)) — common neighbors weighted by
+    how selective they are.  Same wedge shape and ``max_deg`` hub knob as
+    jaccard_pairs.  (A common neighbor has deg >= 2 by construction, so
+    ln(deg) > 0 always.)"""
+    und = undirected_simple_edges(graph.edges).localCheckpoint()
+    adj = und.select(F.col("u").alias("v"), F.col("v").alias("nb")).unionByName(
+        und.select(F.col("v").alias("v"), F.col("u").alias("nb"))
+    )
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+
+    thru = adj.join(
+        deg.select(F.col("v").alias("nb"), F.col("deg").alias("nb_deg")), "nb"
+    )
+    if max_deg is not None:
+        thru = thru.where(F.col("nb_deg") <= max_deg)
+
+    x = thru.select("nb", "nb_deg", F.col("v").alias("p"))
+    y = thru.select(F.col("nb"), F.col("v").alias("q"))
+    scores = (
+        x.join(y, "nb")
+        .where(F.col("p") < F.col("q"))
+        .groupBy("p", "q")
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.sum(1.0 / F.log(F.col("nb_deg"))).alias("aa"),
+        )
+    )
+    return scores.join(
+        und.withColumnRenamed("u", "p").withColumnRenamed("v", "q"),
+        ["p", "q"],
+        "left_anti",
+    )
+
+
 def degree_histogram(graph: GraphTables) -> DataFrame:
     """Out-degree distribution over the DISTINCT directed simple edge set:
     (out_deg, n_vertices), zero-out-degree vertices included."""
@@ -306,6 +342,53 @@ JOIN deg dp ON dp.v = c.p
 JOIN deg dq ON dq.v = c.q
 ORDER BY round(CAST(c.common AS DOUBLE) / (dp.deg + dq.deg - c.common), 6) DESC,
          c.p, c.q
+LIMIT 20
+"""
+)
+
+
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 non-adjacent pairs of the affinity bipartite graph by
+    Adamic-Adar score (hub intermediaries excluded like jaccard_pairs)."""
+    g = _affinity_graph(spark, sf_dir)
+    aa = adamic_adar_pairs(g, max_deg=_JACCARD_MAX_DEG)
+    vp = g.vertices.select(F.col("vid").alias("p"), F.col("vkey").alias("p_key"))
+    vq = g.vertices.select(F.col("vid").alias("q"), F.col("vkey").alias("q_key"))
+    return (
+        aa.join(vp, "p")
+        .join(vq, "q")
+        .select("p_key", "q_key", "common", F.round("aa", 6).alias("aa"))
+        .orderBy(F.desc(F.round("aa", 6)), "p_key", "q_key")
+        .limit(20)
+    )
+
+
+SQL_ADAMIC_ADAR = (
+    "WITH "
+    + _AFF_SQL_CTES
+    + f""",
+adj AS (
+  SELECT u AS v, v AS nb FROM aff UNION ALL SELECT v AS v, u AS nb FROM aff
+), deg AS (
+  SELECT v, count(*) AS deg FROM adj GROUP BY v
+), thru AS (
+  SELECT a.v, a.nb, d.deg AS nb_deg
+  FROM adj a JOIN deg d ON d.v = a.nb
+  WHERE d.deg <= {_JACCARD_MAX_DEG}
+), scores AS (
+  SELECT x.v AS p, y.v AS q, count(*) AS common,
+         sum(1.0 / ln(x.nb_deg)) AS aa
+  FROM thru x JOIN thru y ON x.nb = y.nb AND x.v < y.v
+  GROUP BY x.v, y.v
+), cand AS (
+  SELECT s.* FROM scores s
+  LEFT JOIN (SELECT least(u, v) AS lu, greatest(u, v) AS gv FROM aff) e
+    ON e.lu = s.p AND e.gv = s.q
+  WHERE e.lu IS NULL
+)
+SELECT p AS p_key, q AS q_key, common, round(aa, 6) AS aa
+FROM cand
+ORDER BY round(aa, 6) DESC, p, q
 LIMIT 20
 """
 )

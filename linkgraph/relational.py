@@ -212,9 +212,13 @@ WHERE EXISTS (SELECT 1 FROM orders
 
 
 def q_anti_customers(spark, sf_dir):
-    """Left anti: customers with no orders at all (op 13)."""
+    """Left anti: customers with no high-value (>300k) order (op 13).
+
+    The price predicate keeps the row non-vacuous: in the driver testdata
+    every customer has at least one order, so 'no orders at all' returns 0
+    rows on both engines — a gate that can never fail."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
@@ -222,7 +226,8 @@ def q_anti_customers(spark, sf_dir):
 
 SQL_ANTI_CUSTOMERS = """
 SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
 """
 
 

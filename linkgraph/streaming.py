@@ -138,6 +138,59 @@ def streaming_edge_counts(edge_keys: DataFrame) -> DataFrame:
     )
 
 
+def streaming_turn_rate(
+    transcripts: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Watermarked tumbling-window turn counts per role (§2.11 late-data
+    handling): event-time windows over ``ts``, with the watermark bounding
+    how late a turn may arrive and still be counted.  In append mode a
+    window row is emitted exactly once, when the watermark passes its end —
+    the streaming form of ``relational.q_time_window``'s batch window()
+    aggregation.  State is O(open windows × roles) and expires with the
+    watermark, so the query runs indefinitely without state growth."""
+    return (
+        transcripts.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window).alias("win"),
+            F.lower(F.trim(F.col("role"))).alias("actor_key"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "actor_key",
+            "n_turns",
+        )
+    )
+
+
+def turn_rate_available_now(
+    spark: SparkSession,
+    in_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "linkgraph_turn_rate",
+    max_files_per_trigger: int | None = 1,
+):
+    """Drain ``in_dir`` through the watermarked window aggregation in APPEND
+    mode (only watermark-finalized windows are emitted — the late-data
+    contract under test in tests/test_streaming.py)."""
+    rate = streaming_turn_rate(
+        stream_transcripts(spark, in_dir, max_files_per_trigger)
+    )
+    q = (
+        rate.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def ingest_available_now(
     spark: SparkSession,
     in_dir: str,

@@ -245,6 +245,27 @@ def test_jaccard_pairs_vs_networkx(spark, synth_ctx):
     assert len(got) == expected
 
 
+def test_adamic_adar_vs_networkx(spark, synth_ctx):
+    import networkx as nx
+
+    from linkgraph.linkpred import adamic_adar_pairs
+
+    g, _ctx = synth_ctx
+    src, dst, _w, n = edges_numpy(g)
+    G = nx.Graph()
+    G.add_nodes_from(range(n))
+    G.add_edges_from((s, d) for s, d in zip(src, dst) if s != d)
+
+    out = adamic_adar_pairs(g).toPandas()
+    assert len(out) > 0
+    for r in out.itertuples():
+        p, q = int(r.p), int(r.q)
+        assert not G.has_edge(p, q)
+        nxa = next(iter(nx.adamic_adar_index(G, [(p, q)])))[2]
+        assert abs(float(r.aa) - nxa) < 1e-9
+        assert int(r.common) == len(set(G[p]) & set(G[q]))
+
+
 def test_jaccard_max_deg_excludes_hub_wedges(spark):
     """star_hub: every leaf pair shares only the hub; max_deg below the hub
     degree must yield no candidates."""

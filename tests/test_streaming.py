@@ -150,3 +150,78 @@ def test_streaming_resume_from_checkpoint(spark, landing_dirs):
     # the restart really did new work (file-source log skipped part_0,
     # processed part_1) and the totals grew past the pre-restart table
     assert sum(got.values()) > sum(partial.values())
+
+
+def test_streaming_windowed_agg_watermark_drops_late_rows(spark, landing_dirs):
+    """Watermarked tumbling-window turn rate (streaming.streaming_turn_rate,
+    APPEND mode): the §2.11 late-data contract AS SPARK GUARANTEES IT —
+    (a) a window row is emitted exactly once, with the on-time counts, when
+    the watermark passes its end; (b) a still-open window is withheld;
+    (c) a row arriving after its window was finalized must NOT mutate the
+    already-emitted row.  (Dropping very-late rows outright is documented
+    best-effort in Spark — "may or may not be aggregated" — so the late row
+    is allowed to surface as its own supplementary emission, measured here,
+    but never to corrupt a finalized count.)
+
+    Batch 0 carries ts up to 250s (watermark -> 220s at batch end); batch 1
+    carries a LATE row (ts=15s, window [0,60) already finalized) plus a
+    fresh row at 400s."""
+    import datetime as _dt
+    import time as _time
+
+    in_dir, ck_dir = landing_dirs
+    base = _dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def rows(specs):
+        return spark.createDataFrame(
+            [
+                (conv, idx, role, "txt", None, base + _dt.timedelta(seconds=s))
+                for conv, idx, role, s in specs
+            ],
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp",
+        )
+
+    def land(df, name, mtime):
+        tmp = os.path.join(in_dir, f"_stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(
+            os.path.join(tmp, f_) for f_ in os.listdir(tmp) if f_.endswith(".parquet")
+        )
+        dst = os.path.join(in_dir, f"{name}.parquet")
+        shutil.copyfile(src, dst)
+        os.utime(dst, (mtime, mtime))
+        shutil.rmtree(tmp)
+
+    now = _time.time()
+    land(
+        rows([("c0", 0, "A", 10), ("c1", 0, "A", 30), ("c0", 1, "B", 70), ("c0", 2, "A", 250)]),
+        "f0",
+        now,
+    )
+    land(rows([("c2", 0, "B", 15), ("c2", 1, "A", 400)]), "f1", now + 60)
+
+    from linkgraph.streaming import turn_rate_available_now
+
+    q = turn_rate_available_now(
+        spark, in_dir, ck_dir, query_name="t_turn_rate", max_files_per_trigger=1
+    )
+    assert not q.isActive
+    rows_out = spark.table("t_turn_rate").collect()
+    from collections import defaultdict
+
+    emissions = defaultdict(list)
+    for r in rows_out:
+        emissions[(r["win_start"], r["actor_key"])].append(r["n_turns"])
+    w0 = base  # [0, 60)
+    w1 = base + _dt.timedelta(seconds=60)  # [60, 120)
+    # (a) finalized windows emitted exactly once with the ON-TIME counts —
+    # the late ts=15s 'b' row must not have merged into a finalized row
+    assert emissions[(w0, "a")] == [2]
+    assert emissions[(w1, "b")] == [1]
+    # (c) the late row either vanished or surfaced as its own supplementary
+    # emission (Spark's best-effort drop) — never a corrupted merge
+    assert emissions.get((w0, "b"), []) in ([], [1])
+    # (b) the still-open window around ts=400s was withheld in append mode
+    w6 = base + _dt.timedelta(seconds=360)
+    assert (w6, "a") not in emissions
