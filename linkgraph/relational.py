@@ -810,6 +810,112 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+_SESSION_GAP_S = 28800  # 8 h idle gap -> new session (4.7k sessions at sf0.01)
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization of the event log (op 24/25 family composed
+    into the classic web-pipeline shape): a user's events split into
+    sessions wherever the idle gap exceeds ``_SESSION_GAP_S``.
+
+    ONE shuffle by ``user_id`` serves both window passes (lag to flag the
+    gap, running sum to number sessions) and the final per-session groupBy —
+    at 100 TB this is a single hash repartition of the event log; no
+    self-join, no collect.  Timestamps compared as int64 epoch-microseconds
+    on BOTH engines (unix_micros / epoch_us) so the gap predicate is exact
+    at the boundary; all output columns are integers, hash-exact."""
+    ev = _t(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("us", "event_id")
+    w = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        # ts is TIMESTAMP_NTZ; the session tz is pinned to UTC (session.py)
+        # so the cast is a tz-free reinterpretation matching DuckDB epoch_us
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    ).withColumn("prev_us", F.lag("us").over(order))
+    new_sess = (
+        F.col("prev_us").isNull()
+        | (F.col("us") - F.col("prev_us") > _SESSION_GAP_S * 1_000_000)
+    ).cast("long")
+    s = w.withColumn("sess", F.sum(new_sess).over(order))
+    return (
+        s.groupBy("user_id", "sess")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.max("us") - F.min("us")).alias("dur_us"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+    )
+
+
+SQL_SESSIONIZE = f"""
+WITH w AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+  FROM events
+), s AS (
+  SELECT user_id, event_type, us,
+         CAST(sum(CASE WHEN prev_us IS NULL
+                         OR us - prev_us > CAST({_SESSION_GAP_S} AS BIGINT) * 1000000
+                       THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT) AS sess
+  FROM w
+)
+SELECT user_id, sess, count(*) AS n_events,
+       max(us) - min(us) AS dur_us,
+       count(DISTINCT event_type) AS n_types
+FROM s GROUP BY user_id, sess
+"""
+
+
+def q_percent_rank(spark, sf_dir):
+    """percent_rank / cume_dist / first_value analytic windows (op 26
+    family) over customers within market segment, deterministic via the
+    c_custkey tiebreak; one shuffle on the partition key."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_mktsegment",
+        "c_custkey",
+        (F.round(F.percent_rank().over(w), 6) + 0.0).alias("pr"),
+        (F.round(F.cume_dist().over(w), 6) + 0.0).alias("cd"),
+        F.first("c_name").over(w).alias("poorest"),
+    )
+
+
+SQL_PERCENT_RANK = """
+SELECT c_mktsegment, c_custkey,
+       round(percent_rank() OVER w, 6) + 0.0 AS pr,
+       round(cume_dist() OVER w, 6) + 0.0 AS cd,
+       first_value(c_name) OVER w AS poorest
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+"""
+
+
+def q_cond_agg(spark, sf_dir):
+    """Conditional aggregation (op 17 family): count_if + filtered sum/avg
+    via CASE — the predicate lives inside the aggregate, so one map-side
+    combinable pass instead of N filtered scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    hi_disc = F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice"))
+    return li.groupBy("l_linestatus").agg(
+        F.count_if(F.col("l_quantity") > 25).alias("n_bulk"),
+        F.round(F.sum(F.coalesce(hi_disc, F.lit(0.0))), 2).alias("disc_rev"),
+        (F.round(F.avg(hi_disc), 4) + 0.0).alias("avg_disc_price"),
+    )
+
+
+SQL_COND_AGG = """
+SELECT l_linestatus,
+       count(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+       round(sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0 END), 2) AS disc_rev,
+       round(avg(CASE WHEN l_discount > 0.05 THEN l_extendedprice END), 4) + 0.0 AS avg_disc_price
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -843,6 +949,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "percentiles": (q_percentiles, SQL_PERCENTILES),
     "ntile_customers": (q_ntile_customers, SQL_NTILE_CUSTOMERS),
     "stats_agg": (q_stats_agg, SQL_STATS_AGG),
+    "sessionize_events": (q_sessionize, SQL_SESSIONIZE),
+    "percent_rank_cust": (q_percent_rank, SQL_PERCENT_RANK),
+    "cond_agg_lineitem": (q_cond_agg, SQL_COND_AGG),
     "array_words": (q_array_words, SQL_ARRAY_WORDS),
     "json_props": (q_json_props, SQL_JSON_PROPS),
     "higher_order_array": (q_higher_order_array, SQL_HIGHER_ORDER_ARRAY),
