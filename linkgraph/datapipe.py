@@ -485,6 +485,173 @@ FROM b GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# corpus statistics / sampling / packing (LLM training-data pipeline ops)
+# --------------------------------------------------------------------------
+
+def doc_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level TF-IDF: top-50 terms by summed tf·idf with
+    idf = ln((N+1)/(df+1)).  Two map-side-combinable groupBys over the
+    exploded token stream plus a broadcast 1-row corpus count — no collect,
+    no cross join on data; at 100 TB the token explode is the only wide
+    stage and it partial-aggregates before the shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_words(F.col("text"))).alias("word"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("word").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("total_tf")
+    )
+    tot = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.round(
+        F.col("total_tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6
+    ) + 0.0
+    return (
+        df.crossJoin(F.broadcast(tot))
+        .select("word", "df", "total_tf", score.alias("tfidf"))
+        .orderBy(F.desc("tfidf"), "word")
+        .limit(50)
+    )
+
+
+SQL_DOC_TFIDF = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents
+), tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY doc_id, word
+), dfreq AS (
+  SELECT word, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+  FROM tf GROUP BY word
+), n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT word, df, total_tf,
+       round(total_tf * ln((n_docs + 1.0) / (df + 1.0)), 6) + 0.0 AS tfidf
+FROM dfreq, n
+ORDER BY tfidf DESC, word
+LIMIT 50
+"""
+
+
+def doc_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram frequency top-20 (n-gram LM counts): bounded explode
+    (len-1 bigrams per doc) + one combinable groupBy."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(_words(F.col("text")).alias("w"))
+    bg = w.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("w") - 1, F.lit(0))),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(F.col("w"), i), F.element_at(F.col("w"), i + 1)
+                ),
+            )
+        ).alias("bigram")
+    )
+    return (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(20)
+    )
+
+
+SQL_DOC_BIGRAM = """
+WITH bg AS (
+  SELECT unnest(list_transform(
+           generate_series(1, greatest(len(w) - 1, 0)),
+           i -> concat_ws(' ', w[i], w[i+1])
+         )) AS bigram
+  FROM (SELECT string_split(lower(trim(text)), ' ') AS w FROM documents)
+)
+SELECT bigram, count(*) AS n FROM bg
+GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+"""
+
+
+_STRAT_RATE_EN = 20   # keep 20% of the majority class...
+_STRAT_RATE_OTHER = 50  # ...and 50% of everything else (class rebalancing)
+
+
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum (language) sampling — class rebalancing as
+    a pure column expression: keep a doc iff its salted md5 bucket falls
+    under its stratum's rate.  Stable across runs/engines like doc_split
+    (same narrow-scan posture); the per-stratum accounting is the gate."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        _md5_int(F.concat_ws(":", F.lit("strat"), F.col("doc_id").cast("string"))),
+        F.lit(100),
+    )
+    rate = F.when(F.col("lang") == "en", F.lit(_STRAT_RATE_EN)).otherwise(
+        F.lit(_STRAT_RATE_OTHER)
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum((bucket < rate).cast("long")).alias("n_sampled"),
+    )
+
+
+SQL_DOC_STRATIFIED = f"""
+WITH b AS (
+  SELECT lang,
+         {_sql_md5_int("concat_ws(':', 'strat', CAST(doc_id AS VARCHAR))")} % 100 AS bucket,
+         CASE WHEN lang = 'en' THEN {_STRAT_RATE_EN} ELSE {_STRAT_RATE_OTHER} END AS rate
+  FROM documents
+)
+SELECT lang, count(*) AS n_total,
+       CAST(sum(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM b GROUP BY lang
+"""
+
+
+_PACK_SHARDS = 32   # pack within hash shards — NO global cumulative sum
+_PACK_BIN_TOKENS = 256  # gate-scale context length (prod: 2048/4096/8192)
+
+
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training: concatenate documents into
+    fixed-token-budget bins.  Docs are hash-sharded, then a running token
+    count WITHIN each shard assigns each doc to the bin its first token
+    falls in (greedy contiguous packing).  The cumulative sum is per-shard —
+    a global running sum would serialize on one partition at 100 TB; here
+    each shard packs independently after ONE shuffle, which is how
+    production packers scale (pack per output file)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.size(_words(F.col("text"))).alias("n_tokens"),
+        F.pmod(
+            _md5_int(F.concat_ws(":", F.lit("pack"), F.col("doc_id").cast("string"))),
+            F.lit(_PACK_SHARDS),
+        ).alias("shard"),
+    )
+    cum = F.sum("n_tokens").over(Window.partitionBy("shard").orderBy("doc_id"))
+    seq = F.floor((cum - F.col("n_tokens")) / F.lit(_PACK_BIN_TOKENS))
+    return (
+        t.withColumn("seq", seq)
+        .groupBy("shard", "seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+    )
+
+
+SQL_DOC_PACK = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(string_split(lower(trim(text)), ' ')) AS n_tokens,
+         {_sql_md5_int("concat_ws(':', 'pack', CAST(doc_id AS VARCHAR))")} % {_PACK_SHARDS} AS shard
+  FROM documents
+), s AS (
+  SELECT shard, n_tokens,
+         CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+                     - n_tokens) / {_PACK_BIN_TOKENS}.0) AS BIGINT) AS seq
+  FROM t
+)
+SELECT shard, seq, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+FROM s GROUP BY shard, seq
+"""
+
+
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
     return {
         "doc_split": (doc_split, SQL_DOC_SPLIT),
@@ -497,4 +664,8 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "doc_langid": (doc_langid, SQL_DOC_LANGID),
         "doc_fingerprint": (doc_fingerprint, SQL_DOC_FINGERPRINT),
         "ann_topk_cosine": (ann_topk_cosine, SQL_ANN_TOPK),
+        "doc_tfidf": (doc_tfidf, SQL_DOC_TFIDF),
+        "doc_bigram_topk": (doc_bigram_topk, SQL_DOC_BIGRAM),
+        "doc_stratified_sample": (doc_stratified_sample, SQL_DOC_STRATIFIED),
+        "doc_pack_sequences": (doc_pack_sequences, SQL_DOC_PACK),
     }
