@@ -138,6 +138,25 @@ def streaming_edge_counts(edge_keys: DataFrame) -> DataFrame:
     )
 
 
+def streaming_enriched_edges(edge_keys: DataFrame, actor_dim: DataFrame) -> DataFrame:
+    """Stream-static broadcast join (§2.11 enrichment pattern): tag each
+    streamed edge delta with the static actor dimension's attributes.
+
+    Stream-static INNER/LEFT joins are stateless in Structured Streaming —
+    no watermark, no join state — because the static side is re-broadcast
+    per micro-batch; with ``F.broadcast`` the per-batch plan is a broadcast
+    hash join, so at 100 TB/day of deltas the dim never shuffles the
+    stream.  (Static side: small actor/tool dimension — the same table the
+    batch engine broadcasts in relational joins.)"""
+    dim = F.broadcast(
+        actor_dim.select(
+            F.col("actor_key").alias("src_key"),
+            F.col("tier").alias("src_tier"),
+        )
+    )
+    return edge_keys.join(dim, "src_key", "left")
+
+
 def streaming_turn_rate(
     transcripts: DataFrame,
     window: str = "1 minute",

@@ -225,3 +225,84 @@ def test_streaming_windowed_agg_watermark_drops_late_rows(spark, landing_dirs):
     # (b) the still-open window around ts=400s was withheld in append mode
     w6 = base + _dt.timedelta(seconds=360)
     assert (w6, "a") not in emissions
+
+
+def test_stream_static_broadcast_join_equals_batch(spark, landing_dirs):
+    """Stream-static enrichment (streaming.streaming_enriched_edges): the
+    streamed edge deltas left-joined to a static actor dimension must equal
+    the batch derivation joined to the same dim — including edges whose
+    source actor is absent from the dim (NULL tier survives the join)."""
+    in_dir, ck_dir = landing_dirs
+    t = synth_transcripts(spark, n_conversations=20, seed=7).orderBy(
+        "conv_id", "turn_idx"
+    )
+    pdf = t.toPandas()
+    n = len(pdf)
+    import time as _time
+
+    now = _time.time()
+    for i, (lo, hi) in enumerate([(0, n // 2), (n // 2, n)]):
+        tmp = os.path.join(in_dir, f"_b{i}")
+        spark.createDataFrame(pdf.iloc[lo:hi]).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        src = next(
+            os.path.join(tmp, f_) for f_ in os.listdir(tmp) if f_.endswith(".parquet")
+        )
+        dst = os.path.join(in_dir, f"part_{i}.parquet")
+        shutil.copyfile(src, dst)
+        os.utime(dst, (now + i, now + i))
+        shutil.rmtree(tmp)
+
+    # static dim: tier for a SUBSET of actors (tool actors untiered -> NULL)
+    actors = sorted(
+        {r["role"].strip().lower() for r in pdf[["role"]].drop_duplicates().to_dict("records")}
+    )
+    dim = spark.createDataFrame(
+        [(a, "gold" if i % 2 == 0 else "basic") for i, a in enumerate(actors[:-1])],
+        "actor_key string, tier string",
+    )
+
+    from linkgraph.streaming import (
+        stream_transcripts,
+        streaming_edge_keys,
+        streaming_enriched_edges,
+    )
+
+    enriched = streaming_enriched_edges(
+        streaming_edge_keys(stream_transcripts(spark, in_dir, 1)), dim
+    )
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_enriched")
+        .option("checkpointLocation", ck_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    def counts(rows):
+        from collections import Counter
+
+        return Counter(
+            (r["src_key"], r["dst_key"], r["etype"], r["src_tier"]) for r in rows
+        )
+
+    got = counts(spark.table("t_enriched").collect())
+    want = counts(
+        edge_keys(t)
+        .join(
+            F.broadcast(
+                dim.select(
+                    F.col("actor_key").alias("src_key"),
+                    F.col("tier").alias("src_tier"),
+                )
+            ),
+            "src_key",
+            "left",
+        )
+        .collect()
+    )
+    assert got == want
+    assert any(k[3] is None for k in got)  # untiered actor really exercised
