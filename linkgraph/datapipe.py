@@ -652,6 +652,49 @@ FROM s GROUP BY shard, seq
 """
 
 
+_CHUNK_W = 32   # gate-scale context window (prod: 2048+)
+_CHUNK_S = 24   # stride -> 8-token overlap between consecutive chunks
+
+
+def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking — the canonical LLM preprocessing
+    step (split every document into windows of ``_CHUNK_W`` tokens at stride
+    ``_CHUNK_S``).  Pure Catalyst: sequence→explode→slice, no UDF, so the
+    whole op stays inside whole-stage codegen; output volume is
+    tokens/stride per doc (bounded explode), and the op is embarrassingly
+    parallel — no shuffle at all until a downstream agg."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", _words(F.col("text")).alias("w"))
+    c = w.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("w"), F.lit(1)), F.lit(_CHUNK_S))
+        ).alias("start"),
+        "w",
+    )
+    return c.select(
+        "doc_id",
+        "start",
+        F.size(F.slice(F.col("w"), F.col("start"), _CHUNK_W)).alias("n_tok"),
+        F.element_at(F.col("w"), F.col("start")).alias("head"),
+    )
+
+
+SQL_DOC_CHUNK = f"""
+WITH w AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+), c AS (
+  SELECT doc_id, w,
+         unnest(generate_series(1, greatest(len(w), 1), {_CHUNK_S})) AS start
+  FROM w
+)
+SELECT doc_id, start,
+       len(list_slice(w, start, start + {_CHUNK_W} - 1)) AS n_tok,
+       w[start] AS head
+FROM c
+"""
+
+
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
     return {
         "doc_split": (doc_split, SQL_DOC_SPLIT),
@@ -668,4 +711,5 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "doc_bigram_topk": (doc_bigram_topk, SQL_DOC_BIGRAM),
         "doc_stratified_sample": (doc_stratified_sample, SQL_DOC_STRATIFIED),
         "doc_pack_sequences": (doc_pack_sequences, SQL_DOC_PACK),
+        "doc_chunk": (doc_chunk, SQL_DOC_CHUNK),
     }
