@@ -55,6 +55,11 @@ def load_transcripts(spark: SparkSession, ref: str, fmt: str = "parquet") -> Dat
             F.col("tool").cast("string"),
             F.col("ts").cast("timestamp"),
         )
+    if fmt == "jsonl":
+        # newline-delimited JSON landing logs (the common pre-Iceberg
+        # transcript format); declared schema — no sampling inference pass,
+        # which at 100 TB would be a full extra scan
+        return spark.read.schema(TRANSCRIPT_SCHEMA).json(ref)
     return spark.read.schema(TRANSCRIPT_SCHEMA).parquet(ref)
 
 

@@ -210,6 +210,39 @@ def turn_rate_available_now(
     return q
 
 
+def ingest_to_parquet(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = 1,
+):
+    """Durable production sink: edge-key DELTAS appended to a parquet
+    directory under the file sink's ``_spark_metadata`` transaction log —
+    a batch is recorded in the log only after its files are committed, so
+    a killed/restarted query never duplicates or drops a delta
+    (exactly-once file sink, the durable twin of the memory-sink tests).
+
+    The parquet file sink is append-only, so the running edge WEIGHTS are
+    not maintained here: they are one combinable batch groupBy over the
+    delta log (cheap, and exactly ``derive.build_edges``'s shape), which
+    keeps the streaming side stateless beyond the pairing state and the
+    sink idempotent."""
+    keys = streaming_edge_keys(
+        stream_transcripts(spark, in_dir, max_files_per_trigger)
+    )
+    q = (
+        keys.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def ingest_available_now(
     spark: SparkSession,
     in_dir: str,

@@ -306,3 +306,83 @@ def test_stream_static_broadcast_join_equals_batch(spark, landing_dirs):
     )
     assert got == want
     assert any(k[3] is None for k in got)  # untiered actor really exercised
+
+
+def test_parquet_file_sink_exactly_once_across_restart(spark, landing_dirs):
+    """Durable sink (streaming.ingest_to_parquet): edge deltas land in a
+    parquet dir under the file sink's _spark_metadata log.  Drain, restart
+    with no new input (no-op), land one more file, drain again — the delta
+    log must equal the batch derivation exactly, with no duplicates from
+    the restart."""
+    in_dir, ck_dir = landing_dirs
+    out_dir = tempfile.mkdtemp(prefix="lg_stream_out_")
+    try:
+        t = synth_transcripts(spark, n_conversations=15, seed=11).orderBy(
+            "conv_id", "turn_idx"
+        )
+        pdf = t.toPandas()
+        n = len(pdf)
+        import time as _time
+
+        now = _time.time()
+
+        def land(lo, hi, name, mtime):
+            tmp = os.path.join(in_dir, f"_b_{name}")
+            spark.createDataFrame(pdf.iloc[lo:hi]).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            src = next(
+                os.path.join(tmp, f_)
+                for f_ in os.listdir(tmp)
+                if f_.endswith(".parquet")
+            )
+            shutil.copyfile(src, os.path.join(in_dir, f"{name}.parquet"))
+            os.utime(
+                os.path.join(in_dir, f"{name}.parquet"), (mtime, mtime)
+            )
+            shutil.rmtree(tmp)
+
+        from linkgraph.streaming import ingest_to_parquet
+
+        land(0, n // 2, "p0", now)
+        ingest_to_parquet(spark, in_dir, out_dir, ck_dir)
+        # restart with nothing new: must be a no-op, not a re-append
+        ingest_to_parquet(spark, in_dir, out_dir, ck_dir)
+        land(n // 2, n, "p1", now + 60)
+        ingest_to_parquet(spark, in_dir, out_dir, ck_dir)
+
+        got = (
+            spark.read.parquet(out_dir)
+            .groupBy("src_key", "dst_key", "etype")
+            .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        )
+        assert _edge_counts_oracle(t) == {
+            (r["src_key"], r["dst_key"], r["etype"]): float(r["w"])
+            for r in got.collect()
+        }
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def test_jsonl_transcript_source(spark, landing_dirs):
+    """io.load_transcripts(fmt='jsonl') reads newline-delimited JSON with
+    the DECLARED schema and matches the parquet load row-for-row."""
+    in_dir, _ = landing_dirs
+    t = synth_transcripts(spark, n_conversations=8, seed=3)
+    pq = os.path.join(in_dir, "pq")
+    js = os.path.join(in_dir, "js")
+    t.write.mode("overwrite").parquet(pq)
+    t.selectExpr(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        "date_format(ts, \"yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX\") AS ts",
+    ).write.mode("overwrite").json(js)
+
+    from linkgraph.io import load_transcripts
+
+    a = load_transcripts(spark, pq, fmt="parquet")
+    b = load_transcripts(spark, js, fmt="jsonl")
+    assert a.schema == b.schema
+    key = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    assert sorted(map(tuple, a.select(key).collect())) == sorted(
+        map(tuple, b.select(key).collect())
+    )
