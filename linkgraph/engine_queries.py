@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from .flagship import events_graph
 from .graph_oracles import (
     bfs_fixed_sql,
+    harmonic_fixed_sql,
     labelprop_fixed_sql,
     pagerank_fixed_sql,
     ppr_fixed_sql,
@@ -212,6 +213,51 @@ def engine_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_ENGINE_BFS = bfs_fixed_sql(_BFS_STEPS)
 
+_HARMONIC_SEEDS = 3
+
+
+def engine_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark harmonic centrality: one fixed-6-superstep BFS per seed
+    (the 3 lowest-vkey vertices == vids 0..2 under sorted assignment),
+    reduced to harmonic(v) = Σ_{s: 0<d(s,v)<=6} 1/d(s,v).
+
+    Landmark BFS is the standard scale path for distance centralities —
+    exact all-pairs is Θ(V·E); k independent BFS runs are k× the engine's
+    frontier-sparse superstep cost and embarrassingly parallel across
+    landmarks on a real cluster (here run serially on the shared CSR ctx).
+    Hash-checked against graph_oracles.harmonic_fixed_sql."""
+    g, ctx = _events_ctx(spark, sf_dir)
+    try:
+        parts = []
+        for s in range(_HARMONIC_SEEDS):
+            src = spark.createDataFrame([(s,)], "vid long")
+            res = run_program(ctx, BFSProgram(src), fixed_iters=_BFS_STEPS)
+            parts.append(
+                res.state.where(F.col("dist") < F.lit(int(BFS_INF))).select(
+                    "vid", "dist"
+                )
+            )
+        alld = parts[0]
+        for p in parts[1:]:
+            alld = alld.unionByName(p)
+        inv = F.when(F.col("dist") > 0, 1.0 / F.col("dist"))
+        return (
+            alld.groupBy("vid")
+            .agg(
+                F.count_if(F.col("dist") > 0).alias("n_reached"),
+                (F.round(F.coalesce(F.sum(inv), F.lit(0.0)), 6) + 0.0).alias(
+                    "harmonic"
+                ),
+            )
+            .join(g.vertices.select("vid", "vkey"), "vid")
+            .select("vkey", "n_reached", "harmonic")
+        )
+    finally:
+        ctx.unpersist()
+
+
+SQL_ENGINE_HARMONIC = harmonic_fixed_sql(_BFS_STEPS, _HARMONIC_SEEDS)
+
 
 def engine_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSR-path weighted SSSP (Bellman-Ford gather-scatter), FIXED 6
@@ -280,6 +326,7 @@ def registry():
         "engine_labelprop": (engine_labelprop, SQL_ENGINE_LABELPROP),
         "engine_kcore": (engine_kcore, kcore_fixed_sql(3, 8)),
         "engine_bfs": (engine_bfs, SQL_ENGINE_BFS),
+        "engine_harmonic": (engine_harmonic, SQL_ENGINE_HARMONIC),
         "engine_sssp": (engine_sssp, SQL_ENGINE_SSSP),
         "engine_ppr": (engine_ppr, SQL_ENGINE_PPR),
         "engine_hits": (engine_hits, hits_fixed_sql(5, 20)),

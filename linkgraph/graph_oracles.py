@@ -294,3 +294,43 @@ def kcore_fixed_sql(k: int, iters: int) -> str:
         f"JOIN a{iters} x ON u.a = x.vkey JOIN a{iters} y ON u.b = y.vkey GROUP BY u.a)"
     )
     return "WITH " + ",\n".join(ctes) + "\nSELECT vkey, c AS core_deg FROM dfin"
+
+
+def harmonic_fixed_sql(k: int, n_seeds: int) -> str:
+    """Unrolled k-superstep LANDMARK BFS from the ``n_seeds`` lowest-vkey
+    vertices over the undirected simple events graph, reduced to per-vertex
+    harmonic centrality over the landmark sample:
+    harmonic(v) = Σ_{s: 0 < d(s,v) <= k} 1/d(s,v).  Mirrors
+    engine_queries.engine_harmonic (one pregel.BFSProgram run per seed)."""
+    ctes = [
+        _GRAPH_CTES,
+        "und AS (SELECT DISTINCT a, b FROM ("
+        "SELECT s AS a, t AS b FROM ek WHERE s <> t "
+        "UNION ALL SELECT t AS a, s AS b FROM ek WHERE s <> t))",
+        f"seeds AS (SELECT vkey AS seed FROM v ORDER BY vkey LIMIT {n_seeds})",
+        "h0 AS (SELECT s.seed, v.vkey, "
+        "CASE WHEN v.vkey = s.seed THEN 0 END AS dist "
+        "FROM v CROSS JOIN seeds s)",
+    ]
+    for i in range(1, k + 1):
+        p = f"h{i - 1}"
+        ctes.append(
+            f"hm{i} AS (SELECT p.seed, u.a AS vkey, min(p.dist) + 1 AS nd "
+            f"FROM und u JOIN {p} p ON p.vkey = u.b "
+            f"WHERE p.dist IS NOT NULL GROUP BY p.seed, u.a)"
+        )
+        ctes.append(
+            f"h{i} AS (SELECT p.seed, p.vkey, CASE "
+            f"WHEN p.dist IS NULL THEN m.nd "
+            f"WHEN m.nd IS NULL THEN p.dist "
+            f"ELSE least(p.dist, m.nd) END AS dist "
+            f"FROM {p} p LEFT JOIN hm{i} m USING (seed, vkey))"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT vkey,
+       CAST(count(CASE WHEN dist > 0 THEN 1 END) AS BIGINT) AS n_reached,
+       round(coalesce(sum(CASE WHEN dist > 0 THEN 1.0 / dist END), 0.0), 6) + 0.0 AS harmonic
+FROM h{k} WHERE dist IS NOT NULL GROUP BY vkey
+"""
+    )

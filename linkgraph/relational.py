@@ -810,6 +810,47 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_posexplode(spark, sf_dir):
+    """posexplode — lateral view with ordinality (op 37 family): token
+    stream with 1-based positions; narrow, no shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.where(F.col("doc_id") < 100)
+        .select("doc_id", F.posexplode(F.split(F.lower(F.trim(F.col("text"))), " ")))
+        .select("doc_id", (F.col("pos") + 1).alias("pos"), F.col("col").alias("word"))
+    )
+
+
+SQL_POSEXPLODE = """
+SELECT doc_id, g.i AS pos, w[g.i] AS word
+FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+      FROM documents WHERE doc_id < 100),
+     LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g
+"""
+
+
+def q_agg_strings(spark, sf_dir):
+    """Ordered string aggregation (collect_set + sort + join — op 17/37
+    family): per nation, the sorted distinct market segments as one string.
+    Emitted as a joined string rather than an array so the cross-engine
+    hash compares a scalar, not engine-specific array formatting."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.array_join(F.sort_array(F.collect_set("c_mktsegment")), ",").alias(
+            "segments"
+        ),
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+    )
+
+
+SQL_AGG_STRINGS = """
+SELECT c_nationkey,
+       string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+       count(DISTINCT c_mktsegment) AS n_segments
+FROM customer GROUP BY c_nationkey
+"""
+
+
 _SESSION_GAP_S = 28800  # 8 h idle gap -> new session (4.7k sessions at sf0.01)
 
 
@@ -950,6 +991,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ntile_customers": (q_ntile_customers, SQL_NTILE_CUSTOMERS),
     "stats_agg": (q_stats_agg, SQL_STATS_AGG),
     "sessionize_events": (q_sessionize, SQL_SESSIONIZE),
+    "posexplode_words": (q_posexplode, SQL_POSEXPLODE),
+    "agg_strings_nation": (q_agg_strings, SQL_AGG_STRINGS),
     "percent_rank_cust": (q_percent_rank, SQL_PERCENT_RANK),
     "cond_agg_lineitem": (q_cond_agg, SQL_COND_AGG),
     "array_words": (q_array_words, SQL_ARRAY_WORDS),

@@ -285,3 +285,38 @@ def test_degree_histogram_sums_to_vertex_count(spark, synth_ctx):
     want = {int(k): int(v) for k, v in zip(*np.unique(deg, return_counts=True))}
     got = {int(r.out_deg): int(r.n_vertices) for r in hist.itertuples()}
     assert got == want
+
+
+def test_harmonic_landmark_vs_networkx(spark, synth_ctx):
+    """Landmark harmonic centrality (engine_queries.engine_harmonic shape):
+    per-seed fixed-6-superstep BFS reduced to Σ 1/d must equal networkx
+    distances truncated at 6 hops, seed self-distances excluded."""
+    import networkx as nx
+
+    g, ctx = synth_ctx
+    src, dst, _w, n = edges_numpy(g)
+    K = 6
+    seeds = [0, 1, 2]
+
+    dists = []
+    for s in seeds:
+        res = run_program(
+            ctx,
+            BFSProgram(spark.createDataFrame([(s,)], "vid long")),
+            fixed_iters=K,
+        )
+        dists.append(_col(res.state, "dist", n))
+
+    G = nx.Graph()
+    G.add_nodes_from(range(n))
+    G.add_edges_from((a, b) for a, b in zip(src, dst) if a != b)
+
+    INF = int(BFS_INF)
+    for v in range(n):
+        got = sum(1.0 / d[v] for d in dists if 0 < d[v] < INF)
+        want = 0.0
+        for s in seeds:
+            nxd = nx.single_source_shortest_path_length(G, s).get(v)
+            if nxd is not None and 0 < nxd <= K:
+                want += 1.0 / nxd
+        assert abs(got - want) < 1e-12, (v, got, want)
