@@ -537,6 +537,43 @@ FROM orders
 """
 
 
+def q_approx_percentile(spark, sf_dir):
+    """approx_percentile (op 19 family, KLL-style quantile sketch) with a
+    rank-error-bounded gate, same pattern as q_approx_distinct: the sketch
+    median's TRUE rank must sit within 1% of n/2 (accuracy=10000 →
+    ~0.01% theoretical rank error; the gate leaves generous slack).  The
+    sketch value itself is engine-specific, so the row emits the exact
+    median + verdict."""
+    li = _t(spark, sf_dir, "lineitem")
+    apx = li.agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("apx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    rank = (
+        li.join(F.broadcast(apx))
+        .agg(
+            F.count_if(F.col("l_extendedprice") <= F.col("apx")).alias("rank_le"),
+            F.first("n").alias("n"),
+        )
+    )
+    exact = li.agg(
+        F.round(F.percentile("l_extendedprice", 0.5), 4).alias("exact_median")
+    )
+    return rank.join(F.broadcast(exact)).select(
+        "exact_median",
+        (F.abs(F.col("rank_le") - F.col("n") / 2.0) <= 0.01 * F.col("n"))
+        .cast("long")
+        .alias("approx_ok"),
+    )
+
+
+SQL_APPROX_PERCENTILE = """
+SELECT round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_median,
+       CAST(1 AS BIGINT) AS approx_ok
+FROM lineitem
+"""
+
+
 def q_array_words(spark, sf_dir):
     """explode(split()) word frequency over part names (op 37)."""
     p = _t(spark, sf_dir, "part")
@@ -986,6 +1023,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "time_window_day": (q_time_window, SQL_TIME_WINDOW),
     "grouping_sets_orders": (q_grouping_sets, SQL_GROUPING_SETS),
     "approx_distinct": (q_approx_distinct, SQL_APPROX_DISTINCT),
+    "approx_percentile": (q_approx_percentile, SQL_APPROX_PERCENTILE),
     "pivot_orders": (q_pivot_orders, SQL_PIVOT_ORDERS),
     "percentiles": (q_percentiles, SQL_PERCENTILES),
     "ntile_customers": (q_ntile_customers, SQL_NTILE_CUSTOMERS),
