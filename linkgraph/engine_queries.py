@@ -312,10 +312,12 @@ def registry():
         SQL_CLUSTERING_COEFF,
         SQL_DEGREE_HIST,
         SQL_JACCARD_PAIRS,
+        SQL_RANDOM_WALKS,
         q_adamic_adar,
         q_clustering_coeff,
         q_degree_hist,
         q_jaccard_pairs,
+        q_random_walks,
     )
     from .relational import SQL_TRIANGLE_COUNT
 
@@ -334,4 +336,5 @@ def registry():
         "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
         "adamic_adar": (q_adamic_adar, SQL_ADAMIC_ADAR),
         "degree_hist": (q_degree_hist, SQL_DEGREE_HIST),
+        "random_walks": (q_random_walks, SQL_RANDOM_WALKS),
     }

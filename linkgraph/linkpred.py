@@ -410,3 +410,123 @@ FROM allv v LEFT JOIN deg d USING (vkey)
 GROUP BY coalesce(d.out_deg, 0)
 """
 )
+
+
+# --------------------------------------------------------------------------
+# deterministic random walks (graph-ML corpus generation)
+# --------------------------------------------------------------------------
+
+_WALK_STEPS = 3
+
+
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random walks over the full events graph (turn + tool
+    edges) — the walk-corpus primitive behind DeepWalk/node2vec-style
+    embedding training, made engine-reproducible: at each step the walker
+    at ``cur`` moves to the out-neighbor minimizing
+    md5("walk:<step>:<start>:<neighbor>") — a salted hash pick that is a
+    uniform choice in distribution but bit-identical across engines and
+    runs (same trick as doc_split's bucketing).  Walkers with no out-edge
+    stay put (hops stops counting).
+
+    Scale posture: one walk per vertex, each step is ONE equi-join of the
+    frontier against the distinct edge list + a per-walk argmin — L
+    shuffle-joins total for length-L walks, data-proportional, no collect;
+    the standard distributed walk-corpus shape."""
+    from .datapipe import _md5_int
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    turn = (
+        ev.select(
+            F.col("event_type").alias("s"),
+            F.lead("event_type").over(w).alias("t"),
+        )
+        .where(F.col("t").isNotNull())
+    )
+    tool = ev.select(
+        F.concat(F.lit("user:"), F.col("user_id").cast("string")).alias("s"),
+        F.col("event_type").alias("t"),
+    )
+    ed = turn.unionByName(tool).distinct()
+    verts = (
+        ed.select(F.col("s").alias("vkey"))
+        .unionByName(ed.select(F.col("t").alias("vkey")))
+        .distinct()
+    )
+
+    cur = verts.select(
+        F.col("vkey").alias("start"),
+        F.col("vkey").alias("cur"),
+        F.lit(0).cast("long").alias("hops"),
+    )
+    for i in range(1, _WALK_STEPS + 1):
+        cand = cur.join(ed, cur.cur == ed.s).select(
+            "start",
+            F.col("t").alias("nxt"),
+            _md5_int(
+                F.concat_ws(":", F.lit("walk"), F.lit(str(i)), F.col("start"), F.col("t"))
+            ).alias("sc"),
+        )
+        pw = Window.partitionBy("start").orderBy("sc", "nxt")
+        pick = (
+            cand.withColumn("rn", F.row_number().over(pw))
+            .where(F.col("rn") == 1)
+            .select("start", "nxt")
+        )
+        cur = (
+            cur.join(pick, "start", "left")
+            .select(
+                "start",
+                F.coalesce(F.col("nxt"), F.col("cur")).alias("cur"),
+                (F.col("hops") + F.col("nxt").isNotNull().cast("long")).alias("hops"),
+            )
+        )
+    return cur.select(
+        F.col("start").alias("start_key"),
+        F.col("cur").alias("end_key"),
+        "hops",
+    )
+
+
+def _walks_sql(steps: int) -> str:
+    from .datapipe import _sql_md5_int
+
+    ctes = [
+        "base AS (SELECT user_id, event_type, ts, event_id FROM events)",
+        "turn AS (SELECT event_type AS s, "
+        "lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t "
+        "FROM base)",
+        "ek AS (SELECT s, t FROM turn WHERE t IS NOT NULL "
+        "UNION ALL SELECT 'user:' || CAST(user_id AS VARCHAR) AS s, event_type AS t FROM base)",
+        "ed AS (SELECT DISTINCT s, t FROM ek)",
+        "vv AS (SELECT DISTINCT vkey FROM "
+        "(SELECT s AS vkey FROM ed UNION ALL SELECT t AS vkey FROM ed))",
+        "w0 AS (SELECT vkey AS start, vkey AS cur, 0 AS hops FROM vv)",
+    ]
+    for i in range(1, steps + 1):
+        sc = _sql_md5_int(f"concat_ws(':', 'walk', '{i}', w.start, e.t)")
+        ctes.append(
+            f"c{i} AS (SELECT w.start, e.t AS nxt, {sc} AS sc "
+            f"FROM w{i - 1} w JOIN ed e ON e.s = w.cur)"
+        )
+        ctes.append(
+            f"p{i} AS (SELECT start, nxt FROM ("
+            f"SELECT start, nxt, row_number() OVER (PARTITION BY start ORDER BY sc, nxt) AS rn "
+            f"FROM c{i}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"w{i} AS (SELECT w.start, coalesce(p.nxt, w.cur) AS cur, "
+            f"w.hops + CASE WHEN p.nxt IS NULL THEN 0 ELSE 1 END AS hops "
+            f"FROM w{i - 1} w LEFT JOIN p{i} p USING (start))"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT start AS start_key, cur AS end_key, CAST(hops AS BIGINT) AS hops FROM w{steps}"
+    )
+
+
+SQL_RANDOM_WALKS = _walks_sql(_WALK_STEPS)

@@ -320,3 +320,35 @@ def test_harmonic_landmark_vs_networkx(spark, synth_ctx):
             if nxd is not None and 0 < nxd <= K:
                 want += 1.0 / nxd
         assert abs(got - want) < 1e-12, (v, got, want)
+
+
+def test_random_walks_follow_edges(spark):
+    """Every walk endpoint must be reachable from its start within `hops`
+    directed steps (validity), hops==0 walkers never moved, and the salted
+    hash choice makes two runs bit-identical (determinism)."""
+    import networkx as nx
+
+    from linkgraph.linkpred import _WALK_STEPS, q_random_walks
+
+    sf = "/root/testdata/sf0.001"
+    a = q_random_walks(spark, sf).toPandas().sort_values("start_key")
+    b = q_random_walks(spark, sf).toPandas().sort_values("start_key")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").toPandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    G = nx.DiGraph()
+    for _u, grp in ev.groupby("user_id"):
+        types = grp["event_type"].tolist()
+        G.add_edges_from(zip(types[:-1], types[1:]))
+        for t in types:
+            G.add_edge(f"user:{_u}", t)
+
+    for r in a.itertuples():
+        assert 0 <= r.hops <= _WALK_STEPS
+        if r.hops == 0:
+            assert r.end_key == r.start_key
+            assert G.out_degree(r.start_key) == 0
+        else:
+            d = nx.shortest_path_length(G, r.start_key, r.end_key)
+            assert d <= r.hops
