@@ -74,3 +74,34 @@ def write_partitioned(df: DataFrame, path: str, by: list[str] | None = None, mod
     if by:
         w = w.partitionBy(*by)
     w.parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    shuffle: bool = False,
+) -> int:
+    """Small-file compaction (op 4 family): rewrite a parquet directory into
+    ~``target_bytes`` files.  Streaming sinks and per-superstep checkpoint
+    writers emit one file per partition per trigger — at 100 TB that is
+    millions of small files, and NameNode/listing pressure plus per-file
+    open cost dominate scans long before data volume does; periodic
+    compaction is the standard fix.
+
+    File count is derived from the directory's ACTUAL byte size via the
+    Hadoop FileSystem API (metadata-only, no data scan).  ``shuffle=False``
+    uses coalesce — no shuffle, just fewer write tasks (right for pure
+    file-count reduction); ``shuffle=True`` repartitions for even output
+    sizes when the input is skewed.  Returns the target file count."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(in_path)
+    fs = p.getFileSystem(conf)
+    total = fs.getContentSummary(p).getLength()
+    n = max(1, -(-int(total) // int(target_bytes)))  # ceil
+    df = spark.read.parquet(in_path)
+    out = df.repartition(n) if shuffle else df.coalesce(n)
+    out.write.mode("overwrite").parquet(out_path)
+    return n

@@ -85,3 +85,25 @@ def test_partitioned_write_prunes_scan(spark, warehouse):
     assert parts_full == 4 and parts_pruned == 1  # one shard dir of four
     assert 0 < files_pruned <= files_full / 4
     assert pruned.count() == 1_000
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, warehouse):
+    from linkgraph.io import compact_parquet
+
+    src = f"{warehouse}/many"
+    dst = f"{warehouse}/compact"
+    # 64 tiny files
+    spark.range(0, 64_000).repartition(64).write.mode("overwrite").parquet(src)
+    import glob
+
+    assert len(glob.glob(f"{src}/part-*")) == 64
+    # pick target_bytes ~ quarter of the dir so n lands small but > 1
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(src)
+    total = p.getFileSystem(spark._jsc.hadoopConfiguration()).getContentSummary(p).getLength()
+    n = compact_parquet(spark, src, dst, target_bytes=int(total) // 4 + 1)
+    files = glob.glob(f"{dst}/part-*")
+    assert 1 <= len(files) <= n <= 8
+    got = spark.read.parquet(dst)
+    assert got.count() == 64_000
+    assert got.agg(F.sum("id")).collect()[0][0] == 64_000 * 63_999 // 2
