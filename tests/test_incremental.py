@@ -54,3 +54,45 @@ def test_warm_start_reconverges_faster_to_same_fixed_point(spark):
     )
     ctx0.unpersist()
     ctx1.unpersist()
+
+
+def test_warm_start_handles_shrunken_graph(spark):
+    """Edge/vertex DELETIONS (conversations aged out): warm-starting on a
+    SUBSET graph must reach the subset's own fixed point — departed
+    vertices' state is dropped by the key join and the renormalization
+    restores the PageRank invariant, so deletions need no special path."""
+    full_t = synth_transcripts(spark, n_conversations=60, seed=42)
+    # delete an entire actor (all its turns): removes its vertex and
+    # re-links the surrounding consecutive-turn edges — a real deletion
+    # delta, unlike dropping whole conversations (whose actors/tools are
+    # shared and so survive in other conversations)
+    victim = sorted(r[0] for r in full_t.select("role").distinct().collect())[-1]
+    kept_t = full_t.where(F.col("role") != victim)
+
+    g0 = build_graph(full_t)
+    ctx0 = GraphContext.build(g0, P)
+    cold0 = run_program(ctx0, PageRankProgram(tol=TOL), max_iter=200)
+    assert cold0.converged
+    prev = ranks_by_key(g0, cold0.state)
+
+    g1 = build_graph(kept_t)
+    ctx1 = GraphContext.build(g1, P)
+    assert ctx1.n_vertices < ctx0.n_vertices  # deletions actually happened
+    cold1 = run_program(ctx1, PageRankProgram(tol=TOL), max_iter=200)
+    assert cold1.converged
+
+    warm_init = warm_pagerank_init(ctx1, g1, prev)
+    # the warm vector must be a valid distribution on the NEW vertex set
+    s = warm_init.agg(F.sum("rank")).collect()[0][0]
+    assert abs(s - 1.0) < 1e-9
+    warm1 = run_program(
+        ctx1, PageRankProgram(tol=TOL), max_iter=200, init_state=warm_init
+    )
+    assert warm1.converged
+    n = ctx1.n_vertices
+    np.testing.assert_allclose(
+        _ranks(warm1.state, n), _ranks(cold1.state, n), atol=2e-5
+    )
+    assert warm1.supersteps <= cold1.supersteps
+    ctx0.unpersist()
+    ctx1.unpersist()
