@@ -347,10 +347,73 @@ FROM n
 """
 
 
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 2× nearest-neighbor downsample of the BMP payloads: parse the
+    header, take every other pixel of the row, re-encode a spec-compliant
+    BMP.  Same Arrow-batched mapInPandas shape as media_decode — payload
+    bytes transform where they live, never shuffle.  Output includes the
+    resized payload (for downstream/pytest) + metadata; the driver gate row
+    (media_resize_meta) checks the metadata against the analytic oracle,
+    and tests/test_multimodal.py re-decodes the actual bytes."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ow, nw, nb, fps, payloads = [], [], [], [], [], []
+            for d, m, p in zip(pdf["doc_id"], pdf["mime"], pdf["payload"]):
+                if m != "image/bmp":
+                    continue
+                (pixel_off,) = struct.unpack_from("<I", p, 10)
+                (width,) = struct.unpack_from("<i", p, 18)
+                row = bytes(p[pixel_off : pixel_off + width])
+                resized = _bmp_encode(row[::2])
+                ids.append(int(d))
+                ow.append(width)
+                nw.append(len(row[::2]))
+                nb.append(len(resized))
+                fps.append(hashlib.md5(row[::2]).hexdigest())
+                payloads.append(resized)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "old_width": pd.Series(ow, dtype="int32"),
+                    "new_width": pd.Series(nw, dtype="int32"),
+                    "new_n_bytes": pd.Series(nb, dtype="int64"),
+                    "new_fp": pd.Series(fps, dtype="object"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    return media_table(spark, sf_dir).mapInPandas(
+        resize,
+        "doc_id long, old_width int, new_width int, new_n_bytes long, "
+        "new_fp string, payload binary",
+    )
+
+
+def media_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate row: resize metadata (payload verified byte-level in
+    pytest; its md5 is not SQL-derivable because DuckDB can't slice every
+    other byte of a blob, so the oracle checks widths/sizes analytically)."""
+    return media_resize(spark, sf_dir).select(
+        "doc_id", "old_width", "new_width", "new_n_bytes"
+    )
+
+
+# resized BMP size mirrors _bmp_encode on ceil(n/2) bytes
+SQL_MEDIA_RESIZE = _SQL_MEDIA_BASE + """
+SELECT doc_id, CAST(n AS INTEGER) AS old_width,
+       CAST((n + 1) // 2 AS INTEGER) AS new_width,
+       CAST(1078 + (n + 1) // 2 + (4 - ((n + 1) // 2) % 4) % 4 AS BIGINT)
+         AS new_n_bytes
+FROM sized WHERE r = 0
+"""
+
+
 def registry():
     """name -> (spark_fn, duckdb_oracle_sql) for the driver contract."""
     return {
         "media_stats": (media_stats, SQL_MEDIA_STATS),
         "media_decode": (media_decode, SQL_MEDIA_DECODE),
         "media_frames": (media_frames, SQL_MEDIA_FRAMES),
+        "media_resize": (media_resize_meta, SQL_MEDIA_RESIZE),
     }

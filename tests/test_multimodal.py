@@ -95,3 +95,28 @@ def test_decode_rejects_corrupt_containers():
         _parse_wav(b"RIFF\x04\x00\x00\x00JUNK")
     with pytest.raises((ValueError, StopIteration)):
         _parse_avi(b"notariff")
+
+
+def test_media_resize_bytes_roundtrip(spark):
+    """The resized payload must be a VALID BMP whose decoded row equals
+    every other pixel of the original text bytes (nearest-neighbor 2x)."""
+    import hashlib
+
+    from linkgraph.multimodal import _parse_bmp, media_resize
+
+    sf = "/root/testdata/sf0.001"
+    out = media_resize(spark, sf).toPandas()
+    docs = {
+        int(r["doc_id"]): r["text"]
+        for r in spark.read.parquet(f"{sf}/documents.parquet").collect()
+        if int(r["doc_id"]) % 3 == 0
+    }
+    assert len(out) == len(docs) > 0
+    for r in out.itertuples():
+        want_row = docs[int(r.doc_id)].encode("utf-8")[::2]
+        fp, w, h, _nf, _sr, _d = _parse_bmp(bytes(r.payload))
+        assert h == 1
+        assert w == r.new_width == len(want_row)
+        assert r.old_width == len(docs[int(r.doc_id)].encode("utf-8"))
+        assert fp == r.new_fp == hashlib.md5(want_row).hexdigest()
+        assert r.new_n_bytes == len(bytes(r.payload))
