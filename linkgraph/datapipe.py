@@ -485,6 +485,87 @@ FROM b GROUP BY 1
 """
 
 
+def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER canonicalization — the final step of a dedup
+    pipeline: union the LSH pair list into connected clusters and pick each
+    cluster's canonical document (min doc_id).  Pairwise output alone
+    under-deduplicates: A~B and B~C must collapse to ONE canonical even
+    when A~C was never a candidate pair.
+
+    Cross-subsystem composition: the pair graph from doc_near_dups feeds
+    the SAME hash-min Pregel components engine (CSR blocks, packed-Arrow
+    scatter) that serves the transcript graphs — at 100 TB the dup graph is
+    still tiny relative to the corpus (it holds only docs WITH a near-dup),
+    and hash-min converges in O(cluster diameter) supersteps.  vids are
+    assigned in doc_id order so the engine's min-vid component label IS the
+    min doc_id.  Output: (doc_id, canon_doc) for every clustered doc."""
+    return cluster_pairs(doc_near_dups(spark, sf_dir).select("doc_a", "doc_b"))
+
+
+def cluster_pairs(pairs: DataFrame) -> DataFrame:
+    """Core of doc_dedup_clusters: (doc_a, doc_b) pair list -> per-doc
+    canonical (min doc_id of its connected cluster), via the hash-min
+    Pregel engine.  Exposed separately so the transitive-closure semantics
+    are unit-testable on planted chains (tests/test_datapipe.py)."""
+    from .derive import GraphTables, build_degrees
+    from .pregel import ComponentsProgram, GraphContext, run_program
+
+    keys = (
+        pairs.select(F.col("doc_a").alias("did"))
+        .unionByName(pairs.select(F.col("doc_b").alias("did")))
+        .distinct()
+    )
+    vw = Window.orderBy("did")  # numeric order -> min vid == min doc_id
+    verts = keys.select(
+        F.col("did"),
+        F.col("did").cast("string").alias("vkey"),
+        (F.row_number().over(vw) - 1).cast("long").alias("vid"),
+        F.lit("doc").alias("vtype"),
+    )
+    va = verts.select(F.col("did").alias("doc_a"), F.col("vid").alias("src"))
+    vb = verts.select(F.col("did").alias("doc_b"), F.col("vid").alias("dst"))
+    edges = (
+        pairs.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .select("src", "dst", F.lit("dup").alias("etype"), F.lit(1.0).alias("w"))
+    )
+    vertices = verts.select("vkey", "vid", "vtype")
+    g = GraphTables(
+        vertices=vertices, edges=edges, degrees=build_degrees(edges, vertices)
+    )
+    ctx = GraphContext.build(g, 4)
+    try:
+        res = run_program(ctx, ComponentsProgram(), max_iter=50)
+        vmap = verts.select("vid", "did")
+        canon = vmap.select(F.col("vid").alias("comp"), F.col("did").alias("canon_doc"))
+        return (
+            res.state.join(vmap, "vid")
+            .join(canon, "comp")
+            .select(F.col("did").alias("doc_id"), "canon_doc")
+        )
+    finally:
+        ctx.unpersist()
+
+
+SQL_DOC_DEDUP_CLUSTERS = f"""
+WITH pairs AS ({SQL_DOC_NEAR_DUPS}),
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs
+), nodes AS (
+  SELECT DISTINCT a AS v FROM und
+), reach AS (
+  WITH RECURSIVE r(v, root) AS (
+    SELECT v, v FROM nodes
+    UNION
+    SELECT und.b, r.root FROM r JOIN und ON und.a = r.v
+  )
+  SELECT * FROM r
+)
+SELECT v AS doc_id, min(root) AS canon_doc FROM reach GROUP BY v
+"""
+
+
 # --------------------------------------------------------------------------
 # corpus statistics / sampling / packing (LLM training-data pipeline ops)
 # --------------------------------------------------------------------------
@@ -701,6 +782,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "doc_exact_dedup": (doc_exact_dedup, SQL_DOC_EXACT_DEDUP),
         "doc_minhash": (doc_minhash, SQL_DOC_MINHASH),
         "doc_near_dups": (doc_near_dups, SQL_DOC_NEAR_DUPS),
+        "doc_dedup_clusters": (doc_dedup_clusters, SQL_DOC_DEDUP_CLUSTERS),
         "doc_simhash": (doc_simhash, SQL_DOC_SIMHASH),
         "doc_token_stats": (doc_token_stats, SQL_DOC_TOKEN_STATS),
         "doc_quality": (doc_quality, SQL_DOC_QUALITY),

@@ -66,3 +66,19 @@ def test_tfidf_consistency(spark):
     assert np.allclose(out["tfidf"].to_numpy(), expect, atol=1e-9)
     # sorted desc with word tiebreak
     assert (np.diff(out["tfidf"].to_numpy()) <= 1e-12).all()
+
+
+def test_cluster_pairs_transitive_closure(spark):
+    """Planted chain 1~2~3~4 (4 never paired with 1 directly) must collapse
+    to canon 1; a separate pair {10,11} stays its own cluster; singletons
+    (docs with no near-dup) emit nothing."""
+    from linkgraph.datapipe import cluster_pairs
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {
+        int(r["doc_id"]): int(r["canon_doc"])
+        for r in cluster_pairs(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
