@@ -22,6 +22,7 @@ from .flagship import events_graph
 from .graph_oracles import (
     bfs_fixed_sql,
     harmonic_fixed_sql,
+    scc_pivot_fixed_sql,
     labelprop_fixed_sql,
     pagerank_fixed_sql,
     ppr_fixed_sql,
@@ -259,6 +260,54 @@ def engine_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ENGINE_HARMONIC = harmonic_fixed_sql(_BFS_STEPS, _HARMONIC_SEEDS)
 
 
+def engine_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot SCC membership via forward-backward reachability — the core
+    step of distributed FW-BW SCC: v is in the pivot's strongly-connected
+    component iff pivot reaches v AND v reaches pivot (both bounded at 6
+    hops here for the fixed-iteration oracle).
+
+    Two unit-weight SSSPProgram runs on the DIRECTED events graph — the
+    second on the reversed edge table (a second CSR build; on a cluster the
+    reverse blocks would be built once and reused across pivots).  Output
+    (vkey, fwd_hops, bwd_hops) for the bounded SCC members."""
+    from .derive import GraphTables, build_degrees
+
+    g = events_graph(load_table(spark, sf_dir, "events"))
+    uniq = g.edges.select("src", "dst").distinct()
+    e_fwd = uniq.select(
+        "src", "dst", F.lit("x").alias("etype"), F.lit(1.0).alias("w")
+    )
+    e_bwd = e_fwd.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "etype", "w"
+    )
+    src = spark.createDataFrame([(0,)], "vid long")
+    dists = []
+    for e in (e_fwd, e_bwd):
+        gg = GraphTables(
+            vertices=g.vertices, edges=e, degrees=build_degrees(e, g.vertices)
+        )
+        ctx = GraphContext.build(gg, _P)
+        try:
+            res = run_program(ctx, SSSPProgram(src), fixed_iters=_BFS_STEPS)
+            dists.append(
+                res.state.where(F.col("dist") != F.lit(float("inf"))).select(
+                    "vid", F.col("dist").cast("long").alias("hops")
+                )
+            )
+        finally:
+            ctx.unpersist()
+    fwd, bwd = dists
+    return (
+        fwd.withColumnRenamed("hops", "fwd_hops")
+        .join(bwd.withColumnRenamed("hops", "bwd_hops"), "vid")
+        .join(g.vertices.select("vid", "vkey"), "vid")
+        .select("vkey", "fwd_hops", "bwd_hops")
+    )
+
+
+SQL_ENGINE_SCC = scc_pivot_fixed_sql(_BFS_STEPS)
+
+
 def engine_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSR-path weighted SSSP (Bellman-Ford gather-scatter), FIXED 6
     supersteps from the min-vkey vertex over the DIRECTED weighted events
@@ -329,6 +378,7 @@ def registry():
         "engine_kcore": (engine_kcore, kcore_fixed_sql(3, 8)),
         "engine_bfs": (engine_bfs, SQL_ENGINE_BFS),
         "engine_harmonic": (engine_harmonic, SQL_ENGINE_HARMONIC),
+        "engine_scc": (engine_scc, SQL_ENGINE_SCC),
         "engine_sssp": (engine_sssp, SQL_ENGINE_SSSP),
         "engine_ppr": (engine_ppr, SQL_ENGINE_PPR),
         "engine_hits": (engine_hits, hits_fixed_sql(5, 20)),

@@ -334,3 +334,41 @@ SELECT vkey,
 FROM h{k} WHERE dist IS NOT NULL GROUP BY vkey
 """
     )
+
+
+def scc_pivot_fixed_sql(k: int) -> str:
+    """Unrolled k-hop DIRECTED BFS from the min-vkey pivot, forward AND
+    backward, intersected — the core step of distributed FW-BW SCC: the
+    pivot's strongly-connected component (bounded at diameter k) is exactly
+    {v : pivot →≤k v and v →≤k pivot}.  Mirrors engine_queries.engine_scc
+    (two unit-weight SSSPProgram runs, one on the reversed edge table)."""
+    ctes = [
+        _GRAPH_CTES,
+        "ad AS (SELECT DISTINCT s AS a, t AS b FROM ek)",
+        "f0 AS (SELECT vkey, CASE WHEN vkey = (SELECT min(vkey) FROM v) "
+        "THEN 0 END AS dist FROM v)",
+        "b0 AS (SELECT vkey, CASE WHEN vkey = (SELECT min(vkey) FROM v) "
+        "THEN 0 END AS dist FROM v)",
+    ]
+    for i in range(1, k + 1):
+        for tag, src_col, dst_col in (("f", "a", "b"), ("b", "b", "a")):
+            p = f"{tag}{i - 1}"
+            ctes.append(
+                f"{tag}m{i} AS (SELECT e.{dst_col} AS vkey, min(p.dist) + 1 AS nd "
+                f"FROM ad e JOIN {p} p ON p.vkey = e.{src_col} "
+                f"WHERE p.dist IS NOT NULL GROUP BY e.{dst_col})"
+            )
+            ctes.append(
+                f"{tag}{i} AS (SELECT p.vkey, CASE "
+                f"WHEN p.dist IS NULL THEN m.nd "
+                f"WHEN m.nd IS NULL THEN p.dist "
+                f"ELSE least(p.dist, m.nd) END AS dist "
+                f"FROM {p} p LEFT JOIN {tag}m{i} m USING (vkey))"
+            )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT f.vkey, CAST(f.dist AS BIGINT) AS fwd_hops, CAST(b.dist AS BIGINT) AS bwd_hops
+FROM f{k} f JOIN b{k} b USING (vkey)
+WHERE f.dist IS NOT NULL AND b.dist IS NOT NULL
+"""
+    )

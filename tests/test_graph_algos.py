@@ -352,3 +352,30 @@ def test_random_walks_follow_edges(spark):
         else:
             d = nx.shortest_path_length(G, r.start_key, r.end_key)
             assert d <= r.hops
+
+
+def test_engine_scc_vs_networkx(spark):
+    """Pivot SCC membership (engine_queries.engine_scc): forward-backward
+    6-hop reachability on the directed events graph must equal networkx
+    distances both ways from/to the min-vkey pivot."""
+    import networkx as nx
+
+    from linkgraph.engine_queries import engine_scc
+
+    sf = "/root/testdata/sf0.001"
+    out = {r["vkey"]: (r["fwd_hops"], r["bwd_hops"]) for r in engine_scc(spark, sf).collect()}
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").toPandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    G = nx.DiGraph()
+    for u, grp in ev.groupby("user_id"):
+        types = grp["event_type"].tolist()
+        G.add_edges_from(zip(types[:-1], types[1:]))
+        for t in types:
+            G.add_edge(f"user:{u}", t)
+    pivot = min(G.nodes)
+    fwd = nx.single_source_shortest_path_length(G, pivot, cutoff=6)
+    bwd = nx.single_source_shortest_path_length(G.reverse(copy=False), pivot, cutoff=6)
+    want = {v: (fwd[v], bwd[v]) for v in fwd if v in bwd}
+    assert out == want
+    assert len(out) >= 2  # pivot + at least one mutual-reach vertex
