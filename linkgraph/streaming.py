@@ -138,6 +138,53 @@ def streaming_edge_counts(edge_keys: DataFrame) -> DataFrame:
     )
 
 
+def streaming_tool_responses(
+    transcripts: DataFrame,
+    watermark: str = "1 minute",
+    max_gap: str = "2 minutes",
+) -> DataFrame:
+    """Stream-STREAM interval join (§2.11): pair each tool invocation with
+    the turns that follow it in the same conversation within ``max_gap`` —
+    'did the tool get a response, and how fast'.
+
+    Both sides carry watermarks and the join has a bounded event-time range
+    (resp_ts in (inv_ts, inv_ts + max_gap]), so Spark can expire join state
+    once the watermark passes inv_ts + max_gap: state is O(in-flight
+    window), not O(stream history) — the requirement for an unbounded run.
+    Inner interval joins emit in append mode, exactly once per matched
+    pair."""
+    inv = (
+        transcripts.where(F.col("tool").isNotNull())
+        .select(
+            F.col("conv_id").alias("inv_conv"),
+            F.lower(F.trim(F.col("tool"))).alias("tool_key"),
+            F.col("ts").alias("inv_ts"),
+        )
+        .withWatermark("inv_ts", watermark)
+    )
+    resp = (
+        transcripts.select(
+            F.col("conv_id").alias("resp_conv"),
+            F.lower(F.trim(F.col("role"))).alias("resp_actor"),
+            F.col("ts").alias("resp_ts"),
+        )
+        .withWatermark("resp_ts", watermark)
+    )
+    return inv.join(
+        resp,
+        F.expr(
+            f"inv_conv = resp_conv AND resp_ts > inv_ts "
+            f"AND resp_ts <= inv_ts + interval {max_gap}"
+        ),
+    ).select(
+        F.col("inv_conv").alias("conv_id"),
+        "tool_key",
+        "inv_ts",
+        "resp_actor",
+        "resp_ts",
+    )
+
+
 def streaming_enriched_edges(edge_keys: DataFrame, actor_dim: DataFrame) -> DataFrame:
     """Stream-static broadcast join (§2.11 enrichment pattern): tag each
     streamed edge delta with the static actor dimension's attributes.

@@ -386,3 +386,81 @@ def test_jsonl_transcript_source(spark, landing_dirs):
     assert sorted(map(tuple, a.select(key).collect())) == sorted(
         map(tuple, b.select(key).collect())
     )
+
+
+def test_stream_stream_interval_join_equals_batch(spark, landing_dirs):
+    """Stream-stream interval join (streaming.streaming_tool_responses):
+    tool invocations paired with following turns within the gap must equal
+    the batch join over the same files — including pairs whose two sides
+    arrive in DIFFERENT micro-batches (buffered in join state until the
+    match lands)."""
+    import datetime as _dt
+    import time as _time
+
+    in_dir, ck_dir = landing_dirs
+    base = _dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def rows(specs):
+        return spark.createDataFrame(
+            [
+                (conv, i, role, "txt", tool, base + _dt.timedelta(seconds=s))
+                for i, (conv, role, tool, s) in enumerate(specs)
+            ],
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp",
+        )
+
+    def land(df, name, mtime):
+        tmp = os.path.join(in_dir, f"_stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(
+            os.path.join(tmp, f_) for f_ in os.listdir(tmp) if f_.endswith(".parquet")
+        )
+        dst = os.path.join(in_dir, f"{name}.parquet")
+        shutil.copyfile(src, dst)
+        os.utime(dst, (mtime, mtime))
+        shutil.rmtree(tmp)
+
+    # batch 0: invocation at 10s + an in-batch response at 40s
+    # batch 1: a CROSS-BATCH response at 70s (within the 2-min gap of the
+    #          10s invocation), a too-late response at 200s, an invocation
+    #          at 180s answered at 190s, and an unrelated conv
+    all_rows = [
+        ("c0", "user", "search", 10),
+        ("c0", "assistant", None, 40),
+        ("c0", "user", None, 70),
+        ("c0", "assistant", None, 200),
+        ("c1", "user", "calc", 180),
+        ("c1", "assistant", None, 190),
+        ("c2", "user", None, 30),
+    ]
+    now = _time.time()
+    land(rows(all_rows[:2]), "f0", now)
+    land(rows(all_rows[2:]), "f1", now + 60)
+
+    from linkgraph.streaming import stream_transcripts, streaming_tool_responses
+
+    joined = streaming_tool_responses(stream_transcripts(spark, in_dir, 1))
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_ssjoin")
+        .option("checkpointLocation", ck_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r["conv_id"], r["tool_key"], r["resp_actor"], r["resp_ts"])
+        for r in spark.table("t_ssjoin").collect()
+    }
+    want = {
+        (r["conv_id"], r["tool_key"], r["resp_actor"], r["resp_ts"])
+        for r in streaming_tool_responses(rows(all_rows)).collect()
+    }
+    assert got == want
+    # the cross-batch pair (search@10s -> user@70s) really exercised state
+    assert ("c0", "search", "user", base + _dt.timedelta(seconds=70)) in got
+    # the too-late 200s response is excluded by the interval bound
+    assert not any(r[3] == base + _dt.timedelta(seconds=200) for r in got)
