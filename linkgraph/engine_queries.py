@@ -22,6 +22,7 @@ from .flagship import events_graph
 from .graph_oracles import (
     bfs_fixed_sql,
     harmonic_fixed_sql,
+    katz_fixed_sql,
     scc_pivot_fixed_sql,
     labelprop_fixed_sql,
     pagerank_fixed_sql,
@@ -34,6 +35,7 @@ from .pregel import (
     BFSProgram,
     ComponentsProgram,
     GraphContext,
+    KatzProgram,
     LabelPropProgram,
     PageRankProgram,
     PersonalizedPageRankProgram,
@@ -307,6 +309,33 @@ def engine_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_ENGINE_SCC = scc_pivot_fixed_sql(_BFS_STEPS)
 
+_KATZ_ALPHA, _KATZ_BETA, _KATZ_STEPS = 0.01, 1.0, 5
+
+
+def engine_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality, FIXED 5 power-series iterations on the directed
+    weighted events graph; top-20 by rounded value.  Exercises the packed
+    scatter on the RAW weights array (pregel.KatzProgram) — hash-checked
+    against graph_oracles.katz_fixed_sql."""
+    g, ctx = _events_ctx(spark, sf_dir)
+    try:
+        res = run_program(
+            ctx,
+            KatzProgram(alpha=_KATZ_ALPHA, beta=_KATZ_BETA, tol=0.0),
+            fixed_iters=_KATZ_STEPS,
+        )
+        return (
+            res.state.join(g.vertices, "vid")
+            .select("vkey", (F.round("rank", 6) + 0.0).alias("katz"))
+            .orderBy(F.desc("katz"), "vkey")
+            .limit(20)
+        )
+    finally:
+        ctx.unpersist()
+
+
+SQL_ENGINE_KATZ = katz_fixed_sql(_KATZ_STEPS, 20, _KATZ_ALPHA, _KATZ_BETA)
+
 
 def engine_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSR-path weighted SSSP (Bellman-Ford gather-scatter), FIXED 6
@@ -379,6 +408,7 @@ def registry():
         "engine_bfs": (engine_bfs, SQL_ENGINE_BFS),
         "engine_harmonic": (engine_harmonic, SQL_ENGINE_HARMONIC),
         "engine_scc": (engine_scc, SQL_ENGINE_SCC),
+        "engine_katz": (engine_katz, SQL_ENGINE_KATZ),
         "engine_sssp": (engine_sssp, SQL_ENGINE_SSSP),
         "engine_ppr": (engine_ppr, SQL_ENGINE_PPR),
         "engine_hits": (engine_hits, hits_fixed_sql(5, 20)),

@@ -372,3 +372,32 @@ FROM f{k} f JOIN b{k} b USING (vkey)
 WHERE f.dist IS NOT NULL AND b.dist IS NOT NULL
 """
     )
+
+
+def katz_fixed_sql(k: int, limit: int, alpha: float, beta: float) -> str:
+    """Unrolled k-iteration Katz power series
+    x_{t+1} = beta + alpha * (W^T x_t) over the directed weighted events
+    edges (w = multiplicity), x_0 = beta; top-``limit`` by rounded value —
+    mirrors pregel.KatzProgram with fixed_iters=k."""
+    a = f"CAST({alpha!r} AS DOUBLE)"
+    b = f"CAST({beta!r} AS DOUBLE)"
+    ctes = [
+        _GRAPH_CTES,
+        f"x0 AS (SELECT vkey, {b} AS x FROM v)",
+    ]
+    for i in range(1, k + 1):
+        p = f"x{i - 1}"
+        ctes.append(
+            f"km{i} AS (SELECT e.t AS vkey, sum(p.x * e.w) AS ms "
+            f"FROM e JOIN {p} p ON p.vkey = e.s GROUP BY e.t)"
+        )
+        ctes.append(
+            f"x{i} AS (SELECT v.vkey, {b} + {a} * coalesce(m.ms, 0) AS x "
+            f"FROM v LEFT JOIN km{i} m ON m.vkey = v.vkey)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT vkey, round(x, 6) + 0.0 AS katz FROM x{k}
+ORDER BY round(x, 6) DESC, vkey LIMIT {limit}
+"""
+    )

@@ -716,6 +716,113 @@ class ComponentsProgram:
 BFS_INF = np.int64(1) << 62  # "unreached"; +1 cannot overflow int64
 
 
+class KatzProgram(PageRankProgram):
+    """Katz centrality via the truncated power series
+    x_{t+1}(v) = beta + alpha * Σ_{u→v} w(u,v)·x_t(u).
+
+    Same packed-Arrow single-shuffle scatter as PageRank but on the RAW
+    edge weights (no out-degree normalization), no dangling redistribution,
+    and an additive beta source — so the engine's message plumbing is
+    exercised with a second combine semantics.  alpha must satisfy
+    alpha < 1/λ_max(W) for the series to converge; fixed-iteration runs
+    hash-check against graph_oracles.katz_fixed_sql (values are O(beta·
+    (alpha·w_deg)^k) — rounded to 6 dp on both engines, ~8 orders above
+    double summation-order noise at gate scale)."""
+
+    name = "katz"
+
+    def __init__(self, alpha: float = 0.01, beta: float = 1.0, tol: float = 1e-6):
+        self.alpha, self.beta, self.tol = alpha, beta, tol
+        self.d = alpha  # unused by the overrides; kept for base-attr parity
+
+    def init_state(self, ctx: GraphContext) -> DataFrame:
+        return ctx.vertex_base.withColumn("rank", F.lit(self.beta))
+
+    def make_scatter(self, P: int):
+        def scatter(key, left: pa.Table, right: pa.Table) -> pa.Table:
+            if left.num_rows == 0 or right.num_rows == 0:
+                return _empty_packed({"msum": pa.float64()})
+            p = left["part_id"][0].as_py()
+            indptr = _block_np(left, "indptr")
+            weights = _block_np(left, "weights")  # RAW w, not coeff
+            udst = _block_np(left, "udst")
+            e2u = _block_np(left, "e2u")
+            rank, _ = _dense_state(right, "rank", p, P)
+            contrib = np.repeat(rank, np.diff(indptr)) * weights
+            partial = np.bincount(e2u, weights=contrib, minlength=len(udst))
+            return _packed_msgs(P, udst, {"msum": partial})
+
+        return scatter
+
+    def make_apply(self, P: int, n: int, dmass: float):
+        alpha, beta = self.alpha, self.beta
+
+        def apply(key, msgs: pa.Table, state: pa.Table) -> pa.Table:
+            p, nloc = key[0].as_py(), state.num_rows
+            if nloc == 0:
+                return pa.table(
+                    {
+                        "vid": pa.array([], pa.int64()),
+                        "part_id": pa.array([], pa.int32()),
+                        "dangling": pa.array([], pa.bool_()),
+                        "rank": pa.array([], pa.float64()),
+                        "_delta": pa.array([], pa.float64()),
+                    }
+                )
+            rank_old, _ = _dense_state(state, "rank", p, P)
+            dang, _ = _dense_state(state, "dangling", p, P)
+            msum = np.zeros(nloc)
+            if msgs.num_rows:
+                dstf = _pa_flat(msgs, "dst")
+                msumf = _pa_flat(msgs, "msum")
+                msum = np.bincount((dstf - p) // P, weights=msumf, minlength=nloc)
+            rank_new = beta + alpha * msum
+            return pa.table(
+                {
+                    "vid": pa.array(p + np.arange(nloc, dtype=np.int64) * P),
+                    "part_id": pa.array(np.full(nloc, p, np.int32)),
+                    "dangling": pa.array(dang),
+                    "rank": pa.array(rank_new),
+                    "_delta": pa.array(np.abs(rank_new - rank_old)),
+                }
+            )
+
+        return apply
+
+    def superstep(self, ctx: GraphContext, state: DataFrame, carry: dict | None = None) -> DataFrame:
+        packed_schema = "part_id int, dst array<long>, msum array<double>"
+        msgs = (
+            ctx.blocks.groupby("part_id")
+            .cogroup(state.groupby("part_id"))
+            .applyInArrow(self.make_scatter(ctx.P), packed_schema)
+        )
+        if ctx.hub_edges is not None:
+            # hub scatter on the RAW weight (hub_edges carries both coeff
+            # and w — skew.split_hub_edges)
+            hub_state = state.join(F.broadcast(ctx.hub_vids), "vid").select(
+                F.col("vid").alias("src"), "rank"
+            )
+            hub_rows = ctx.hub_edges.join(F.broadcast(hub_state), "src").select(
+                F.pmod(F.col("dst"), F.lit(ctx.P)).cast("int").alias("part_id"),
+                "dst",
+                (F.col("rank") * F.col("w")).alias("msum"),
+            )
+            hub_msgs = hub_rows.groupBy("part_id").applyInArrow(
+                _pack_hub_rows, packed_schema
+            )
+            msgs = msgs.unionByName(hub_msgs)
+        return (
+            msgs.groupby("part_id")
+            .cogroup(state.groupby("part_id"))
+            .applyInArrow(self.make_apply(ctx.P, ctx.n_vertices, 0.0), self.apply_schema)
+        )
+
+    def stat_exprs(self):
+        return [F.max("_delta").alias("delta"), F.sum("rank").alias("rank_sum")]
+
+    stat_reducers = {"delta": max, "rank_sum": sum}
+
+
 class BFSProgram:
     """Multi-source BFS hop distance over the undirected simple graph.
 
