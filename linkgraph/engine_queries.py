@@ -8,9 +8,13 @@ the hot path too:
   DuckDB recursive-CTE transitive closure (component id = min vkey).
 - engine_triangles: triangles.py (degree-oriented 2-join) against the
   3-way self-join SQL.
-- engine_pagerank / engine_labelprop: FIXED-iteration runs, hash-checked
-  against unrolled-CTE DuckDB oracles (graph_oracles.py); run-to-convergence
-  exactness is covered in pytest against the single-node references.
+- engine_pagerank / engine_labelprop / engine_bfs / engine_sssp /
+  engine_ppr / engine_katz / engine_harmonic / engine_scc / engine_hits /
+  engine_kcore: FIXED-iteration runs, hash-checked against unrolled-CTE
+  DuckDB oracles (graph_oracles.py); run-to-convergence exactness is
+  covered in pytest against the single-node references.
+- linkpred rows (clustering_coeff, jaccard_pairs, adamic_adar,
+  degree_hist, random_walks): pure-Catalyst local-structure analytics.
 """
 
 from __future__ import annotations
