@@ -733,6 +733,93 @@ FROM s GROUP BY shard, seq
 """
 
 
+_CONTAM_N = 6  # 6-gram overlap -> contamination signal (prod: 8-13-grams)
+
+
+def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→test contamination detection — the decontamination step of an
+    LLM data pipeline: a TEST-split document is contaminated if any of its
+    word-``_CONTAM_N``-grams also occurs in any TRAIN-split document.
+
+    Splits come from the same salted md5 bucketing as doc_split (pure
+    column expr).  Grams are hashed to int64 (md5 trick) so the overlap
+    join is a narrow long-key equi-join: explode grams → distinct
+    (split, gram) pairs → test⋈train on gram → per-doc overlap counts.
+    At 100 TB the gram table is the only wide object and it partial-
+    aggregates before the shuffle; no O(test×train) pair scan exists.
+    Output: (doc_id, n_shared_grams, n_train_docs_hit) per contaminated
+    test doc."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        _md5_int(F.concat_ws(":", F.lit("split"), F.col("doc_id").cast("string"))),
+        F.lit(100),
+    )
+    dd = d.select("doc_id", "text", bucket.alias("bucket"))
+    w = dd.select("doc_id", "bucket", _words(F.col("text")).alias("w"))
+    grams = w.select(
+        "doc_id",
+        "bucket",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size("w") - (_CONTAM_N - 1), F.lit(0))
+                ),
+                lambda i: _md5_int(
+                    F.concat_ws(
+                        " ",
+                        *[
+                            F.element_at(F.col("w"), i + k)
+                            for k in range(_CONTAM_N)
+                        ],
+                    )
+                ),
+            )
+        ).alias("g"),
+    )
+    test = grams.where(F.col("bucket") < _TEST_PCT).select("doc_id", "g").distinct()
+    train = (
+        grams.where(F.col("bucket") >= _TEST_PCT + _VAL_PCT)
+        .select(F.col("doc_id").alias("train_doc"), "g")
+        .distinct()
+    )
+    return (
+        test.join(train, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").alias("n_shared_grams"),
+            F.countDistinct("train_doc").alias("n_train_docs_hit"),
+        )
+    )
+
+
+SQL_DOC_CONTAMINATION = f"""
+WITH b AS (
+  SELECT doc_id,
+         {_sql_md5_int("concat_ws(':', 'split', CAST(doc_id AS VARCHAR))")} % 100 AS bucket,
+         string_split(lower(trim(text)), ' ') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, bucket,
+         unnest(list_transform(
+           generate_series(1, greatest(len(w) - {_CONTAM_N - 1}, 0)),
+           i -> {_sql_md5_int(
+               "concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4], w[i+5])"
+           )}
+         )) AS g
+  FROM b
+), test AS (
+  SELECT DISTINCT doc_id, g FROM grams WHERE bucket < {_TEST_PCT}
+), train AS (
+  SELECT DISTINCT doc_id AS train_doc, g FROM grams
+  WHERE bucket >= {_TEST_PCT + _VAL_PCT}
+)
+SELECT t.doc_id, count(DISTINCT t.g) AS n_shared_grams,
+       count(DISTINCT r.train_doc) AS n_train_docs_hit
+FROM test t JOIN train r USING (g)
+GROUP BY t.doc_id
+"""
+
+
 _CHUNK_W = 32   # gate-scale context window (prod: 2048+)
 _CHUNK_S = 24   # stride -> 8-token overlap between consecutive chunks
 
@@ -794,4 +881,5 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "doc_stratified_sample": (doc_stratified_sample, SQL_DOC_STRATIFIED),
         "doc_pack_sequences": (doc_pack_sequences, SQL_DOC_PACK),
         "doc_chunk": (doc_chunk, SQL_DOC_CHUNK),
+        "doc_contamination": (doc_contamination, SQL_DOC_CONTAMINATION),
     }

@@ -82,3 +82,48 @@ def test_cluster_pairs_transitive_closure(spark):
         for r in cluster_pairs(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_contamination_membership_and_recount(spark):
+    """Contaminated docs must be test-split members, and each reported
+    overlap count must match a from-scratch python recompute of shared
+    6-gram sets against the train split."""
+    import hashlib
+
+    from linkgraph.datapipe import _CONTAM_N, _TEST_PCT, _VAL_PCT, doc_contamination
+
+    out = doc_contamination(spark, SF).toPandas()
+    assert len(out) > 0
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+
+    def bucket(doc_id):
+        h = hashlib.md5(f"split:{doc_id}".encode()).hexdigest()[:15]
+        return int(h, 16) % 100
+
+    def grams(text):
+        w = text.strip().lower().split(" ")
+        return {
+            " ".join(w[i : i + _CONTAM_N])
+            for i in range(len(w) - _CONTAM_N + 1)
+        }
+
+    train_grams = {}
+    for r in docs.itertuples():
+        if bucket(r.doc_id) >= _TEST_PCT + _VAL_PCT:
+            train_grams[int(r.doc_id)] = grams(r.text)
+
+    by_doc = {int(r.doc_id): r for r in out.itertuples()}
+    for doc_id, row in by_doc.items():
+        assert bucket(doc_id) < _TEST_PCT  # test-split member
+        g = grams(docs.loc[docs["doc_id"] == doc_id, "text"].iloc[0])
+        shared = set().union(*(g & tg for tg in train_grams.values()))
+        hits = sum(1 for tg in train_grams.values() if g & tg)
+        assert row.n_shared_grams == len(shared)
+        assert row.n_train_docs_hit == hits
+    # and no contaminated test doc was missed
+    for r in docs.itertuples():
+        if bucket(r.doc_id) < _TEST_PCT:
+            g = grams(r.text)
+            if any(g & tg for tg in train_grams.values()):
+                assert int(r.doc_id) in by_doc
