@@ -15,6 +15,41 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+# The driver's correctness gate records only the FIRST 50 rows of
+# ``queries()`` iteration order.  This list pins the window so that rows
+# lacking a driver-green CORRECTNESS record in ANY prior round come first
+# (VERDICT r03 "Next round" #1): the 21 never-driver-rowed rows +
+# ``pagerank_top10`` (red in r1, never re-rowed), then the 14 rows whose
+# last green was r2 (rotated out of the r3 window), then any rows new this
+# round.  Everything else follows in registry order; the union of
+# driver-green rows across rounds then covers the whole registry.
+# tests/test_gate_window.py trips if a registry row ever falls outside
+# both this window and the cross-round green union.
+_GATE_PRIORITY = [
+    # never driver-green (r1-r3)
+    "engine_sssp", "engine_ppr", "engine_hits",
+    "clustering_coeff", "jaccard_pairs", "adamic_adar",
+    "degree_hist", "random_walks",
+    "doc_dedup_clusters", "doc_tfidf", "doc_bigram_topk",
+    "doc_stratified_sample", "doc_pack_sequences", "doc_chunk",
+    "doc_contamination",
+    "ann_ivf_topk", "ann_ivf_recall",
+    "media_stats", "media_decode", "media_frames", "media_resize",
+    "pagerank_top10",
+    # last green in r2 — refresh before they go stale
+    "doc_exact_dedup", "doc_minhash", "doc_near_dups", "doc_simhash",
+    "doc_token_stats", "doc_quality", "doc_langid", "doc_fingerprint",
+    "doc_split",
+    "ann_topk_cosine", "ann_lsh_topk", "ann_lsh_recall",
+    "emb_near_dups_exact", "emb_near_dups_lsh",
+]
+
+
+def _prioritize(d: dict) -> dict:
+    head = {n: d[n] for n in _GATE_PRIORITY if n in d}
+    head.update({n: v for n, v in d.items() if n not in head})
+    return head
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
@@ -50,7 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update({name: fn for name, (fn, _sql) in ann_registry().items()})
     out.update({name: fn for name, (fn, _sql) in multimodal_registry().items()})
     out["pagerank_top10"] = lambda spark, sf_dir: flagship(spark, sf_dir)
-    return out
+    return _prioritize(out)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -69,4 +104,4 @@ def oracle_sql() -> dict[str, str]:
         out.update({name: sql for name, (_fn, sql) in reg.items() if sql is not None})
     # flagship: fixed 5-superstep PageRank, top-10 -> unrolled-CTE oracle
     out["pagerank_top10"] = pagerank_fixed_sql(5, limit=10, with_vid=True)
-    return out
+    return _prioritize(out)

@@ -320,8 +320,15 @@ def _centroids_np(v: DataFrame, n_cells: int) -> np.ndarray:
         .orderBy("vec_id")
         .collect()
     )
+    if len(rows) != n_cells:
+        # Silently building fewer cells would diverge from the oracle's
+        # fixed cents CTE (ADVICE r03 #4) — demand the full id range.
+        raise ValueError(
+            f"IVF quantizer needs vec_ids 0..{n_cells - 1} present; "
+            f"found {len(rows)} of {n_cells}"
+        )
     C = np.stack([np.asarray(r["e"], dtype=np.float64) for r in rows])
-    return C / np.linalg.norm(C, axis=1, keepdims=True)
+    return C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
 
 
 def _make_cell_udfs(C: np.ndarray, nprobe: int):

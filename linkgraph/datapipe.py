@@ -56,6 +56,17 @@ def _words(col):
     return F.split(F.lower(F.trim(col)), " ")
 
 
+def _gram_starts(w, n: int):
+    """1-based start indices of the word-``n``-grams over array column ``w``;
+    EMPTY when the doc has fewer than ``n`` words.  The guard is load-bearing:
+    Spark's ``sequence(1, 0)`` auto-steps DOWN to ``[1, 0]`` (unlike DuckDB's
+    empty ``generate_series(1, 0)``), so an unguarded short doc both crashes
+    ``element_at(w, 0)`` and diverges from the oracle (ADVICE r03 #1)."""
+    return F.when(
+        F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+
+
 # --------------------------------------------------------------------------
 # dedup
 # --------------------------------------------------------------------------
@@ -87,7 +98,7 @@ def _shingles_df(spark, sf_dir):
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size("w") - 2, F.lit(0))),
+                _gram_starts(F.col("w"), 3),
                 lambda i: F.concat_ws(
                     " ",
                     F.element_at(F.col("w"), i),
@@ -536,6 +547,14 @@ def cluster_pairs(pairs: DataFrame) -> DataFrame:
     ctx = GraphContext.build(g, 4)
     try:
         res = run_program(ctx, ComponentsProgram(), max_iter=50)
+        if not res.converged:
+            # A dup-cluster chain deeper than max_iter would silently yield
+            # non-canonical ids while the recursive-CTE oracle computes the
+            # exact closure (ADVICE r03 #2) — fail loudly instead.
+            raise RuntimeError(
+                "doc_dedup_clusters: components did not converge in 50 "
+                "supersteps; raise max_iter for this corpus"
+            )
         vmap = verts.select("vid", "did")
         canon = vmap.select(F.col("vid").alias("comp"), F.col("did").alias("canon_doc"))
         return (
@@ -619,7 +638,7 @@ def doc_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = w.select(
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size("w") - 1, F.lit(0))),
+                _gram_starts(F.col("w"), 2),
                 lambda i: F.concat_ws(
                     " ", F.element_at(F.col("w"), i), F.element_at(F.col("w"), i + 1)
                 ),
@@ -761,9 +780,7 @@ def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucket",
         F.explode(
             F.transform(
-                F.sequence(
-                    F.lit(1), F.greatest(F.size("w") - (_CONTAM_N - 1), F.lit(0))
-                ),
+                _gram_starts(F.col("w"), _CONTAM_N),
                 lambda i: _md5_int(
                     F.concat_ws(
                         " ",

@@ -32,8 +32,13 @@ from .derive import GraphTables
 def _l1_normalize(scores: DataFrame, col: str) -> DataFrame:
     """Divide ``col`` by its global sum — broadcast 1-row agg, stays lazy."""
     tot = scores.agg(F.sum(col).alias("_tot"))
+    # Zero-sum guard (ADVICE r03 #3): an empty distinct edge set drives the
+    # global sum to 0 — dividing would turn every score NULL; emit 0 instead.
     return scores.crossJoin(F.broadcast(tot)).select(
-        "vid", (F.col(col) / F.col("_tot")).alias(col)
+        "vid",
+        F.coalesce(
+            F.col(col) / F.when(F.col("_tot") != 0, F.col("_tot")), F.lit(0.0)
+        ).alias(col),
     )
 
 

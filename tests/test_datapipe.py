@@ -127,3 +127,44 @@ def test_contamination_membership_and_recount(spark):
             g = grams(r.text)
             if any(g & tg for tg in train_grams.values()):
                 assert int(r.doc_id) in by_doc
+
+
+def test_ngram_ops_survive_short_docs(spark, tmp_path):
+    """Docs shorter than the n-gram must emit ZERO grams, not crash.
+
+    Spark's sequence(1, 0) is descending [1, 0] (unlike DuckDB's empty
+    generate_series), so unguarded short docs threw
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT and diverged from the oracle
+    (ADVICE r03 #1).  Covers bigrams, 3-gram shingles (minhash path) and
+    the 6-gram contamination op.
+    """
+    from linkgraph.datapipe import (
+        _shingles_df,
+        doc_bigram_topk,
+        doc_contamination,
+    )
+
+    rows = [
+        (0, "one", "en", "s", 3),
+        (1, "two words", "en", "s", 9),
+        (2, "now three words", "en", "s", 15),
+        (3, "a longer doc with six words", "en", "s", 27),
+        (4, "", "en", "s", 0),
+    ]
+    sf = str(tmp_path / "sf_short")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    bg = doc_bigram_topk(spark, sf).toPandas()
+    # doc0 and doc4 contribute nothing; doc1 one bigram; doc2 two; doc3 five
+    assert int(bg["n"].sum()) == 0 + 1 + 2 + 5
+
+    sh = _shingles_df(spark, sf).toPandas()
+    assert set(sh[sh["doc_id"] == 0]["shingle"]) == set()
+    assert len(sh[sh["doc_id"] == 2]) == 1  # exactly one 3-gram
+
+    # 6-grams: only doc3 has >= 6 words -> no cross-doc overlap possible,
+    # and crucially no crash on the five short docs
+    out = doc_contamination(spark, sf).toPandas()
+    assert len(out) == 0

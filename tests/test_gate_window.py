@@ -1,0 +1,69 @@
+"""Gate-window tripwire (VERDICT r03 "Next round" #7).
+
+The driver's correctness gate records only the first 50 rows of
+``queries()`` iteration order.  Round 3 silently rotated 21 rows out of
+every window, leaving them without a driver-green record in any round.
+This test makes that failure mode loud: every registry row must either
+sit inside the current 50-row window or already have a green row in some
+``CORRECTNESS_r*.json``.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+WINDOW = 50
+
+
+def _registry_names() -> list[str]:
+    import sys
+
+    sys.path.insert(0, str(REPO))
+    import __spark_entry__ as entry
+
+    return list(entry.queries().keys())
+
+
+def _green_union() -> set[str]:
+    out: set[str] = set()
+    for p in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        data = json.loads(p.read_text())
+        for name, rec in data.items():
+            if not isinstance(rec, dict):
+                continue
+            if rec.get("err"):
+                continue
+            if rec.get("rows_match") and rec.get("schema_match") is not False:
+                out.add(name)
+    return out
+
+
+def test_priority_names_exist():
+    import __spark_entry__ as entry
+
+    names = set(_registry_names())
+    missing = [n for n in entry._GATE_PRIORITY if n not in names]
+    assert not missing, f"_GATE_PRIORITY names absent from registry: {missing}"
+
+
+def test_every_row_windowed_or_already_green():
+    names = _registry_names()
+    window = set(names[:WINDOW])
+    green = _green_union()
+    uncovered = [n for n in names if n not in window and n not in green]
+    assert not uncovered, (
+        f"{len(uncovered)} registry rows are outside the driver's "
+        f"{WINDOW}-row gate window AND have no driver-green record in any "
+        f"CORRECTNESS_r*.json — reorder _GATE_PRIORITY in __spark_entry__.py: "
+        f"{uncovered}"
+    )
+
+
+def test_oracle_keys_subset_of_queries():
+    import __spark_entry__ as entry
+
+    q = set(entry.queries().keys())
+    o = set(entry.oracle_sql().keys())
+    assert o <= q, f"oracle_sql keys without a queries() row: {sorted(o - q)}"

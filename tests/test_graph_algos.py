@@ -379,3 +379,23 @@ def test_engine_scc_vs_networkx(spark):
     want = {v: (fwd[v], bwd[v]) for v in fwd if v in bwd}
     assert out == want
     assert len(out) >= 2  # pivot + at least one mutual-reach vertex
+
+
+def test_hits_empty_edge_set_yields_zeros(spark):
+    """Zero-sum guard (ADVICE r03 #3): with no edges the L1 normalizer's
+    global sum is 0 — scores must come back 0, not NULL."""
+    from linkgraph.derive import GraphTables, build_degrees
+
+    vertices = spark.createDataFrame(
+        [("a", 0, "actor"), ("b", 1, "actor")], "vkey string, vid long, vtype string"
+    )
+    edges = spark.createDataFrame(
+        [], "src long, dst long, etype string, w double"
+    )
+    g = GraphTables(vertices, edges, build_degrees(edges, vertices))
+    out = hits_scores(g, iters=3).toPandas()
+    assert len(out) == 2
+    assert not out["authority"].isna().any()
+    assert not out["hub"].isna().any()
+    assert (out["authority"] == 0.0).all()
+    assert (out["hub"] == 0.0).all()
