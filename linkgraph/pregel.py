@@ -28,6 +28,7 @@ by the naive (non-CSR) paths.
 
 from __future__ import annotations
 
+import itertools
 import time
 from dataclasses import dataclass, field
 from typing import Any
@@ -1226,6 +1227,50 @@ class RunResult:
     resumed_from: int = 0
 
 
+_OBS_COUNTER = itertools.count()
+
+
+def _next_obs_id() -> int:
+    """Session-unique suffix for Observation names (a resumed run can revisit
+    the same (program, superstep) pair within one SparkSession)."""
+    return next(_OBS_COUNTER)
+
+
+def _strip_origin_stats(df: DataFrame) -> None:
+    """Reset a localCheckpoint LogicalRDD's captured origin stats/constraints.
+
+    ``Dataset.localCheckpoint`` truncates the plan to a LogicalRDD leaf but
+    copies the origin plan's *estimated* Statistics into it.  The cogroup
+    size estimator multiplies children sizeInBytes, so chaining supersteps
+    compounds those estimates (S_t = B * S_{t-1}^2): bit-length roughly
+    triples per superstep and Catalyst dies around step 16 in million-bit
+    BigInteger multiplies.  Nulling originStats makes computeStats fall back
+    to the constant defaultSizeInBytes leaf default — bounded within each
+    superstep, never compounding across them.  originConstraints is nulled
+    for the same reason (origin expression sets would otherwise chain).
+
+    Uses JVM reflection on pinned Spark (pyspark 4.1.2); fails loudly if the
+    field layout ever changes rather than letting the engine melt at step 16.
+    """
+    jdf = df._jdf  # noqa: SLF001 — classic-mode internal, pinned version
+    jplan = jdf.queryExecution().analyzed()
+    cls = jplan.getClass()
+    if not cls.getName().endswith("LogicalRDD"):
+        raise RuntimeError(f"expected LogicalRDD leaf after localCheckpoint, got {cls.getName()}")
+    spark = df.sparkSession
+    none = spark._jvm.scala.Option.empty()  # noqa: SLF001
+    for fname in ("originStats", "originConstraints"):
+        try:
+            fld = cls.getDeclaredField(fname)
+        except Exception as e:  # pragma: no cover — version drift tripwire
+            raise RuntimeError(
+                f"LogicalRDD.{fname} not found (Spark internals changed?) — "
+                "superstep stats would compound to BigInteger overflow"
+            ) from e
+        fld.setAccessible(True)
+        fld.set(jplan, none)
+
+
 def run_program(
     ctx: GraphContext,
     program,
@@ -1307,8 +1352,8 @@ def _run_program_inner(
     t = t0
     import threading
 
-    from pyspark.sql.functions import concat_ws, count, crc32, lit
-    from pyspark.sql.functions import sum as fsum
+    from pyspark.sql import Observation
+    from pyspark.sql.functions import count, lit
 
     class _CkptWriter:
         """One durable write in flight, overlapped with the next superstep's
@@ -1352,70 +1397,59 @@ def _run_program_inner(
     try:
         for t in range(t0 + 1, last_iter + 1):
             tic = time.monotonic()
-            # persist + stats job FIRST, then checkpoint FROM the cache.  The
-            # order is load-bearing: LogicalRDD from localCheckpoint PRESERVES
-            # the origin plan's estimated statistics, and the cogroup stats
-            # visitor is a product over children sizeInBytes — checkpointing the
-            # raw cogroup plan makes each superstep's state inherit the product
-            # of the previous one (bit-length triples per superstep; by ~step 16
-            # Catalyst spins on million-bit BigInteger multiplies and then
-            # throws "BigInteger would overflow supported range").  Materializing
-            # the cache first makes InMemoryRelation report ACTUAL bytes, so the
-            # checkpointed state's stats stay small and bounded.
-            ns = program.superstep(ctx, state, carry).persist()
-            # Convergence stats AND the checkpoint's per-partition lineage
-            # (rows + checksum) in one cache-filling job: per-partition
-            # aggregates, reduced driver-side with the program's reducers
-            # (max/sum decompose).
-            part_rows = (
-                ns.groupBy("part_id")
-                .agg(
-                    count(lit(1)).alias("_rows"),
-                    fsum(crc32(concat_ws(",", *program.state_cols))).alias("_cksum"),
-                    *program.stat_exprs(),
-                )
-                .collect()
-            )
-            stats: dict[str, Any] = {}
-            for name, reducer in program.stat_reducers.items():
-                vals = [r[name] for r in part_rows if r[name] is not None]
-                stats[name] = reducer(vals) if vals else None
-            stats.update({"wall_s": None, "edges_scattered": nnz})
-            per_partition = sorted(
-                (
-                    {"part_id": r["part_id"], "rows": r["_rows"], "checksum": int(r["_cksum"] or 0)}
-                    for r in part_rows
-                ),
-                key=lambda d: d["part_id"],
-            )
-            # Continuation state from the CACHE (cheap scan): repartition
-            # re-pins HashPartitioning(part_id) (cogroup output partitioning is
-            # unknown to Catalyst) so the next superstep's two cogroups reuse it
-            # with no extra exchange; localCheckpoint keeps the plan one
-            # superstep deep (op 54) with actual (bounded) stats — see above.
-            state = (
-                ns.select(*program.state_cols)
+            # ONE Spark job per superstep: the convergence aggregates ride the
+            # state-materialization job itself via CollectMetrics (observe),
+            # instead of a separate groupBy+collect job.  observe() computes
+            # the program's stat_exprs as global aggregates during the eager
+            # localCheckpoint, so at P=32/sf0.1 the per-superstep fixed floor
+            # is one job's scheduling overhead, not two (VERDICT r03 item 5).
+            obs = Observation(f"{program.name}-t{t}-{_next_obs_id()}")
+            ns = (
+                program.superstep(ctx, state, carry)
+                .observe(obs, count(lit(1)).alias("_obs_rows"), *program.stat_exprs())
+                .select(*program.state_cols)
+                # repartition re-pins HashPartitioning(part_id) (cogroup output
+                # partitioning is unknown to Catalyst) so the next superstep's
+                # two cogroups reuse it with no extra exchange; the eager
+                # localCheckpoint materializes in the same job and keeps the
+                # plan one superstep deep (op 54).
                 .repartition(ctx.P, "part_id")
-                .localCheckpoint()
+                .localCheckpoint(eager=True)
             )
-            ns.unpersist()
+            # LogicalRDD from localCheckpoint captures the ORIGIN plan's
+            # estimated statistics/constraints, and the cogroup stats visitor
+            # is a product over children sizeInBytes — left in place, each
+            # superstep's state inherits the product of the previous one
+            # (bit-length triples per superstep; by ~step 16 Catalyst spins on
+            # million-bit BigInteger multiplies and then throws "BigInteger
+            # would overflow supported range").  Stripping originStats resets
+            # every superstep to the constant leaf default, so within-superstep
+            # plan stats stay bounded and never compound across supersteps.
+            _strip_origin_stats(ns)
+            row = obs.get
+            stats: dict[str, Any] = {name: row[name] for name in program.stat_reducers}
+            stats.update({"wall_s": None, "edges_scattered": nnz})
+            state = ns
             if ckpt is not None:
                 # The durable write is needed only for resume (op 53), never by
                 # the next superstep (which reads the checkpointed state) — so
                 # it runs on a writer thread OVERLAPPED with superstep t+1's
-                # compute.  It reads the checkpointed `state` (independent of
-                # the just-released ns cache).  One writer at a time keeps step
-                # dirs + metrics.jsonl ordered (submit() joins the previous
-                # write and re-raises its failure); a crash mid-write is
-                # already handled by the tmp-dir rename + manifest
-                # revalidation in CheckpointManager (resume falls back to the
-                # newest complete step).
+                # compute, reading the localCheckpoint's in-memory RDD.  The
+                # per-partition lineage (rows + checksum) is also computed on
+                # the writer thread (per_partition=None → _partition_stats):
+                # an in-memory scan that runs concurrently with the next
+                # superstep instead of on the critical path.  One writer at a
+                # time keeps step dirs + metrics.jsonl ordered (submit() joins
+                # the previous write and re-raises its failure); a crash
+                # mid-write is already handled by the tmp-dir rename +
+                # manifest revalidation in CheckpointManager (resume falls
+                # back to the newest complete step).
                 writer.submit(
                     ckpt.write,
                     t,
                     state,
                     metrics={k: stats[k] for k in stats if k != "wall_s"},
-                    per_partition=per_partition,
+                    per_partition=None,
                 )
             stats["wall_s"] = time.monotonic() - tic
             stats["superstep"] = t
