@@ -17,25 +17,36 @@ SPEC-COMPLIANT containers deterministically from ``documents.text``:
                    chunk = the text bytes, RIFF even-padding honoured).
 - ``video/avi``  — a valid RIFF/AVI skeleton (LIST hdrl → avih main header,
                    LIST movi → one '00db' frame whose payload is the text).
+- ``image/png`` — a valid compressed PNG (signature + IHDR + zlib IDAT +
+                   IEND, per-chunk CRC32s) whose 8-bit grayscale pixel row
+                   is the UTF-8 text bytes.  The IDAT stream uses zlib
+                   stored blocks (level 0) so the container size stays
+                   analytically derivable for the DuckDB oracle — it is
+                   still a spec-compliant DEFLATE stream that any inflater
+                   (including ours) decompresses.
 
 ``media_decode`` then REALLY decodes: it walks the BMP header fields, the
-RIFF chunk list (fmt /data), and the AVI LIST tree (avih/movi) byte-for-byte
-— width/height/frame-count/sample-rate come out of the binary structures,
-not out of a formula (the formulas live only in the synthesizer and the
-DuckDB oracle).  A corrupted header or a broken payload column fails the
-decode.  The content fingerprint is md5 over the DECODED media data (pixel
-row / PCM samples / frame bytes) = md5 of the text bytes, which is what
-keeps the DuckDB oracle a full rows+schema+hash gate.
+RIFF chunk list (fmt /data), the AVI LIST tree (avih/movi), and the PNG
+chunk sequence (CRC-checked, zlib-inflated, scanlines un-filtered for all
+five PNG filter types) byte-for-byte — width/height/frame-count/sample-rate
+come out of the binary structures, not out of a formula (the formulas live
+only in the synthesizer and the DuckDB oracle).  A corrupted header, a bad
+chunk CRC, or a broken payload column fails the decode.  The content
+fingerprint is md5 over the DECODED media data (pixel row / PCM samples /
+frame bytes) = md5 of the text bytes, which is what keeps the DuckDB oracle
+a full rows+schema+hash gate.
 
-Compressed real-world formats (PNG/JPEG/MP4) still need a codec library;
-that seam is ``_HAVE_CODEC`` — absent in this container, the pure-Python
-container parsers above are the real, exercised path.
+Codec-library formats (JPEG/MP4) still need PIL/ffmpeg; that seam is
+``_HAVE_CODEC`` — absent in this container, the pure-Python container
+parsers above (incl. the zlib-inflate PNG path) are the real, exercised
+code.
 """
 
 from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -44,8 +55,8 @@ from pyspark.sql import functions as F
 
 from .io import load_table
 
-# mime assignment is doc_id mod 3 — deterministic, oracle-mirrorable
-_MIMES = ("image/bmp", "audio/wav", "video/avi")
+# mime assignment is doc_id mod 4 — deterministic, oracle-mirrorable
+_MIMES = ("image/bmp", "audio/wav", "video/avi", "image/png")
 
 try:  # codec seam for COMPRESSED formats (PNG/JPEG/MP4); absent in sandbox
     from PIL import Image  # noqa: F401
@@ -97,17 +108,65 @@ def _avi_encode(data: bytes, width: int, height: int, n_frames: int) -> bytes:
     return _riff_chunk(b"RIFF", b"AVI " + hdrl + movi)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    """PNG chunk: BE length + tag + body + CRC32(tag+body)."""
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _deflate_stored(raw: bytes) -> bytes:
+    """zlib stream of DEFLATE *stored* blocks (max 65535 bytes each), built
+    explicitly so the block segmentation — and therefore the container size
+    formula in the oracle — is spec-pinned rather than inherited from a
+    particular zlib build's internal buffer sizes.  Any inflater (including
+    ``zlib.decompress``) reads it; size = 2 + 5*ceil(m/65535) + m + 4."""
+    out = bytearray(b"\x78\x01")  # CMF/FLG: 32K window, fastest, check ok
+    nblk = max(1, (len(raw) + 65534) // 65535)
+    for i in range(nblk):
+        chunk = raw[i * 65535 : (i + 1) * 65535]
+        final = 1 if i == nblk - 1 else 0
+        out += bytes([final]) + struct.pack("<HH", len(chunk), 0xFFFF ^ len(chunk))
+        out += chunk
+    out += struct.pack(">I", zlib.adler32(raw) & 0xFFFFFFFF)
+    return bytes(out)
+
+
+def _png_encode(rows: list[bytes]) -> bytes:
+    """Valid 8-bit grayscale PNG: one scanline per entry of ``rows`` (all
+    equal width), filter type 0, IDAT = explicit DEFLATE stored blocks
+    (spec-compliant stream with an oracle-derivable size)."""
+    width, height = len(rows[0]), len(rows)
+    ihdr = struct.pack(">II5B", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + r for r in rows)
+    idat = _deflate_stored(raw)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def _synth_payload(doc_id: int, text: str) -> tuple[str, bytes]:
     """Deterministic (mime, container bytes) for a document."""
     data = text.encode("utf-8")
-    r = doc_id % 3
+    r = doc_id % 4
     if r == 0:
         return _MIMES[0], _bmp_encode(data)
     if r == 1:
         return _MIMES[1], _wav_encode(data, 8000 + 1000 * (doc_id % _WAV_RATES))
-    return _MIMES[2], _avi_encode(
-        data, 160 + 8 * (doc_id % 80), 120 + 8 * (doc_id % 60), 1 + doc_id % 120
-    )
+    if r == 2:
+        return _MIMES[2], _avi_encode(
+            data, 160 + 8 * (doc_id % 80), 120 + 8 * (doc_id % 60), 1 + doc_id % 120
+        )
+    return _MIMES[3], _png_encode([data])
 
 
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -159,18 +218,23 @@ def media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   bmp: 14 + 40 + 1024 header/palette + n + row-pad(4)      = 1078 + n + pad4
 #   wav: 12 RIFF + 24 fmt + 8 data hdr + n + even-pad        = 44 + n + n%2
 #   avi: 12 RIFF + 8+4+8+56 hdrl + 8+4+8 movi + n + even-pad = 108 + n + n%2
+#   png: 8 sig + 25 IHDR + 12 IDAT hdr/crc + idat + 12 IEND, where idat for
+#        a level-0 zlib stream over m=n+1 raw bytes (filter byte + pixels)
+#        is 2 hdr + 4 adler + m + 5 per stored block  = 64 + n + 5*ceil(m/65535)
 _SQL_MEDIA_BASE = """
 WITH m AS (
-  SELECT doc_id, doc_id % 3 AS r, octet_length(encode(text)) AS n,
+  SELECT doc_id, doc_id % 4 AS r, octet_length(encode(text)) AS n,
          md5(text) AS fp
   FROM documents
 ), sized AS (
   SELECT doc_id, r, n, fp,
          CASE r WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'audio/wav'
-                ELSE 'video/avi' END AS mime,
+                WHEN 2 THEN 'video/avi' ELSE 'image/png' END AS mime,
          CAST(CASE r WHEN 0 THEN 1078 + n + (4 - n % 4) % 4
                      WHEN 1 THEN 44 + n + n % 2
-                     ELSE 108 + n + n % 2 END AS BIGINT) AS n_bytes
+                     WHEN 2 THEN 108 + n + n % 2
+                     ELSE 64 + n + 5 * CAST(CEIL((n + 1) / 65535.0) AS BIGINT)
+                END AS BIGINT) AS n_bytes
   FROM m
 )
 """
@@ -256,7 +320,90 @@ def _parse_avi(payload: bytes) -> tuple[str, int, int, int, int, int]:
     )
 
 
-_PARSERS = {"image/bmp": _parse_bmp, "audio/wav": _parse_wav, "video/avi": _parse_avi}
+def _png_unfilter(raw: bytes, width: int, height: int) -> bytes:
+    """Reverse PNG scanline filtering for 8-bit grayscale (bpp=1).
+
+    Handles all five standard filter types (None/Sub/Up/Average/Paeth) so
+    the decoder is a real general-purpose grayscale-PNG reader; the
+    synthesizer only emits type 0, where this is a straight memcpy."""
+    stride = width
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG raw stream length mismatch")
+    out = bytearray()
+    prev = bytearray(stride)
+    pos = 0
+    for _ in range(height):
+        ft = raw[pos]
+        pos += 1
+        line = bytearray(raw[pos : pos + stride])
+        pos += stride
+        if ft == 1:  # Sub
+            for i in range(1, stride):
+                line[i] = (line[i] + line[i - 1]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = line[i - 1] if i else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - 1] if i else 0
+                b = prev[i]
+                c = prev[i - 1] if i else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out += line
+        prev = line
+    return bytes(out)
+
+
+def _png_read(payload: bytes) -> tuple[int, int, bytes]:
+    """Real PNG decode to (width, height, pixel bytes): chunk walk w/ CRC
+    validation, zlib inflate of the concatenated IDAT stream, scanline
+    un-filtering — stdlib only."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    ihdr, idat = None, b""
+    i = 8
+    while i + 12 <= len(payload):
+        (size,) = struct.unpack_from(">I", payload, i)
+        tag = payload[i + 4 : i + 8]
+        body = payload[i + 8 : i + 8 + size]
+        (crc,) = struct.unpack_from(">I", payload, i + 8 + size)
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = body
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        i += 12 + size
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    width, height, depth, ctype = struct.unpack_from(">IIBB", ihdr)
+    if depth != 8 or ctype != 0:
+        raise ValueError(f"unsupported PNG depth={depth} colortype={ctype}")
+    return width, height, _png_unfilter(zlib.decompress(idat), width, height)
+
+
+def _parse_png(payload: bytes) -> tuple[str, int, int, int, int, int]:
+    width, height, pixels = _png_read(payload)
+    return hashlib.md5(pixels).hexdigest(), width, height, 1, 0, 0
+
+
+_PARSERS = {
+    "image/bmp": _parse_bmp,
+    "audio/wav": _parse_wav,
+    "video/avi": _parse_avi,
+    "image/png": _parse_png,
+}
 
 
 def _decode_payload(payload: bytes, mime: str) -> tuple[str, int, int, int, int, int]:
@@ -307,11 +454,11 @@ def media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_MEDIA_DECODE = _SQL_MEDIA_BASE + """
 SELECT doc_id, mime, n_bytes, fp,
-       CAST(CASE r WHEN 0 THEN n WHEN 1 THEN 0
+       CAST(CASE r WHEN 0 THEN n WHEN 3 THEN n WHEN 1 THEN 0
                    ELSE 160 + 8 * (doc_id % 80) END AS INTEGER) AS width,
-       CAST(CASE r WHEN 0 THEN 1 WHEN 1 THEN 0
+       CAST(CASE r WHEN 0 THEN 1 WHEN 3 THEN 1 WHEN 1 THEN 0
                    ELSE 120 + 8 * (doc_id % 60) END AS INTEGER) AS height,
-       CAST(CASE r WHEN 0 THEN 1 WHEN 1 THEN 0
+       CAST(CASE r WHEN 0 THEN 1 WHEN 3 THEN 1 WHEN 1 THEN 0
                    ELSE 1 + doc_id % 120 END AS INTEGER) AS n_frames,
        CAST(CASE r WHEN 1 THEN 8000 + 1000 * (doc_id % 8)
                    ELSE 0 END AS INTEGER) AS sample_rate,
@@ -340,7 +487,7 @@ def media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_MEDIA_FRAMES = f"""
 WITH n AS (
   SELECT doc_id, 1 + doc_id % 120 AS n_frames
-  FROM documents WHERE doc_id % 3 = 2
+  FROM documents WHERE doc_id % 4 = 2
 )
 SELECT doc_id, CAST(unnest(generate_series(0, n_frames - 1, {_FRAME_STEP})) AS BIGINT) AS frame_idx
 FROM n
@@ -348,11 +495,13 @@ FROM n
 
 
 def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL 2× nearest-neighbor downsample of the BMP payloads: parse the
-    header, take every other pixel of the row, re-encode a spec-compliant
-    BMP.  Same Arrow-batched mapInPandas shape as media_decode — payload
-    bytes transform where they live, never shuffle.  Output includes the
-    resized payload (for downstream/pytest) + metadata; the driver gate row
+    """REAL 2× nearest-neighbor downsample of the image payloads (BMP and
+    PNG): decode the pixel row, take every other pixel, re-encode a
+    spec-compliant container of the same format (the PNG path round-trips
+    through chunk-walk → inflate → unfilter → re-deflate).  Same
+    Arrow-batched mapInPandas shape as media_decode — payload bytes
+    transform where they live, never shuffle.  Output includes the resized
+    payload (for downstream/pytest) + metadata; the driver gate row
     (media_resize_meta) checks the metadata against the analytic oracle,
     and tests/test_multimodal.py re-decodes the actual bytes."""
 
@@ -360,17 +509,25 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, ow, nw, nb, fps, payloads = [], [], [], [], [], []
             for d, m, p in zip(pdf["doc_id"], pdf["mime"], pdf["payload"]):
-                if m != "image/bmp":
+                if m == "image/bmp":
+                    (pixel_off,) = struct.unpack_from("<I", p, 10)
+                    (width,) = struct.unpack_from("<i", p, 18)
+                    row = bytes(p[pixel_off : pixel_off + width])
+                    small = row[::2]
+                    resized = _bmp_encode(small)
+                elif m == "image/png":
+                    width, height, row = _png_read(bytes(p))
+                    if height != 1:  # synthetic invariant; general = row loop
+                        raise ValueError("resize expects single-row PNG")
+                    small = row[::2]
+                    resized = _png_encode([small])
+                else:
                     continue
-                (pixel_off,) = struct.unpack_from("<I", p, 10)
-                (width,) = struct.unpack_from("<i", p, 18)
-                row = bytes(p[pixel_off : pixel_off + width])
-                resized = _bmp_encode(row[::2])
                 ids.append(int(d))
                 ow.append(width)
-                nw.append(len(row[::2]))
+                nw.append(len(small))
                 nb.append(len(resized))
-                fps.append(hashlib.md5(row[::2]).hexdigest())
+                fps.append(hashlib.md5(small).hexdigest())
                 payloads.append(resized)
             yield pd.DataFrame(
                 {
@@ -399,13 +556,16 @@ def media_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# resized BMP size mirrors _bmp_encode on ceil(n/2) bytes
+# resized sizes mirror _bmp_encode / _png_encode on ceil(n/2) pixel bytes
 SQL_MEDIA_RESIZE = _SQL_MEDIA_BASE + """
 SELECT doc_id, CAST(n AS INTEGER) AS old_width,
        CAST((n + 1) // 2 AS INTEGER) AS new_width,
-       CAST(1078 + (n + 1) // 2 + (4 - ((n + 1) // 2) % 4) % 4 AS BIGINT)
-         AS new_n_bytes
-FROM sized WHERE r = 0
+       CAST(CASE r
+              WHEN 0 THEN 1078 + (n + 1) // 2 + (4 - ((n + 1) // 2) % 4) % 4
+              ELSE 64 + (n + 1) // 2
+                   + 5 * CAST(CEIL(((n + 1) // 2 + 1) / 65535.0) AS BIGINT)
+            END AS BIGINT) AS new_n_bytes
+FROM sized WHERE r IN (0, 3)
 """
 
 

@@ -1,9 +1,10 @@
 """Multimodal binary-column ops (linkgraph/multimodal.py): opaque payload
-schema, REAL pure-Python container decode (BMP/WAV/AVI), bounded frame
+schema, REAL pure-Python container decode (BMP/WAV/AVI/PNG), bounded frame
 sampling.  Decode results are checked against the synthesis FORMULAS and
 md5-of-text — independent ground truth, not the parser itself."""
 
 import hashlib
+import math
 import struct
 
 import pytest
@@ -13,6 +14,7 @@ from linkgraph.multimodal import (
     _FRAME_STEP,
     _parse_avi,
     _parse_bmp,
+    _parse_png,
     _parse_wav,
     media_decode,
     media_frames,
@@ -21,7 +23,16 @@ from linkgraph.multimodal import (
 
 SF = "/root/testdata/sf0.001"
 
-_MAGIC = {"image/bmp": b"BM", "audio/wav": b"RIFF", "video/avi": b"RIFF"}
+_MAGIC = {
+    "image/bmp": b"BM",
+    "audio/wav": b"RIFF",
+    "video/avi": b"RIFF",
+    "image/png": b"\x89PNG\r\n\x1a\n",
+}
+
+
+def _png_bytes(n: int) -> int:
+    return 64 + n + 5 * math.ceil((n + 1) / 65535.0)
 
 
 def test_media_table_schema_and_container_magic(spark):
@@ -32,12 +43,12 @@ def test_media_table_schema_and_container_magic(spark):
         "payload": "binary",
         "n_bytes": "bigint",
     }
-    rows = m.limit(60).collect()
+    rows = m.limit(80).collect()
     assert rows
     for r in rows:
         p = bytes(r["payload"])
         assert len(p) == r["n_bytes"]
-        mime = ("image/bmp", "audio/wav", "video/avi")[r["doc_id"] % 3]
+        mime = ("image/bmp", "audio/wav", "video/avi", "image/png")[r["doc_id"] % 4]
         assert r["mime"] == mime
         assert p.startswith(_MAGIC[mime])
         if mime == "audio/wav":
@@ -53,12 +64,14 @@ def test_media_decode_roundtrips_real_headers(spark):
     }
     dec = {r["doc_id"]: r.asDict() for r in media_decode(spark, SF).collect()}
     assert dec.keys() == texts.keys()
+    seen = set()
     for doc_id, row in dec.items():
         data = texts[doc_id].encode("utf-8")
         n = len(data)
         # fp is md5 over the DECODED media data (pixels/samples/frame)
         assert row["fp"] == hashlib.md5(data).hexdigest()
-        r = doc_id % 3
+        r = doc_id % 4
+        seen.add(r)
         if r == 0:  # BMP: width = byte count, single row
             assert (row["width"], row["height"], row["n_frames"]) == (n, 1, 1)
             assert row["n_bytes"] == 1078 + n + (-n) % 4
@@ -67,12 +80,16 @@ def test_media_decode_roundtrips_real_headers(spark):
             assert row["sample_rate"] == rate
             assert row["duration_ms"] == n * 1000 // rate
             assert row["n_bytes"] == 44 + n + n % 2
-        else:  # AVI: avih geometry + frame count
+        elif r == 2:  # AVI: avih geometry + frame count
             assert row["width"] == 160 + 8 * (doc_id % 80)
             assert row["height"] == 120 + 8 * (doc_id % 60)
             assert row["n_frames"] == 1 + doc_id % 120
             assert row["duration_ms"] == (1 + doc_id % 120) * 40
             assert row["n_bytes"] == 108 + n + n % 2
+        else:  # PNG: width/height from IHDR, bytes from the stored stream
+            assert (row["width"], row["height"], row["n_frames"]) == (n, 1, 1)
+            assert row["n_bytes"] == _png_bytes(n)
+    assert seen == {0, 1, 2, 3}, "sf0.001 must exercise all four mimes"
 
 
 def test_media_frames_bounded_and_video_only(spark):
@@ -95,28 +112,72 @@ def test_decode_rejects_corrupt_containers():
         _parse_wav(b"RIFF\x04\x00\x00\x00JUNK")
     with pytest.raises((ValueError, StopIteration)):
         _parse_avi(b"notariff")
+    with pytest.raises(ValueError):
+        _parse_png(b"\x89PNJ" + b"\x00" * 40)
+
+
+def test_png_decode_rejects_bad_crc_and_handles_all_filters():
+    from linkgraph.multimodal import _png_encode, _png_read, _png_unfilter
+
+    p = bytearray(_png_encode([b"abcdef"]))
+    p[20] ^= 0xFF  # flip an IHDR byte without fixing the CRC
+    with pytest.raises(ValueError, match="CRC"):
+        _parse_png(bytes(p))
+
+    # Sub/Up/Average/Paeth filtered scanlines reconstruct exactly
+    img = [bytes((i * 31 + r * 7) % 256 for i in range(9)) for r in range(5)]
+    raw = bytearray()
+    prev = bytes(9)
+    for line, ft in zip(img, (0, 1, 2, 3, 4)):
+        enc = bytearray(line)
+        for i in range(9):
+            a = line[i - 1] if i else 0
+            b = prev[i]
+            c = prev[i - 1] if i else 0
+            if ft == 1:
+                enc[i] = (line[i] - a) & 0xFF
+            elif ft == 2:
+                enc[i] = (line[i] - b) & 0xFF
+            elif ft == 3:
+                enc[i] = (line[i] - ((a + b) >> 1)) & 0xFF
+            elif ft == 4:
+                q = a + b - c
+                pa, pb, pc = abs(q - a), abs(q - b), abs(q - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = (line[i] - pred) & 0xFF
+        raw += bytes([ft]) + bytes(enc)
+        prev = line
+    assert _png_unfilter(bytes(raw), 9, 5) == b"".join(img)
+
+    # multi-row encode -> read round trip through the real chunk walk
+    w, h, pix = _png_read(_png_encode([b"abcdef", b"ghijkl"]))
+    assert (w, h, pix) == (6, 2, b"abcdefghijkl")
 
 
 def test_media_resize_bytes_roundtrip(spark):
-    """The resized payload must be a VALID BMP whose decoded row equals
-    every other pixel of the original text bytes (nearest-neighbor 2x)."""
-    import hashlib
-
-    from linkgraph.multimodal import _parse_bmp, media_resize
+    """The resized payload must be a VALID container of the same format
+    whose decoded row equals every other pixel of the original text bytes
+    (nearest-neighbor 2x), for BOTH image mimes (BMP and PNG)."""
+    from linkgraph.multimodal import _parse_bmp, _parse_png, media_resize
 
     sf = "/root/testdata/sf0.001"
     out = media_resize(spark, sf).toPandas()
     docs = {
         int(r["doc_id"]): r["text"]
         for r in spark.read.parquet(f"{sf}/documents.parquet").collect()
-        if int(r["doc_id"]) % 3 == 0
+        if int(r["doc_id"]) % 4 in (0, 3)
     }
     assert len(out) == len(docs) > 0
+    mimes_seen = set()
     for r in out.itertuples():
-        want_row = docs[int(r.doc_id)].encode("utf-8")[::2]
-        fp, w, h, _nf, _sr, _d = _parse_bmp(bytes(r.payload))
+        doc_id = int(r.doc_id)
+        want_row = docs[doc_id].encode("utf-8")[::2]
+        parser = _parse_bmp if doc_id % 4 == 0 else _parse_png
+        mimes_seen.add(doc_id % 4)
+        fp, w, h, _nf, _sr, _d = parser(bytes(r.payload))
         assert h == 1
         assert w == r.new_width == len(want_row)
-        assert r.old_width == len(docs[int(r.doc_id)].encode("utf-8"))
+        assert r.old_width == len(docs[doc_id].encode("utf-8"))
         assert fp == r.new_fp == hashlib.md5(want_row).hexdigest()
         assert r.new_n_bytes == len(bytes(r.payload))
+    assert mimes_seen == {0, 3}
