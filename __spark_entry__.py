@@ -36,6 +36,8 @@ _GATE_PRIORITY = [
     "ann_ivf_topk", "ann_ivf_recall",
     "media_stats", "media_decode", "media_frames", "media_resize",
     "pagerank_top10",
+    # new in r4
+    "ann_ivf_kmeans_recall",
     # last green in r2 — refresh before they go stale
     "doc_exact_dedup", "doc_minhash", "doc_near_dups", "doc_simhash",
     "doc_token_stats", "doc_quality", "doc_langid", "doc_fingerprint",

@@ -331,6 +331,64 @@ def _centroids_np(v: DataFrame, n_cells: int) -> np.ndarray:
     return C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
 
 
+def _centroids_kmeans(v: DataFrame, n_cells: int, iters: int = 3) -> np.ndarray:
+    """Distributed spherical k-means quantizer (VERDICT r03 item 6): the
+    production-shape alternative to the fixed first-``n_cells`` seed.
+
+    Each Lloyd round is one narrow distributed pass: assign every vector to
+    its nearest current centroid (the same Arrow-batched matmul UDF the
+    search path uses), then reduce per-partition partial sums of the
+    NORMALIZED vectors per cell via ``mapInPandas`` — the only thing that
+    ever reaches the driver is ``partitions × n_cells`` tiny (cell, sum,
+    count) rows, merged in numpy and re-normalized (the spherical k-means
+    update).  No RNG: the seed is the deterministic fixed quantizer, so the
+    trained centroids are bit-reproducible run to run.  Empty cells keep
+    their previous centroid.  At 100 TB the per-round cost is one scan +
+    a driver-side merge of a few thousand small rows — no shuffle of the
+    vectors themselves."""
+    C = _centroids_np(v, n_cells)
+    dim = C.shape[1]
+
+    for _ in range(iters):
+        assign, _ = _make_cell_udfs(C, 1)
+
+        def partials(batches):
+            sums: dict[int, tuple[np.ndarray, int]] = {}
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                cells = pdf["cell"].to_numpy()
+                M = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+                M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+                for c in np.unique(cells):
+                    mask = cells == c
+                    s, n = sums.get(int(c), (np.zeros(M.shape[1]), 0))
+                    sums[int(c)] = (s + M[mask].sum(axis=0), n + int(mask.sum()))
+            yield pd.DataFrame(
+                {
+                    "cell": pd.Series(sorted(sums), dtype="int32"),
+                    "s": [sums[c][0].tolist() for c in sorted(sums)],
+                    "n": pd.Series([sums[c][1] for c in sorted(sums)], dtype="int64"),
+                }
+            )
+
+        rows = (
+            v.select(assign("e").alias("cell"), "e")
+            .mapInPandas(partials, "cell int, s array<double>, n long")
+            .collect()
+        )
+        acc: dict[int, tuple[np.ndarray, int]] = {}
+        for r in rows:
+            s, n = acc.get(r["cell"], (np.zeros(dim), 0))
+            acc[r["cell"]] = (s + np.asarray(r["s"], dtype=np.float64), n + r["n"])
+        newC = C.copy()
+        for c, (s, n) in acc.items():
+            if n > 0:
+                newC[c] = s / n
+        C = newC / np.maximum(np.linalg.norm(newC, axis=1, keepdims=True), 1e-300)
+    return C
+
+
 def _make_cell_udfs(C: np.ndarray, nprobe: int):
     """(assign, probe) pandas_udfs over the embedding column: nearest-cell
     id, and the nprobe nearest cell ids — one numpy matmul per Arrow batch;
@@ -359,7 +417,12 @@ def _make_cell_udfs(C: np.ndarray, nprobe: int):
 
 
 def _ivf_topk(
-    v: DataFrame, query_pred, k: int, n_cells: int = N_CELLS, nprobe: int = NPROBE
+    v: DataFrame,
+    query_pred,
+    k: int,
+    n_cells: int = N_CELLS,
+    nprobe: int = NPROBE,
+    quantizer: str = "fixed",
 ) -> DataFrame:
     """IVF search: assign every vector to its nearest centroid cell (the
     inverted lists), probe each query's ``nprobe`` nearest cells, exact
@@ -370,8 +433,16 @@ def _ivf_topk(
     cells are distinct, so no dedup shuffle is needed — contrast the LSH
     band join); per-query work is bounded by the probed cells' sizes, never
     O(N).  The re-rank uses the sequential-fold dot product (same evaluation
-    order as the DuckDB oracle) so the rounded values hash-match."""
-    C = _centroids_np(v, n_cells)
+    order as the DuckDB oracle) so the rounded values hash-match.
+
+    ``quantizer="fixed"`` (first n_cells vectors — SQL-derivable, what the
+    hash gate uses) or ``"kmeans"`` (distributed spherical k-means — the
+    production quantizer; identical search machinery)."""
+    C = (
+        _centroids_kmeans(v, n_cells)
+        if quantizer == "kmeans"
+        else _centroids_np(v, n_cells)
+    )
     assign, probe = _make_cell_udfs(C, nprobe)
 
     vd = v.select("vec_id", "e", "nrm", assign("e").alias("cell"))
@@ -459,6 +530,28 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ANN_IVF_RECALL = "SELECT CAST(1 AS BIGINT) AS recall_ok"
 
 
+def ann_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate for the TRAINED quantizer (distributed spherical
+    k-means, VERDICT r03 item 6): same planted-duplicate construction as
+    ann_ivf_recall — a planted copy has the same direction as its source,
+    so whatever cell the trained quantizer assigns the source, the copy
+    lands in the same cell, and nprobe >= 1 probes the query's own cell.
+    Gates the whole train→assign→probe→re-rank composition; the centroid
+    VALUES are engine-internal (k-means is iterative, not SQL-expressible),
+    which is why this row gates recall rather than centroid coordinates."""
+    v = _planted_vectors(spark, sf_dir)
+    ivf = _ivf_topk(v, F.col("vec_id") >= PLANT_OFFSET, ANN_K, quantizer="kmeans")
+    hits = ivf.where(F.col("vec_id") == F.col("q_id") - PLANT_OFFSET)
+    return hits.agg(
+        (F.count(F.lit(1)) / F.lit(N_PLANTED) >= RECALL_FLOOR)
+        .cast("long")
+        .alias("recall_ok")
+    )
+
+
+SQL_ANN_IVF_KMEANS_RECALL = "SELECT CAST(1 AS BIGINT) AS recall_ok"
+
+
 RECALL_FLOOR = 0.999
 
 
@@ -494,4 +587,5 @@ def registry():
         "emb_near_dups_lsh": (emb_near_dups_lsh_gate, SQL_EMB_NEAR_DUPS_LSH),
         "ann_ivf_topk": (ann_ivf_topk, SQL_ANN_IVF_TOPK),
         "ann_ivf_recall": (ann_ivf_recall, SQL_ANN_IVF_RECALL),
+        "ann_ivf_kmeans_recall": (ann_ivf_kmeans_recall, SQL_ANN_IVF_KMEANS_RECALL),
     }
