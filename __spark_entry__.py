@@ -38,6 +38,8 @@ _GATE_PRIORITY = [
     "pagerank_top10",
     # new in r4
     "ann_ivf_kmeans_recall",
+    "graph_reciprocity", "degree_assortativity", "engine_diameter2sweep",
+    "url_host_edges", "doc_pii", "doc_repetition", "token_zipf",
     # last green in r2 — refresh before they go stale
     "doc_exact_dedup", "doc_minhash", "doc_near_dups", "doc_simhash",
     "doc_token_stats", "doc_quality", "doc_langid", "doc_fingerprint",
@@ -76,8 +78,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from linkgraph.datapipe import registry as datapipe_registry
     from linkgraph.engine_queries import registry as engine_registry
     from linkgraph.flagship import flagship
+    from linkgraph.graphstats import registry as graphstats_registry
     from linkgraph.multimodal import registry as multimodal_registry
     from linkgraph.relational import REGISTRY
+    from linkgraph.webpipe import registry as webpipe_registry
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: fn for name, (fn, _sql) in REGISTRY.items()
@@ -86,6 +90,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update({name: fn for name, (fn, _sql) in datapipe_registry().items()})
     out.update({name: fn for name, (fn, _sql) in ann_registry().items()})
     out.update({name: fn for name, (fn, _sql) in multimodal_registry().items()})
+    out.update({name: fn for name, (fn, _sql) in graphstats_registry().items()})
+    out.update({name: fn for name, (fn, _sql) in webpipe_registry().items()})
     out["pagerank_top10"] = lambda spark, sf_dir: flagship(spark, sf_dir)
     return _prioritize(out)
 
@@ -96,13 +102,16 @@ def oracle_sql() -> dict[str, str]:
     from linkgraph.ann import registry as ann_registry
     from linkgraph.datapipe import registry as datapipe_registry
     from linkgraph.engine_queries import registry as engine_registry
+    from linkgraph.graphstats import registry as graphstats_registry
     from linkgraph.multimodal import registry as multimodal_registry
     from linkgraph.relational import REGISTRY
+    from linkgraph.webpipe import registry as webpipe_registry
 
     from linkgraph.graph_oracles import pagerank_fixed_sql
 
     out = {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}
-    for reg in (engine_registry(), datapipe_registry(), ann_registry(), multimodal_registry()):
+    for reg in (engine_registry(), datapipe_registry(), ann_registry(),
+                multimodal_registry(), graphstats_registry(), webpipe_registry()):
         out.update({name: sql for name, (_fn, sql) in reg.items() if sql is not None})
     # flagship: fixed 5-superstep PageRank, top-10 -> unrolled-CTE oracle
     out["pagerank_top10"] = pagerank_fixed_sql(5, limit=10, with_vid=True)

@@ -1,0 +1,209 @@
+"""Web-corpus pipeline ops: URL/host extraction + host co-citation edges,
+PII detection/redaction, repetition-quality scoring, token Zipf curve
+(SURVEY.md §2.15).
+
+The synthetic ``documents`` table carries no URLs or e-mail addresses, so
+the two extraction ops append a DETERMINISTIC fixture to each document
+in-query (pure column expressions, replicated verbatim in the DuckDB
+oracle — the same synthesize-from-text approach as multimodal.py's
+payload table).  The extraction/redaction machinery itself (regexes,
+explode, pair join) is the real thing a crawl pipeline would run.
+
+Scale notes (100 TB posture):
+- all four ops are pure Catalyst column expressions + hash aggregates;
+  no Python, no UDFs, no collects.
+- host co-citation is a per-doc self-join on the (tiny) distinct host
+  list of each document — fan-out bounded by hosts-per-doc², never by
+  corpus size; the final groupBy((a,b)) is map-side combinable.
+- token Zipf is explode → partial-aggregable count → a single top-k sort
+  of the (small) distinct-token aggregate, not of the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .io import load_table
+
+_URL_RE = r"https?://([a-z0-9.]+)/"
+_EMAIL_RE = r"[a-z0-9._]+@[a-z0-9.]+"
+_ZIPF_TOPK = 30
+
+
+def _with_urls(d: DataFrame) -> DataFrame:
+    """Deterministic URL fixture: every doc cites hosts
+    h(doc_id%23).example and h((7*doc_id+3)%23).example."""
+    return d.withColumn(
+        "text2",
+        F.concat(
+            F.col("text"),
+            F.lit(" see http://h"),
+            (F.col("doc_id") % 23).cast("string"),
+            F.lit(".example/a and https://h"),
+            ((F.col("doc_id") * 7 + 3) % 23).cast("string"),
+            F.lit(".example/b"),
+        ),
+    )
+
+
+# SQL mirror of _with_urls
+_SQL_TEXT2 = (
+    "text || ' see http://h' || CAST(doc_id % 23 AS VARCHAR)"
+    " || '.example/a and https://h'"
+    " || CAST((doc_id * 7 + 3) % 23 AS VARCHAR) || '.example/b'"
+)
+
+
+def q_url_host_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host co-citation edges: for each document extract the distinct set
+    of linked hosts, emit every unordered host pair co-cited by the doc,
+    and count citing docs per pair.  Output (host_a, host_b, n_docs)."""
+    d = _with_urls(load_table(spark, sf_dir, "documents"))
+    hosts = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all("text2", F.lit(_URL_RE), F.lit(1))
+            ).alias("host"),
+        )
+        .distinct()
+    )
+    a = hosts.select("doc_id", F.col("host").alias("host_a"))
+    b = hosts.select("doc_id", F.col("host").alias("host_b"))
+    return (
+        a.join(b, "doc_id")
+        .where(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+SQL_URL_HOST_EDGES = f"""
+WITH d AS (SELECT doc_id, {_SQL_TEXT2} AS text2 FROM documents),
+hosts AS (
+  SELECT DISTINCT doc_id, h AS host
+  FROM d, unnest(regexp_extract_all(text2, '{_URL_RE}', 1)) AS t(h)
+)
+SELECT a.host AS host_a, b.host AS host_b, count(*) AS n_docs
+FROM hosts a JOIN hosts b
+  ON b.doc_id = a.doc_id AND a.host < b.host
+GROUP BY a.host, b.host
+"""
+
+
+def q_doc_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact: a deterministic e-mail is injected into every
+    third document, then counted (regexp_extract_all) and redacted
+    (regexp_replace -> '[EMAIL]').  Output
+    (doc_id, n_emails, redacted_len)."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "text3",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                (F.col("doc_id") % 97).cast("string"),
+                F.lit("@mail"),
+                (F.col("doc_id") % 13).cast("string"),
+                F.lit(".example now"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text3", F.lit(_EMAIL_RE), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.length(
+            F.regexp_replace("text3", _EMAIL_RE, "[EMAIL]")
+        ).alias("redacted_len"),
+    )
+
+
+SQL_DOC_PII = f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' contact user' || CAST(doc_id % 97 AS VARCHAR)
+                   || '@mail' || CAST(doc_id % 13 AS VARCHAR) || '.example now'
+              ELSE text END AS text3
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text3, '{_EMAIL_RE}', 0)) AS INT) AS n_emails,
+       CAST(length(regexp_replace(text3, '{_EMAIL_RE}', '[EMAIL]', 'g')) AS INT)
+         AS redacted_len
+FROM d
+"""
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-quality signal: per-document share of the most frequent
+    token (high share = degenerate/repetitive text — a standard crawl
+    quality filter).  Output (doc_id, n_words, n_distinct, top_share)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), " ")).alias("word"),
+    )
+    wc = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("n"))
+    return wc.groupBy("doc_id").agg(
+        F.sum("n").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(F.max("n") / F.sum("n"), 6).alias("top_share"),
+    )
+
+
+SQL_DOC_REPETITION = """
+WITH words AS (
+  SELECT doc_id, w AS word
+  FROM documents, unnest(string_split(lower(trim(text)), ' ')) AS t(w)
+), wc AS (
+  SELECT doc_id, word, count(*) AS n FROM words GROUP BY doc_id, word
+)
+SELECT doc_id,
+       CAST(sum(n) AS BIGINT) AS n_words,
+       count(*) AS n_distinct,
+       round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS top_share
+FROM wc GROUP BY doc_id
+"""
+
+
+def q_token_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequency head: top-30 tokens by count (rank ties
+    broken by token text).  Output (rank, word, n)."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split(F.lower(F.trim("text")), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("word"))
+    return (
+        counts.select(F.row_number().over(w).alias("rank"), "word", "n")
+        .where(F.col("rank") <= _ZIPF_TOPK)
+    )
+
+
+SQL_TOKEN_ZIPF = f"""
+WITH words AS (
+  SELECT w AS word
+  FROM documents, unnest(string_split(lower(trim(text)), ' ')) AS t(w)
+), counts AS (
+  SELECT word, count(*) AS n FROM words GROUP BY word
+)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, word) AS INT) AS rank, word, n
+FROM counts
+QUALIFY rank <= {_ZIPF_TOPK}
+"""
+
+
+def registry():
+    return {
+        "url_host_edges": (q_url_host_edges, SQL_URL_HOST_EDGES),
+        "doc_pii": (q_doc_pii, SQL_DOC_PII),
+        "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
+        "token_zipf": (q_token_zipf, SQL_TOKEN_ZIPF),
+    }

@@ -1,0 +1,164 @@
+"""graphstats (reciprocity / assortativity / double-sweep diameter) and
+webpipe (URL edges / PII / repetition / Zipf) vs networkx and pure-python
+references, at sf0.001."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pytest
+
+from linkgraph.graphstats import (
+    _directed_simple,
+    q_degree_assortativity,
+    q_engine_diameter2sweep,
+    q_graph_reciprocity,
+)
+from linkgraph.webpipe import (
+    _EMAIL_RE,
+    _URL_RE,
+    _ZIPF_TOPK,
+    q_doc_pii,
+    q_doc_repetition,
+    q_token_zipf,
+    q_url_host_edges,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def dk_edges(spark):
+    """Directed simple (s, t) edge list as Python tuples — the shared input
+    of all three graphstats queries."""
+    return [
+        (r["s"], r["t"]) for r in _directed_simple(spark, SF_DIR).collect()
+    ]
+
+
+# -- graphstats ---------------------------------------------------------------
+
+def test_reciprocity_matches_networkx(spark, dk_edges):
+    import networkx as nx
+
+    row = q_graph_reciprocity(spark, SF_DIR).first()
+    G = nx.DiGraph()
+    G.add_edges_from(dk_edges)
+    assert row["n_edges"] == len(dk_edges)
+    n_recip = sum(1 for s, t in dk_edges if G.has_edge(t, s))
+    assert row["n_reciprocal"] == n_recip
+    assert row["reciprocity"] == pytest.approx(
+        nx.overall_reciprocity(G), abs=1e-6
+    )
+
+
+def test_assortativity_matches_networkx(spark, dk_edges):
+    import networkx as nx
+
+    row = q_degree_assortativity(spark, SF_DIR).first()
+    G = nx.Graph()
+    G.add_edges_from(dk_edges)
+    assert row["n_half_edges"] == 2 * G.number_of_edges()
+    assert row["assortativity"] == pytest.approx(
+        nx.degree_assortativity_coefficient(G), abs=1e-5
+    )
+
+
+def test_diameter2sweep_matches_networkx(spark, dk_edges):
+    import networkx as nx
+
+    row = q_engine_diameter2sweep(spark, SF_DIR).first()
+    G = nx.Graph()
+    G.add_edges_from(dk_edges)
+
+    src = min(G.nodes)  # vid 0 == min vkey by construction
+    assert row["src_vkey"] == src
+    d1 = nx.single_source_shortest_path_length(G, src)
+    # sweep-2 source: farthest from src, min-vkey tiebreak
+    ecc = max(d1.values())
+    far = min(v for v, d in d1.items() if d == ecc)
+    assert (row["far_vkey"], row["ecc_from_src"]) == (far, ecc)
+    d2 = nx.single_source_shortest_path_length(G, far)
+    assert row["diameter_lb"] == max(d2.values())
+    # fixed-depth sweeps must actually cover this graph
+    assert max(ecc, row["diameter_lb"]) < 10
+
+
+# -- webpipe ------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from linkgraph.io import load_table
+
+    return {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+
+
+def test_url_host_edges_matches_python(spark, docs):
+    got = {
+        (r["host_a"], r["host_b"]): r["n_docs"]
+        for r in q_url_host_edges(spark, SF_DIR).collect()
+    }
+    ref: Counter = Counter()
+    for doc_id, text in docs.items():
+        text2 = (
+            f"{text} see http://h{doc_id % 23}.example/a"
+            f" and https://h{(doc_id * 7 + 3) % 23}.example/b"
+        )
+        hosts = sorted(set(re.findall(_URL_RE, text2)))
+        for i, a in enumerate(hosts):
+            for b in hosts[i + 1 :]:
+                ref[(a, b)] += 1
+    assert got == dict(ref)
+
+
+def test_doc_pii_matches_python(spark, docs):
+    got = {
+        r["doc_id"]: (r["n_emails"], r["redacted_len"])
+        for r in q_doc_pii(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(docs)
+    injected = redacted = 0
+    for doc_id, text in docs.items():
+        text3 = text
+        if doc_id % 3 == 0:
+            text3 += f" contact user{doc_id % 97}@mail{doc_id % 13}.example now"
+            injected += 1
+        n = len(re.findall(_EMAIL_RE, text3))
+        rlen = len(re.sub(_EMAIL_RE, "[EMAIL]", text3))
+        if n:
+            redacted += 1
+        assert got[doc_id] == (n, rlen), doc_id
+    # the fixture really plants PII in ~1/3 of docs and it gets found
+    assert injected > 0 and redacted >= injected
+
+
+def test_doc_repetition_matches_python(spark, docs):
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_distinct"], r["top_share"])
+        for r in q_doc_repetition(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(docs)
+    for doc_id, text in docs.items():
+        words = text.strip().lower().split(" ")
+        c = Counter(words)
+        share = round(max(c.values()) / len(words), 6)
+        assert got[doc_id] == (len(words), len(c), pytest.approx(share))
+
+
+def test_token_zipf_matches_python(spark, docs):
+    rows = q_token_zipf(spark, SF_DIR).collect()
+    assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == list(
+        range(1, _ZIPF_TOPK + 1)
+    )
+    c: Counter = Counter()
+    for text in docs.values():
+        c.update(text.strip().lower().split(" "))
+    ref = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:_ZIPF_TOPK]
+    got = [(r["word"], r["n"]) for r in sorted(rows, key=lambda r: r["rank"])]
+    assert got == ref
