@@ -666,6 +666,79 @@ GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
 """
 
 
+def doc_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-LM quality scoring: per-document average negative log
+    likelihood under an add-one-smoothed corpus bigram model —
+    p(b|a) = (c(a,b)+1)/(c(a)+V), the classic perplexity-proxy crawl filter
+    (docs whose text is unlike the corpus score high).
+
+    Scale shape: the bigram explode partial-aggregates into the two model
+    groupBys (both map-side combinable); V is a 1-row broadcast; scoring is
+    one narrow (a,b) equi-join back onto the bigram stream.  Docs with <2
+    words emit no bigrams and are excluded (both engines).
+    Output (doc_id, n_bigrams, avg_nll)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", _words(F.col("text")).alias("w"))
+    bg = w.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                _gram_starts(F.col("w"), 2),
+                lambda i: F.struct(
+                    F.element_at(F.col("w"), i).alias("a"),
+                    F.element_at(F.col("w"), i + 1).alias("b"),
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.a", "g.b")
+    cab = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cab"))
+    ca = bg.groupBy("a").agg(F.count(F.lit(1)).alias("ca"))
+    vocab = (
+        w.select(F.explode("w").alias("word"))
+        .agg(F.countDistinct("word").cast("double").alias("v"))
+    )
+    probs = (
+        cab.join(ca, "a")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "a", "b",
+            ((F.col("cab") + 1.0) / (F.col("ca") + F.col("v"))).alias("p"),
+        )
+    )
+    return (
+        bg.join(probs, ["a", "b"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(-F.log("p")), 6).alias("avg_nll"),
+        )
+    )
+
+
+SQL_DOC_BIGRAM_LM = """
+WITH d AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+), bg AS (
+  SELECT doc_id, w[CAST(i AS INT)] AS a, w[CAST(i AS INT) + 1] AS b
+  FROM d, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS t(i)
+), cab AS (
+  SELECT a, b, count(*) AS cab FROM bg GROUP BY a, b
+), ca AS (
+  SELECT a, count(*) AS ca FROM bg GROUP BY a
+), vv AS (
+  SELECT CAST(count(DISTINCT word) AS DOUBLE) AS v
+  FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS word
+        FROM documents)
+), p AS (
+  SELECT cab.a, cab.b, (cab.cab + 1.0) / (ca.ca + (SELECT v FROM vv)) AS p
+  FROM cab JOIN ca USING (a)
+)
+SELECT bg.doc_id, count(*) AS n_bigrams, round(avg(-ln(p.p)), 6) AS avg_nll
+FROM bg JOIN p ON p.a = bg.a AND p.b = bg.b
+GROUP BY bg.doc_id
+"""
+
+
 _STRAT_RATE_EN = 20   # keep 20% of the majority class...
 _STRAT_RATE_OTHER = 50  # ...and 50% of everything else (class rebalancing)
 
@@ -895,6 +968,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "ann_topk_cosine": (ann_topk_cosine, SQL_ANN_TOPK),
         "doc_tfidf": (doc_tfidf, SQL_DOC_TFIDF),
         "doc_bigram_topk": (doc_bigram_topk, SQL_DOC_BIGRAM),
+        "doc_bigram_lm": (doc_bigram_lm, SQL_DOC_BIGRAM_LM),
         "doc_stratified_sample": (doc_stratified_sample, SQL_DOC_STRATIFIED),
         "doc_pack_sequences": (doc_pack_sequences, SQL_DOC_PACK),
         "doc_chunk": (doc_chunk, SQL_DOC_CHUNK),

@@ -107,6 +107,26 @@ SELECT v AS vkey, min(root) AS comp_key FROM reach GROUP BY v
 """
 
 
+def engine_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component size distribution — the standard web-graph connectivity
+    summary (giant-component share falls straight out): runs the hash-min
+    CC engine, then two combinable groupBys (comp -> size -> histogram).
+    Output (size, n_components)."""
+    comp = engine_components(spark, sf_dir)
+    sizes = comp.groupBy("comp_key").agg(F.count(F.lit(1)).alias("size"))
+    return sizes.groupBy("size").agg(F.count(F.lit(1)).alias("n_components"))
+
+
+SQL_ENGINE_COMPONENT_SIZES = f"""
+SELECT size, count(*) AS n_components
+FROM (
+  SELECT comp_key, count(*) AS size
+  FROM ({SQL_ENGINE_COMPONENTS}) GROUP BY comp_key
+)
+GROUP BY size
+"""
+
+
 def engine_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle total over the events turn-edge graph via the engine's
     degree-oriented 2-join (triangles.py); SQL oracle = 3-way self-join."""
@@ -405,6 +425,7 @@ def registry():
 
     return {
         "engine_components": (engine_components, SQL_ENGINE_COMPONENTS),
+        "component_sizes": (engine_component_sizes, SQL_ENGINE_COMPONENT_SIZES),
         "engine_triangles": (engine_triangles, SQL_TRIANGLE_COUNT),
         "engine_pagerank": (engine_pagerank, SQL_ENGINE_PAGERANK),
         "engine_labelprop": (engine_labelprop, SQL_ENGINE_LABELPROP),

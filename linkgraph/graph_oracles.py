@@ -51,10 +51,13 @@ base AS (
 )"""
 
 
-def pagerank_fixed_sql(k: int, limit: int, d: float = 0.85, with_vid: bool = False) -> str:
-    """Unrolled k-superstep weighted PageRank, top-``limit`` by rounded rank."""
+def pagerank_unroll_ctes(k: int, d: float, graph_ctes: str) -> list[str]:
+    """The k-superstep weighted-PageRank CTE chain over ANY graph CTE block
+    that defines ``e(s, t, w)``, ``v(vkey, vid)`` and ``nn(n)`` — shared by
+    the events-graph oracles here and the host-co-citation-graph oracle
+    (webpipe.host_pagerank_sql)."""
     ctes = [
-        _GRAPH_CTES,
+        graph_ctes,
         "outw AS (SELECT s, sum(w) AS out_w FROM e GROUP BY s)",
         "coeff AS (SELECT e.s, e.t, e.w / o.out_w AS c FROM e JOIN outw o USING (s))",
         # dangling = no out-edges (out_deg == 0)
@@ -78,6 +81,13 @@ def pagerank_fixed_sql(k: int, limit: int, d: float = 0.85, with_vid: bool = Fal
             f"+ {dd} * (coalesce(m.ms, 0.0) + (SELECT dm FROM d{i}) / (SELECT n FROM nn)) AS r "
             f"FROM v LEFT JOIN m{i} m USING (vkey))"
         )
+    return ctes
+
+
+def pagerank_fixed_sql(k: int, limit: int, d: float = 0.85, with_vid: bool = False) -> str:
+    """Unrolled k-superstep weighted PageRank over the events graph,
+    top-``limit`` by rounded rank."""
+    ctes = pagerank_unroll_ctes(k, d, _GRAPH_CTES)
     if with_vid:
         select = (
             "SELECT v.vid, v.vkey, "

@@ -200,10 +200,109 @@ QUALIFY rank <= {_ZIPF_TOPK}
 """
 
 
+# --------------------------------------------------------------------------
+# host-graph PageRank (cross-subsystem composition: URL extraction -> graph
+# build -> fixed-superstep PageRank — domain authority, the web-scale use)
+# --------------------------------------------------------------------------
+
+_PR_STEPS = 5
+
+
+def _host_graph(spark: SparkSession, sf_dir: str):
+    """GraphTables over the host co-citation graph: one symmetric weighted
+    edge (w = co-citing doc count) per ordered host pair.  Hosts that never
+    co-occur with another host have no edges and are excluded — mirrored in
+    the oracle's ``v`` CTE (derived from ``e``, not from all hosts)."""
+    from .derive import GraphTables, build_degrees
+
+    d = _with_urls(load_table(spark, sf_dir, "documents"))
+    hosts = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all("text2", F.lit(_URL_RE), F.lit(1))
+            ).alias("host"),
+        )
+        .distinct()
+    )
+    a = hosts.select("doc_id", F.col("host").alias("s"))
+    b = hosts.select("doc_id", F.col("host").alias("t"))
+    e = (
+        a.join(b, "doc_id")
+        .where(F.col("s") != F.col("t"))
+        .groupBy("s", "t")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    vw = Window.orderBy("vkey")
+    vertices = (
+        e.select(F.col("s").alias("vkey"))
+        .distinct()
+        .select(
+            "vkey",
+            (F.row_number().over(vw) - 1).cast("long").alias("vid"),
+            F.lit("host").alias("vtype"),
+        )
+    )
+    v = F.broadcast(vertices)
+    edges = (
+        e.join(v.select(F.col("vkey").alias("s"), F.col("vid").alias("src")), "s")
+        .join(v.select(F.col("vkey").alias("t"), F.col("vid").alias("dst")), "t")
+        .select("src", "dst", F.lit("cocite").alias("etype"), "w")
+    )
+    return GraphTables(
+        vertices=vertices, edges=edges, degrees=build_degrees(edges, vertices)
+    )
+
+
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain authority: 5 fixed PageRank supersteps over the host
+    co-citation graph, top-10 hosts by rounded rank (the same fixed-k +
+    round-to-6 protocol as the flagship, so the unrolled-CTE oracle is a
+    full hash check).  Output (host, rank)."""
+    from .pagerank import pagerank_naive
+
+    g = _host_graph(spark, sf_dir)
+    res = pagerank_naive(g, tol=0.0, max_iter=_PR_STEPS)
+    return (
+        res.ranks.join(g.vertices, "vid")
+        .select(F.col("vkey").alias("host"), F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), "host")
+        .limit(10)
+    )
+
+
+_HOST_GRAPH_CTES = f"""
+d AS (SELECT doc_id, {_SQL_TEXT2} AS text2 FROM documents),
+hosts AS (
+  SELECT DISTINCT doc_id, h AS host
+  FROM d, unnest(regexp_extract_all(text2, '{_URL_RE}', 1)) AS t(h)
+), e AS (
+  SELECT a.host AS s, b.host AS t, CAST(count(*) AS DOUBLE) AS w
+  FROM hosts a JOIN hosts b ON b.doc_id = a.doc_id AND a.host <> b.host
+  GROUP BY a.host, b.host
+), v AS (
+  SELECT vkey, CAST(row_number() OVER (ORDER BY vkey) - 1 AS BIGINT) AS vid
+  FROM (SELECT DISTINCT s AS vkey FROM e)
+), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v)"""
+
+
+def host_pagerank_sql(k: int = _PR_STEPS, limit: int = 10, d: float = 0.85) -> str:
+    from .graph_oracles import pagerank_unroll_ctes
+
+    ctes = pagerank_unroll_ctes(k, d, _HOST_GRAPH_CTES)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT v.vkey AS host, round(r.r, 6) AS rank"
+        + f"\nFROM r{k} r JOIN v USING (vkey)"
+        + f"\nORDER BY round(r.r, 6) DESC, v.vkey\nLIMIT {limit}"
+    )
+
+
 def registry():
     return {
         "url_host_edges": (q_url_host_edges, SQL_URL_HOST_EDGES),
         "doc_pii": (q_doc_pii, SQL_DOC_PII),
         "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
         "token_zipf": (q_token_zipf, SQL_TOKEN_ZIPF),
+        "host_pagerank": (q_host_pagerank, host_pagerank_sql()),
     }

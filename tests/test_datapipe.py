@@ -6,6 +6,7 @@ bounds, sampling determinism, tf-idf internal consistency).
 """
 
 import numpy as np
+import pytest
 
 from linkgraph.datapipe import (
     _PACK_BIN_TOKENS,
@@ -168,3 +169,44 @@ def test_ngram_ops_survive_short_docs(spark, tmp_path):
     # and crucially no crash on the five short docs
     out = doc_contamination(spark, sf).toPandas()
     assert len(out) == 0
+
+
+def test_doc_bigram_lm_matches_python(spark):
+    """Add-one-smoothed bigram-LM scoring vs a from-scratch Counter model."""
+    import math
+    from collections import Counter
+
+    from linkgraph.datapipe import doc_bigram_lm
+    from linkgraph.io import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = {
+        r["doc_id"]: r["text"].strip().lower().split(" ")
+        for r in load_table(spark, sf, "documents").select("doc_id", "text").collect()
+    }
+    cab: Counter = Counter()
+    ca: Counter = Counter()
+    vocab = set()
+    per_doc: dict[int, list[tuple[str, str]]] = {}
+    for doc_id, words in docs.items():
+        vocab.update(words)
+        grams = list(zip(words, words[1:]))
+        per_doc[doc_id] = grams
+        for a, b in grams:
+            cab[(a, b)] += 1
+            ca[a] += 1
+    V = float(len(vocab))
+
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_nll"])
+        for r in doc_bigram_lm(spark, sf).collect()
+    }
+    expected_docs = {d for d, g in per_doc.items() if g}
+    assert set(got) == expected_docs
+    for doc_id in expected_docs:
+        grams = per_doc[doc_id]
+        nll = [-math.log((cab[g] + 1.0) / (ca[g[0]] + V)) for g in grams]
+        assert got[doc_id][0] == len(grams)
+        assert got[doc_id][1] == pytest.approx(
+            round(sum(nll) / len(nll), 6), abs=2e-6
+        ), doc_id

@@ -162,3 +162,58 @@ def test_token_zipf_matches_python(spark, docs):
     ref = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:_ZIPF_TOPK]
     got = [(r["word"], r["n"]) for r in sorted(rows, key=lambda r: r["rank"])]
     assert got == ref
+
+
+def test_host_pagerank_matches_networkx(spark, docs):
+    """5-superstep host-graph PageRank vs a pure-python fixed-iteration
+    reference (networkx pagerank iterates to tol; our protocol is fixed-k,
+    so replicate the superstep recurrence directly on the co-citation
+    weights)."""
+    from collections import defaultdict
+
+    from linkgraph.webpipe import _PR_STEPS, q_host_pagerank
+
+    got = [(r["host"], r["rank"]) for r in q_host_pagerank(spark, SF_DIR).collect()]
+
+    w: Counter = Counter()
+    for doc_id, text in docs.items():
+        text2 = (
+            f"{text} see http://h{doc_id % 23}.example/a"
+            f" and https://h{(doc_id * 7 + 3) % 23}.example/b"
+        )
+        hosts = sorted(set(re.findall(_URL_RE, text2)))
+        for i, a in enumerate(hosts):
+            for b in hosts[i + 1 :]:
+                w[(a, b)] += 1
+                w[(b, a)] += 1
+    nodes = sorted({a for a, _ in w})
+    outw = defaultdict(float)
+    for (a, _b), c in w.items():
+        outw[a] += c
+    n = len(nodes)
+    r = {v: 1.0 / n for v in nodes}
+    d = 0.85
+    for _ in range(_PR_STEPS):
+        msum = defaultdict(float)
+        for (a, b), c in w.items():
+            msum[b] += r[a] * c / outw[a]
+        r = {v: (1 - d) / n + d * msum[v] for v in nodes}  # no dangling: symmetric
+    ref = sorted(
+        ((v, round(rv, 6)) for v, rv in r.items()), key=lambda kv: (-kv[1], kv[0])
+    )[:10]
+    assert got == ref
+
+
+def test_component_sizes_matches_networkx(spark, dk_edges):
+    import networkx as nx
+
+    from linkgraph.engine_queries import engine_component_sizes
+
+    got = {
+        r["size"]: r["n_components"]
+        for r in engine_component_sizes(spark, SF_DIR).collect()
+    }
+    G = nx.Graph()
+    G.add_edges_from(dk_edges)
+    ref: Counter = Counter(len(c) for c in nx.connected_components(G))
+    assert got == dict(ref)
