@@ -41,6 +41,7 @@ _GATE_PRIORITY = [
     "graph_reciprocity", "degree_assortativity", "engine_diameter2sweep",
     "url_host_edges", "doc_pii", "doc_repetition", "token_zipf",
     "host_pagerank", "doc_bigram_lm", "component_sizes",
+    "anf_kmv", "ktruss_edges", "doc_entropy", "url_dedup",
     # last green in r2 — refresh before they go stale
     "doc_exact_dedup", "doc_minhash", "doc_near_dups", "doc_simhash",
     "doc_token_stats", "doc_quality", "doc_langid", "doc_fingerprint",

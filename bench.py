@@ -279,13 +279,21 @@ def main() -> None:
 
         noise["rep_walls"] = rep_walls
         noise["rep_loadavg_1m"] = rep_loads
-        total = round(sum(timings.values()), 3)
+        # "value" stays comparable across rounds: the r1-r3 headline set
+        # (derive+engine+relational).  The skewed hub tier is timed and
+        # reported separately under "hub_tier" / "hub_tier_total_sec" so
+        # adding it to the surface doesn't read as a total regression.
+        hub_keys = {"hub_tier_build", "hub_tier_pagerank"}
+        total = round(sum(v for k, v in timings.items() if k not in hub_keys), 3)
         print(
             json.dumps(
                 {
                     "metric": "linkgraph_bench_total",
                     "value": total,
                     "unit": "sec",
+                    "hub_tier_total_sec": round(
+                        sum(v for k, v in timings.items() if k in hub_keys), 3
+                    ),
                     "queries": timings,
                     "sf": sf,
                     "cpus": cpus,

@@ -248,9 +248,205 @@ SELECT (SELECT min(vkey) FROM v) AS src_vkey,
 SQL_ENGINE_DIAMETER2SWEEP = _diameter2sweep_sql(_DIAM_STEPS)
 
 
+# --------------------------------------------------------------------------
+# approximate neighborhood function (ANF) via k-minimum-values sketches —
+# the Palmer/Gibbons/Faloutsos ANF / HyperBall family, with a KMV sketch
+# instead of HLL registers so BOTH engines replay it bit-for-bit from the
+# shared md5->int64 hash (datapipe._md5_int): radius-r sketch of v = the
+# _ANF_K smallest distinct vertex hashes within distance r of v.
+# --------------------------------------------------------------------------
+
+_ANF_K = 8          # sketch size (k smallest hashes kept per vertex)
+_ANF_R = 3          # ball radii 0.._ANF_R
+_ANF_SCALE = float(1 << 60)  # md5 15-hex-digit hashes are uniform in [0, 2^60)
+
+
+def q_anf_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood function N(r) = sum over vertices of the estimated
+    ball size |B(v, r)|, r = 0.._ANF_R, over the undirected simple events
+    graph — the standard web-graph effective-diameter/ball-growth profile.
+
+    Sketch state is kept as FLAT (v, h) rows (at most _ANF_K per vertex),
+    so one ANF round is: edge join (messages = K hashes per edge) →
+    union + distinct → per-vertex top-K via row_number.  All JVM-side;
+    message volume is bounded by K·|E| per round regardless of ball sizes —
+    the property that makes ANF/HyperBall feasible at web scale where exact
+    ball enumeration is quadratic.  KMV estimator: |B| is exact (= count)
+    while count < K, else (K-1) / (kth_smallest_hash / 2^60).
+
+    Output (radius, nf), one row per radius, nf rounded to 3 decimals.
+    """
+    from .datapipe import _md5_int
+
+    dk = _directed_simple(spark, sf_dir)
+    und = (
+        dk.unionByName(dk.select(F.col("t").alias("s"), F.col("s").alias("t")))
+        .distinct()
+    )
+    verts = (
+        und.select(F.col("s").alias("v"))
+        .unionByName(und.select(F.col("t").alias("v")))
+        .distinct()
+    )
+    state = verts.select("v", _md5_int(F.col("v")).alias("h"))
+
+    def nf_at(st: DataFrame, r: int) -> DataFrame:
+        per_v = st.groupBy("v").agg(
+            F.count(F.lit(1)).alias("c"), F.max("h").alias("kth")
+        )
+        est = F.when(
+            F.col("c") < _ANF_K, F.col("c").cast("double")
+        ).otherwise(F.lit(float(_ANF_K - 1) * _ANF_SCALE) / F.col("kth"))
+        return per_v.agg(F.round(F.sum(est), 3).alias("nf")).select(
+            F.lit(r).alias("radius"), "nf"
+        )
+
+    out = nf_at(state, 0)
+    w = Window.partitionBy("v").orderBy("h")
+    for r in range(1, _ANF_R + 1):
+        msgs = und.join(state.withColumnRenamed("v", "s"), "s").select(
+            F.col("t").alias("v"), "h"
+        )
+        merged = state.unionByName(msgs).distinct()
+        state = (
+            merged.select("v", "h", F.row_number().over(w).alias("rn"))
+            .where(F.col("rn") <= _ANF_K)
+            .select("v", "h")
+        )
+        out = out.unionByName(nf_at(state, r))
+    return out.orderBy("radius")
+
+
+def _anf_kmv_sql(k: int, r_max: int) -> str:
+    from .datapipe import _sql_md5_int
+
+    est = (
+        f"CASE WHEN c < {k} THEN CAST(c AS DOUBLE) "
+        f"ELSE {float(k - 1)} * {_ANF_SCALE} / kth END"
+    )
+    ctes = [
+        _GRAPH_CTES,
+        "dk AS (SELECT DISTINCT s, t FROM ek WHERE s <> t)",
+        "und AS MATERIALIZED (SELECT DISTINCT s, t FROM "
+        "(SELECT s, t FROM dk UNION ALL SELECT t AS s, s AS t FROM dk))",
+        "av AS (SELECT DISTINCT v FROM "
+        "(SELECT s AS v FROM und UNION ALL SELECT t AS v FROM und))",
+        f"k0 AS MATERIALIZED (SELECT v, {_sql_md5_int('v')} AS h FROM av)",
+    ]
+    nfs = [
+        f"nf0 AS (SELECT 0 AS radius, round(sum({est}), 3) AS nf FROM "
+        "(SELECT v, count(*) AS c, max(h) AS kth FROM k0 GROUP BY v))"
+    ]
+    for i in range(1, r_max + 1):
+        p = f"k{i - 1}"
+        ctes.append(
+            f"k{i} AS MATERIALIZED (SELECT v, h FROM ("
+            "SELECT v, h, row_number() OVER (PARTITION BY v ORDER BY h) AS rn "
+            "FROM (SELECT DISTINCT v, h FROM ("
+            f"SELECT v, h FROM {p} "
+            f"UNION ALL SELECT u.t AS v, p.h FROM und u JOIN {p} p ON p.v = u.s"
+            f"))) WHERE rn <= {k})"
+        )
+        nfs.append(
+            f"nf{i} AS (SELECT {i} AS radius, round(sum({est}), 3) AS nf FROM "
+            f"(SELECT v, count(*) AS c, max(h) AS kth FROM k{i} GROUP BY v))"
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM nf{i}" for i in range(r_max + 1))
+    return (
+        "WITH " + ",\n".join(ctes + nfs)
+        + f"\nSELECT radius, nf FROM ({union}) ORDER BY radius"
+    )
+
+
+SQL_ANF_KMV = _anf_kmv_sql(_ANF_K, _ANF_R)
+
+
+# --------------------------------------------------------------------------
+# k-truss (fixed-round support peeling) — the standard edge-cohesion
+# decomposition: keep edges in >= k-2 triangles, recount, repeat.  Fixed
+# _TRUSS_ROUNDS so the unrolled-CTE oracle replays the identical cascade
+# (pytest asserts the fixture converges within that budget).
+# --------------------------------------------------------------------------
+
+_TRUSS_K = 4        # 4-truss: every surviving edge sits in >= 2 triangles
+_TRUSS_ROUNDS = 4   # fixed peel rounds (convergence asserted in pytest)
+
+
+def _peel_once(e: DataFrame, min_sup: int) -> DataFrame:
+    """One support-peel round: drop edges of ``e`` (oriented s < t) whose
+    triangle support in the CURRENT edge set is below ``min_sup``."""
+    u = e.unionByName(e.select(F.col("t").alias("s"), F.col("s").alias("t")))
+    x = u.select(F.col("s").alias("a"), F.col("t").alias("c"))
+    y = u.select(F.col("s").alias("b"), F.col("t").alias("c2"))
+    ren = e.select(F.col("s").alias("es"), F.col("t").alias("et"))
+    sup = (
+        ren.join(x, F.col("es") == F.col("a"))
+        .join(y, (F.col("et") == F.col("b")) & (F.col("c") == F.col("c2")))
+        .groupBy("es", "et")
+        .agg(F.count(F.lit(1)).alias("sup"))
+    )
+    return (
+        ren.join(sup, ["es", "et"], "left")
+        .where(F.coalesce(F.col("sup"), F.lit(0)) >= min_sup)
+        .select(F.col("es").alias("s"), F.col("et").alias("t"))
+    )
+
+
+def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edges of the 4-truss of the undirected simple events graph
+    after ``_TRUSS_ROUNDS`` fixed peel rounds.  Each round is two
+    self-equi-joins on the CURRENT edge set (the oriented triangle-count
+    shape of triangles.py) + one hash agg — support never materializes the
+    triangle set, so a round costs O(sum of degree products) like any
+    triangle pass, and the edge set only shrinks.  Output (s, t), s < t."""
+    dk = _directed_simple(spark, sf_dir)
+    und = (
+        dk.unionByName(dk.select(F.col("t").alias("s"), F.col("s").alias("t")))
+        .distinct()
+    )
+    e = und.where(F.col("s") < F.col("t"))
+    for _ in range(_TRUSS_ROUNDS):
+        e = _peel_once(e, _TRUSS_K - 2)
+    return e.orderBy("s", "t")
+
+
+def _ktruss_sql(min_sup: int, rounds: int) -> str:
+    ctes = [
+        _GRAPH_CTES,
+        "dk AS (SELECT DISTINCT s, t FROM ek WHERE s <> t)",
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(s, t) AS s, "
+        "greatest(s, t) AS t FROM dk)",
+    ]
+    for i in range(rounds):
+        ctes.append(
+            f"u{i} AS MATERIALIZED "
+            f"(SELECT s, t FROM e{i} UNION ALL SELECT t AS s, s AS t FROM e{i})"
+        )
+        ctes.append(
+            f"sup{i} AS MATERIALIZED (SELECT e.s, e.t, count(*) AS sup "
+            f"FROM e{i} e JOIN u{i} x ON x.s = e.s "
+            f"JOIN u{i} y ON y.s = e.t AND y.t = x.t "
+            "GROUP BY e.s, e.t)"
+        )
+        ctes.append(
+            f"e{i + 1} AS MATERIALIZED (SELECT e.s, e.t FROM e{i} e "
+            f"LEFT JOIN sup{i} p ON p.s = e.s AND p.t = e.t "
+            f"WHERE coalesce(p.sup, 0) >= {min_sup})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT s, t FROM e{rounds} ORDER BY s, t"
+    )
+
+
+SQL_KTRUSS = _ktruss_sql(_TRUSS_K - 2, _TRUSS_ROUNDS)
+
+
 def registry():
     return {
         "graph_reciprocity": (q_graph_reciprocity, SQL_GRAPH_RECIPROCITY),
         "degree_assortativity": (q_degree_assortativity, SQL_DEGREE_ASSORTATIVITY),
         "engine_diameter2sweep": (q_engine_diameter2sweep, SQL_ENGINE_DIAMETER2SWEEP),
+        "anf_kmv": (q_anf_kmv, SQL_ANF_KMV),
+        "ktruss_edges": (q_ktruss, SQL_KTRUSS),
     }

@@ -200,6 +200,112 @@ QUALIFY rank <= {_ZIPF_TOPK}
 """
 
 
+def q_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram Shannon entropy per document (bits/token) — low entropy =
+    repetitive/degenerate text, the information-theoretic sibling of the
+    top-share filter.  Two stacked combinable groupBys; no UDFs.
+    Output (doc_id, n_words, entropy)."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), " ")).alias("word"),
+    )
+    wc = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("n"))
+    tot = wc.groupBy("doc_id").agg(F.sum("n").alias("tot"))
+    p = wc.join(tot, "doc_id").select(
+        "doc_id", "tot", (F.col("n") / F.col("tot")).alias("p")
+    )
+    return p.groupBy("doc_id").agg(
+        F.max("tot").alias("n_words"),
+        F.round(-F.sum(F.col("p") * F.log2("p")), 6).alias("entropy"),
+    )
+
+
+SQL_DOC_ENTROPY = """
+WITH words AS (
+  SELECT doc_id, w AS word
+  FROM documents, unnest(string_split(lower(trim(text)), ' ')) AS t(w)
+), wc AS (
+  SELECT doc_id, word, count(*) AS n FROM words GROUP BY doc_id, word
+), tot AS (
+  SELECT doc_id, sum(n) AS tot FROM wc GROUP BY doc_id
+), p AS (
+  SELECT wc.doc_id, tot.tot, CAST(wc.n AS DOUBLE) / tot.tot AS p
+  FROM wc JOIN tot USING (doc_id)
+)
+SELECT doc_id,
+       CAST(max(tot) AS BIGINT) AS n_words,
+       round(-sum(p * log2(p)), 6) AS entropy
+FROM p GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# URL canonicalization + dedup (crawl frontier hygiene: scheme/host case,
+# default port, trailing slash all collapse to one canonical form)
+# --------------------------------------------------------------------------
+
+def _with_url_variants(d: DataFrame) -> DataFrame:
+    """Deterministic messy-URL fixture: each doc cites the same logical
+    page twice in different surface forms (upper-case scheme+host, an
+    explicit default port, a trailing slash)."""
+    k = (F.col("doc_id") % 23).cast("string")
+    p = (F.col("doc_id") % 5).cast("string")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://h"), k, F.lit(".example:80/p"), p, F.lit("/")
+        ).alias("url_a"),
+        F.concat(
+            F.lit("HTTP://H"), k, F.lit(".EXAMPLE/p"), p
+        ).alias("url_b"),
+    )
+
+
+def _canon(col):
+    """lower-case -> drop explicit default port -> drop trailing slash.
+    The ':80' replace is safe here because the fixture paths carry no
+    port-like substrings; a production canonicalizer would anchor on the
+    authority component."""
+    return F.regexp_replace(
+        F.regexp_replace(F.lower(col), F.lit(":80/"), F.lit("/")),
+        F.lit("/$"),
+        F.lit(""),
+    )
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalize both URL variants of every doc and count citing docs
+    per canonical URL — the two surface forms of each logical page must
+    collapse to ONE row with double the count.  Pure column expressions +
+    one combinable groupBy.  Output (url, n_citations)."""
+    d = _with_url_variants(load_table(spark, sf_dir, "documents"))
+    urls = d.select("doc_id", _canon(F.col("url_a")).alias("url")).unionByName(
+        d.select("doc_id", _canon(F.col("url_b")).alias("url"))
+    )
+    return urls.groupBy("url").agg(F.count(F.lit(1)).alias("n_citations"))
+
+
+SQL_URL_DEDUP = """
+WITH d AS (
+  SELECT doc_id,
+         'http://h' || CAST(doc_id % 23 AS VARCHAR) || '.example:80/p'
+           || CAST(doc_id % 5 AS VARCHAR) || '/' AS url_a,
+         'HTTP://H' || CAST(doc_id % 23 AS VARCHAR) || '.EXAMPLE/p'
+           || CAST(doc_id % 5 AS VARCHAR) AS url_b
+  FROM documents
+), urls AS (
+  SELECT doc_id, url_a AS url FROM d
+  UNION ALL
+  SELECT doc_id, url_b AS url FROM d
+), canon AS (
+  SELECT regexp_replace(replace(lower(url), ':80/', '/'), '/$', '') AS url
+  FROM urls
+)
+SELECT url, count(*) AS n_citations FROM canon GROUP BY url
+"""
+
+
 # --------------------------------------------------------------------------
 # host-graph PageRank (cross-subsystem composition: URL extraction -> graph
 # build -> fixed-superstep PageRank — domain authority, the web-scale use)
@@ -305,4 +411,6 @@ def registry():
         "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
         "token_zipf": (q_token_zipf, SQL_TOKEN_ZIPF),
         "host_pagerank": (q_host_pagerank, host_pagerank_sql()),
+        "doc_entropy": (q_doc_entropy, SQL_DOC_ENTROPY),
+        "url_dedup": (q_url_dedup, SQL_URL_DEDUP),
     }

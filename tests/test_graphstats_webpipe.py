@@ -217,3 +217,134 @@ def test_component_sizes_matches_networkx(spark, dk_edges):
     G.add_edges_from(dk_edges)
     ref: Counter = Counter(len(c) for c in nx.connected_components(G))
     assert got == dict(ref)
+
+
+def test_anf_kmv_matches_python(spark, dk_edges):
+    """ANF/KMV neighborhood function vs an exact pure-python replay of the
+    same sketch iteration (same md5 hashes, same k-smallest merge), plus a
+    loose accuracy sanity check against exact ball sizes."""
+    import hashlib
+    from collections import defaultdict
+
+    from linkgraph.graphstats import _ANF_K, _ANF_R, _ANF_SCALE, q_anf_kmv
+
+    got = {r["radius"]: r["nf"] for r in q_anf_kmv(spark, SF_DIR).collect()}
+
+    und = defaultdict(set)
+    verts = set()
+    for s, t in dk_edges:
+        und[s].add(t)
+        und[t].add(s)
+        verts.update((s, t))
+    h = {
+        v: int(hashlib.md5(v.encode()).hexdigest()[:15], 16) for v in verts
+    }
+
+    def estimate(sketches) -> float:
+        tot = 0.0
+        for sk in sketches.values():
+            if len(sk) < _ANF_K:
+                tot += float(len(sk))
+            else:
+                tot += (_ANF_K - 1) * _ANF_SCALE / max(sk)
+        return round(tot, 3)
+
+    sketches = {v: {h[v]} for v in verts}
+    ref = {0: estimate(sketches)}
+    balls = {v: {v} for v in verts}
+    exact = {0: float(len(verts))}
+    for r in range(1, _ANF_R + 1):
+        sketches = {
+            v: set(
+                sorted(set().union(sketches[v], *(sketches[u] for u in und[v])))[
+                    :_ANF_K
+                ]
+            )
+            for v in verts
+        }
+        ref[r] = estimate(sketches)
+        balls = {
+            v: balls[v].union(*(balls[u] for u in und[v])) for v in verts
+        }
+        exact[r] = float(sum(len(b) for b in balls.values()))
+
+    # bit-exact vs the replayed sketch (both engines share the md5 hash)
+    assert got == ref
+    # radius 0 is exact by construction; growth is monotone
+    assert got[0] == float(len(verts))
+    assert all(got[r] >= got[r - 1] for r in range(1, _ANF_R + 1))
+    # KMV with K=8 has ~38% per-vertex stderr; summed over the graph the
+    # aggregate should land well within 35% of the exact ball-size total
+    for r in range(1, _ANF_R + 1):
+        assert abs(got[r] - exact[r]) / exact[r] < 0.35, (r, got[r], exact[r])
+
+
+def test_ktruss_matches_networkx(spark, dk_edges):
+    """Fixed-round 4-truss peel vs networkx.k_truss, plus an explicit
+    convergence check that _TRUSS_ROUNDS rounds reach the fixed point on
+    the fixture graph (the fixed-round protocol is only faithful to the
+    true truss when the cascade has settled)."""
+    import networkx as nx
+
+    from linkgraph.graphstats import _TRUSS_K, _TRUSS_ROUNDS, q_ktruss
+
+    got = [(r["s"], r["t"]) for r in q_ktruss(spark, SF_DIR).collect()]
+
+    G = nx.Graph()
+    G.add_edges_from(dk_edges)
+    T = nx.k_truss(G, _TRUSS_K)
+    ref = sorted(tuple(sorted(e)) for e in T.edges())
+    assert sorted(got) == ref
+
+    # pure-python peel: confirm the cascade settles within _TRUSS_ROUNDS
+    edges = {tuple(sorted((s, t))) for s, t in dk_edges if s != t}
+    rounds_needed = 0
+    while True:
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        nxt = {
+            (a, b)
+            for a, b in edges
+            if len(adj[a] & adj[b]) >= _TRUSS_K - 2
+        }
+        if nxt == edges:
+            break
+        edges = nxt
+        rounds_needed += 1
+    assert rounds_needed <= _TRUSS_ROUNDS, rounds_needed
+
+
+def test_doc_entropy_matches_python(spark, docs):
+    import math
+
+    from linkgraph.webpipe import q_doc_entropy
+
+    got = {
+        r["doc_id"]: (r["n_words"], r["entropy"])
+        for r in q_doc_entropy(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(docs)
+    for doc_id, text in docs.items():
+        words = text.strip().lower().split(" ")
+        c = Counter(words)
+        n = len(words)
+        ent = -sum((k / n) * math.log2(k / n) for k in c.values())
+        assert got[doc_id][0] == n
+        assert got[doc_id][1] == pytest.approx(round(ent, 6), abs=2e-6), doc_id
+
+
+def test_url_dedup_collapses_variants(spark, docs):
+    from linkgraph.webpipe import q_url_dedup
+
+    rows = {r["url"]: r["n_citations"] for r in q_url_dedup(spark, SF_DIR).collect()}
+    ref: Counter = Counter()
+    for doc_id in docs:
+        # both surface forms canonicalize to the same logical page
+        ref[f"http://h{doc_id % 23}.example/p{doc_id % 5}"] += 2
+    assert rows == dict(ref)
+    # canonical forms only: no upper case, no port, no trailing slash
+    assert all(
+        u == u.lower() and ":80" not in u and not u.endswith("/") for u in rows
+    )
