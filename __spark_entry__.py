@@ -42,11 +42,15 @@ _GATE_PRIORITY = [
     "url_host_edges", "doc_pii", "doc_repetition", "token_zipf",
     "host_pagerank", "doc_bigram_lm", "component_sizes",
     "anf_kmv", "ktruss_edges", "doc_entropy", "url_dedup",
+    "engine_eigenvector", "modularity", "transitivity",
+    "tool_cousage", "doc_length_buckets",
+    # rows-only in r2 (no oracle → not in the green union): keep windowed
+    "ann_lsh_topk",
     # last green in r2 — refresh before they go stale
     "doc_exact_dedup", "doc_minhash", "doc_near_dups", "doc_simhash",
     "doc_token_stats", "doc_quality", "doc_langid", "doc_fingerprint",
     "doc_split",
-    "ann_topk_cosine", "ann_lsh_topk", "ann_lsh_recall",
+    "ann_topk_cosine", "ann_lsh_recall",
     "emb_near_dups_exact", "emb_near_dups_lsh",
 ]
 

@@ -953,6 +953,57 @@ FROM c
 """
 
 
+# --------------------------------------------------------------------------
+# length-bucketed batching (dynamic-batching layout for training)
+# --------------------------------------------------------------------------
+
+_LB_BUCKETS = 8
+_LB_BATCH = 32
+
+
+def doc_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assignment: docs ntile(8)'d by token count
+    (deterministic (n_tokens, doc_id) order), then fixed-size batch ids
+    within each bucket — the standard dynamic-batching layout that keeps
+    padding waste bounded when packing variable-length sequences.
+
+    Two window passes over the SAME (bucket-less then bucketed) sort — at
+    100 TB you'd range-partition by n_tokens first so each executor sorts
+    one quantile slice; the plan here is the same shape Catalyst produces
+    for that (Exchange + two Window nodes), with no Python anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.size(_words(F.col("text"))).alias("n_tokens")
+    )
+    w_all = Window.orderBy("n_tokens", "doc_id")
+    w_b = Window.partitionBy("bucket").orderBy("n_tokens", "doc_id")
+    return (
+        t.withColumn("bucket", F.ntile(_LB_BUCKETS).over(w_all))
+        .withColumn(
+            "batch_id",
+            F.floor((F.row_number().over(w_b) - 1) / _LB_BATCH).cast("bigint"),
+        )
+        .orderBy("bucket", "batch_id", "doc_id")
+    )
+
+
+SQL_DOC_LENGTH_BUCKETS = f"""
+WITH t AS (
+  SELECT doc_id, len(string_split(lower(trim(text)), ' ')) AS n_tokens
+  FROM documents
+), b AS (
+  SELECT doc_id, n_tokens,
+         ntile({_LB_BUCKETS}) OVER (ORDER BY n_tokens, doc_id) AS bucket
+  FROM t
+)
+SELECT doc_id, n_tokens, bucket,
+       CAST(floor((row_number() OVER (PARTITION BY bucket ORDER BY n_tokens, doc_id) - 1)
+            / {_LB_BATCH}) AS BIGINT) AS batch_id
+FROM b
+ORDER BY bucket, batch_id, doc_id
+"""
+
+
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
     return {
         "doc_split": (doc_split, SQL_DOC_SPLIT),
@@ -973,4 +1024,5 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "doc_pack_sequences": (doc_pack_sequences, SQL_DOC_PACK),
         "doc_chunk": (doc_chunk, SQL_DOC_CHUNK),
         "doc_contamination": (doc_contamination, SQL_DOC_CONTAMINATION),
+        "doc_length_buckets": (doc_length_buckets, SQL_DOC_LENGTH_BUCKETS),
     }

@@ -25,8 +25,10 @@ from pyspark.sql import functions as F
 from .flagship import events_graph
 from .graph_oracles import (
     bfs_fixed_sql,
+    eigenvector_fixed_sql,
     harmonic_fixed_sql,
     katz_fixed_sql,
+    modularity_fixed_sql,
     scc_pivot_fixed_sql,
     labelprop_fixed_sql,
     pagerank_fixed_sql,
@@ -38,6 +40,7 @@ from .pregel import (
     BFS_INF,
     BFSProgram,
     ComponentsProgram,
+    EigenvectorProgram,
     GraphContext,
     KatzProgram,
     LabelPropProgram,
@@ -360,6 +363,106 @@ def engine_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_ENGINE_KATZ = katz_fixed_sql(_KATZ_STEPS, 20, _KATZ_ALPHA, _KATZ_BETA)
 
+_EIG_STEPS = 4
+
+
+def engine_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eigenvector centrality, FIXED 4 truncated power iterations on the
+    directed weighted events graph, L1-normalized once at the end (a single
+    global agg broadcast back — no per-superstep barrier); top-20 by rounded
+    value — hash-checked against graph_oracles.eigenvector_fixed_sql."""
+    g, ctx = _events_ctx(spark, sf_dir)
+    try:
+        res = run_program(ctx, EigenvectorProgram(), fixed_iters=_EIG_STEPS)
+        tot = res.state.agg(F.sum("rank").alias("_tot"))
+        return (
+            res.state.crossJoin(F.broadcast(tot))
+            .join(g.vertices.select("vid", "vkey"), "vid")
+            .select(
+                "vkey",
+                (F.round(F.col("rank") / F.col("_tot"), 6) + 0.0).alias("eig"),
+            )
+            .orderBy(F.desc("eig"), "vkey")
+            .limit(20)
+        )
+    finally:
+        ctx.unpersist()
+
+
+SQL_ENGINE_EIGENVECTOR = eigenvector_fixed_sql(_EIG_STEPS, 20)
+
+
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the 5-superstep LPA partition, one row per
+    community: q_contrib_c = in_c/m2 − (d_c/m2)² over the undirected simple
+    events graph (m2 = directed adjacency count = 2m).
+
+    Labels come from the REAL engine (LabelPropProgram, same run as
+    engine_labelprop); the quality metric itself is a pure-Catalyst plan —
+    adjacency symmetrize + two hash aggregates + one equi-join, every
+    aggregate partial (map-side combinable), so at 100 TB the cost is the
+    label join, which shuffles on vid like every other engine output."""
+    g, ctx = _events_ctx(spark, sf_dir)
+    try:
+        res = run_program(ctx, LabelPropProgram(), fixed_iters=_LPA_STEPS)
+        v = g.vertices.select("vkey", "vid")
+        lab_key = v.select(F.col("vid").alias("label"), F.col("vkey").alias("label_key"))
+        lab = (
+            res.state.join(v, "vid").join(lab_key, "label")
+            .select("vkey", "label_key")
+        )
+        und = (
+            g.edges.where(F.col("src") != F.col("dst"))
+            .select(F.col("src").alias("x"), F.col("dst").alias("y"))
+            .distinct()
+        )
+        adj = und.select(F.col("x").alias("a"), F.col("y").alias("b")).unionByName(
+            und.select(F.col("y").alias("a"), F.col("x").alias("b"))
+        ).distinct()
+        # vid -> vkey on both endpoints so the agg keys match the oracle
+        va = v.select(F.col("vid").alias("a"), F.col("vkey").alias("ka"))
+        vb = v.select(F.col("vid").alias("b"), F.col("vkey").alias("kb"))
+        adj_k = adj.join(va, "a").join(vb, "b").select("ka", "kb")
+        m2 = adj_k.agg(F.count(F.lit(1)).cast("double").alias("_m2"))
+        degv = adj_k.groupBy(F.col("ka").alias("vkey")).agg(F.count(F.lit(1)).alias("deg"))
+        la = lab.select(F.col("vkey").alias("ka"), F.col("label_key").alias("la"))
+        lb = lab.select(F.col("vkey").alias("kb"), F.col("label_key").alias("lb"))
+        intra = (
+            adj_k.join(la, "ka").join(lb, "kb")
+            .where(F.col("la") == F.col("lb"))
+            .groupBy(F.col("la").alias("label_key"))
+            .agg(F.count(F.lit(1)).alias("internal_pairs"))
+        )
+        comm = (
+            lab.join(degv, "vkey", "left")
+            .groupBy("label_key")
+            .agg(
+                F.count(F.lit(1)).alias("n_vertices"),
+                F.sum(F.coalesce(F.col("deg"), F.lit(0))).alias("deg_sum"),
+            )
+        )
+        return (
+            comm.join(intra, "label_key", "left")
+            .crossJoin(F.broadcast(m2))
+            .select(
+                "label_key",
+                "n_vertices",
+                F.coalesce("internal_pairs", F.lit(0)).alias("internal_pairs"),
+                "deg_sum",
+                F.round(
+                    F.coalesce("internal_pairs", F.lit(0)) / F.col("_m2")
+                    - (F.col("deg_sum") / F.col("_m2")) ** 2,
+                    6,
+                ).alias("q_contrib"),
+            )
+            .orderBy("label_key")
+        )
+    finally:
+        ctx.unpersist()
+
+
+SQL_MODULARITY = modularity_fixed_sql(_LPA_STEPS)
+
 
 def engine_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSR-path weighted SSSP (Bellman-Ford gather-scatter), FIXED 6
@@ -415,11 +518,13 @@ def registry():
         SQL_DEGREE_HIST,
         SQL_JACCARD_PAIRS,
         SQL_RANDOM_WALKS,
+        SQL_TOOL_COUSAGE,
         q_adamic_adar,
         q_clustering_coeff,
         q_degree_hist,
         q_jaccard_pairs,
         q_random_walks,
+        q_tool_cousage,
     )
     from .relational import SQL_TRIANGLE_COUNT
 
@@ -434,6 +539,8 @@ def registry():
         "engine_harmonic": (engine_harmonic, SQL_ENGINE_HARMONIC),
         "engine_scc": (engine_scc, SQL_ENGINE_SCC),
         "engine_katz": (engine_katz, SQL_ENGINE_KATZ),
+        "engine_eigenvector": (engine_eigenvector, SQL_ENGINE_EIGENVECTOR),
+        "modularity": (q_modularity, SQL_MODULARITY),
         "engine_sssp": (engine_sssp, SQL_ENGINE_SSSP),
         "engine_ppr": (engine_ppr, SQL_ENGINE_PPR),
         "engine_hits": (engine_hits, hits_fixed_sql(5, 20)),
@@ -442,4 +549,5 @@ def registry():
         "adamic_adar": (q_adamic_adar, SQL_ADAMIC_ADAR),
         "degree_hist": (q_degree_hist, SQL_DEGREE_HIST),
         "random_walks": (q_random_walks, SQL_RANDOM_WALKS),
+        "tool_cousage": (q_tool_cousage, SQL_TOOL_COUSAGE),
     }

@@ -104,9 +104,11 @@ def pagerank_fixed_sql(k: int, limit: int, d: float = 0.85, with_vid: bool = Fal
     )
 
 
-def labelprop_fixed_sql(k: int) -> str:
-    """Unrolled k-superstep synchronous LPA over the undirected simple graph;
-    output (vkey, label_key) in vkey space."""
+def _labelprop_ctes(k: int) -> list[str]:
+    """Shared CTE chain for the k-superstep synchronous LPA oracle: defines
+    ``und(a, b)`` (undirected simple adjacency, both directions) and the
+    final label table ``l{k}(vkey, lbl)`` — used by labelprop_fixed_sql and
+    modularity_fixed_sql."""
     ctes = [
         _GRAPH_CTES,
         # undirected simple adjacency (both directions, self-loops dropped)
@@ -130,9 +132,74 @@ def labelprop_fixed_sql(k: int) -> str:
             f"l{i} AS (SELECT p.vkey, coalesce(b.lbl, p.lbl) AS lbl "
             f"FROM {p} p LEFT JOIN b{i} b USING (vkey))"
         )
+    return ctes
+
+
+def labelprop_fixed_sql(k: int) -> str:
+    """Unrolled k-superstep synchronous LPA over the undirected simple graph;
+    output (vkey, label_key) in vkey space."""
+    return (
+        "WITH " + ",\n".join(_labelprop_ctes(k))
+        + f"\nSELECT vkey, lbl AS label_key FROM l{k}"
+    )
+
+
+def modularity_fixed_sql(k: int) -> str:
+    """Newman modularity of the k-superstep LPA partition over the
+    undirected simple events graph, one row per community:
+    q_contrib_c = in_c/m2 − (d_c/m2)² with m2 = |directed adjacency| = 2m,
+    in_c = ordered internal pairs, d_c = Σ deg(v) — mirrors
+    graphstats.q_modularity (engine LPA labels + pure-Catalyst agg)."""
+    ctes = _labelprop_ctes(k) + [
+        "m2 AS (SELECT CAST(count(*) AS DOUBLE) AS m2 FROM und)",
+        "degv AS (SELECT a AS vkey, count(*) AS deg FROM und GROUP BY a)",
+        f"lab AS (SELECT vkey, lbl FROM l{k})",
+        "intra AS (SELECT la.lbl, count(*) AS internal_pairs "
+        "FROM und u JOIN lab la ON la.vkey = u.a "
+        "JOIN lab lb ON lb.vkey = u.b AND lb.lbl = la.lbl GROUP BY la.lbl)",
+        "comm AS (SELECT lbl, count(*) AS n_vertices, "
+        "CAST(sum(coalesce(d.deg, 0)) AS BIGINT) AS deg_sum "
+        "FROM lab LEFT JOIN degv d USING (vkey) GROUP BY lbl)",
+    ]
     return (
         "WITH " + ",\n".join(ctes)
-        + f"\nSELECT vkey, lbl AS label_key FROM l{k}"
+        + """
+SELECT c.lbl AS label_key, c.n_vertices,
+       coalesce(i.internal_pairs, 0) AS internal_pairs, c.deg_sum,
+       round(coalesce(i.internal_pairs, 0) / m2.m2
+             - (c.deg_sum / m2.m2) * (c.deg_sum / m2.m2), 6) AS q_contrib
+FROM comm c LEFT JOIN intra i USING (lbl), m2
+ORDER BY c.lbl
+"""
+    )
+
+
+def eigenvector_fixed_sql(k: int, limit: int) -> str:
+    """Unrolled k-step truncated power iteration x_{t+1} = W^T x_t, x_0 = 1,
+    over the directed weighted events edges, L1-normalized ONCE at the end;
+    top-``limit`` by rounded value — mirrors pregel.EigenvectorProgram with
+    fixed_iters=k + the caller's final normalization."""
+    ctes = [
+        _GRAPH_CTES,
+        "x0 AS (SELECT vkey, CAST(1.0 AS DOUBLE) AS x FROM v)",
+    ]
+    for i in range(1, k + 1):
+        p = f"x{i - 1}"
+        ctes.append(
+            f"em{i} AS (SELECT e.t AS vkey, sum(p.x * e.w) AS ms "
+            f"FROM e JOIN {p} p ON p.vkey = e.s GROUP BY e.t)"
+        )
+        ctes.append(
+            f"x{i} AS (SELECT v.vkey, coalesce(m.ms, 0) + 0.0 AS x "
+            f"FROM v LEFT JOIN em{i} m ON m.vkey = v.vkey)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f""",
+tot AS (SELECT sum(x) AS t FROM x{k})
+SELECT vkey, round(x / tot.t, 6) + 0.0 AS eig FROM x{k}, tot
+ORDER BY round(x / tot.t, 6) DESC, vkey LIMIT {limit}
+"""
     )
 
 

@@ -442,9 +442,82 @@ def _ktruss_sql(min_sup: int, rounds: int) -> str:
 SQL_KTRUSS = _ktruss_sql(_TRUSS_K - 2, _TRUSS_ROUNDS)
 
 
+# --------------------------------------------------------------------------
+# global transitivity (global clustering coefficient)
+# --------------------------------------------------------------------------
+
+def q_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient 3·triangles / wedges over the
+    undirected simple events graph; one row (n_wedges, n_triangles,
+    transitivity).
+
+    Triangles use the degree-oriented 2-join shape (u < v orientation —
+    each triangle generated once, hub fan-out bounded, same design as
+    triangles.py); wedges are a pure hash aggregate Σ deg·(deg−1)/2.  Both
+    terms are partial-aggregable, so at 100 TB the cost is the two
+    triangle equi-joins — the minimum any exact method pays."""
+    dk = _directed_simple(spark, sf_dir)
+    und = (
+        dk.select(
+            F.least("s", "t").alias("u"), F.greatest("s", "t").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("x"))
+        .unionByName(und.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    wedges = deg.agg(
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("bigint").alias("n_wedges")
+    )
+    e1 = und
+    e2 = und.select(F.col("u").alias("u2"), F.col("v").alias("v2"))
+    e3 = und.select(F.col("u").alias("u3"), F.col("v").alias("v3"))
+    tris = (
+        e1.join(e2, (F.col("u2") == F.col("u")) & (F.col("v2") > F.col("v")))
+        .join(e3, (F.col("u3") == F.col("v")) & (F.col("v3") == F.col("v2")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return wedges.crossJoin(F.broadcast(tris)).select(
+        "n_wedges",
+        "n_triangles",
+        F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6).alias(
+            "transitivity"
+        ),
+    )
+
+
+SQL_TRANSITIVITY = (
+    "WITH "
+    + _GRAPH_CTES
+    + """,
+und AS (
+  SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS v FROM ek WHERE s <> t
+), deg AS (
+  SELECT x, count(*) AS deg FROM (
+    SELECT u AS x FROM und UNION ALL SELECT v AS x FROM und
+  ) GROUP BY x
+), wedges AS (
+  SELECT CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges FROM deg
+), tris AS (
+  SELECT count(*) AS n_triangles
+  FROM und e1
+  JOIN und e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v
+)
+SELECT n_wedges, n_triangles,
+       round(3.0 * n_triangles / n_wedges, 6) AS transitivity
+FROM wedges, tris
+"""
+)
+
+
 def registry():
     return {
         "graph_reciprocity": (q_graph_reciprocity, SQL_GRAPH_RECIPROCITY),
+        "transitivity": (q_transitivity, SQL_TRANSITIVITY),
         "degree_assortativity": (q_degree_assortativity, SQL_DEGREE_ASSORTATIVITY),
         "engine_diameter2sweep": (q_engine_diameter2sweep, SQL_ENGINE_DIAMETER2SWEEP),
         "anf_kmv": (q_anf_kmv, SQL_ANF_KMV),

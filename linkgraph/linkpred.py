@@ -530,3 +530,72 @@ def _walks_sql(steps: int) -> str:
 
 
 SQL_RANDOM_WALKS = _walks_sql(_WALK_STEPS)
+
+
+# --------------------------------------------------------------------------
+# actor co-usage projection (bipartite actor × (tool, hour) -> actor pairs)
+# --------------------------------------------------------------------------
+
+_COUSAGE_MAX_ACTORS = 8   # hub guard: (tool, hour) keys busier than this
+#                           are dropped before the pair join — the classic
+#                           bipartite-projection skew control (a key with
+#                           a actors emits O(a²) pairs; capping a bounds
+#                           the join fan-out independent of corpus size)
+_COUSAGE_MIN_SHARED = 2
+
+
+def q_tool_cousage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Actor–actor co-usage edges: pairs of actors invoking the SAME tool
+    in the SAME hour bucket, ≥2 shared (tool, hour) keys, hub keys excluded.
+
+    The bipartite projection every transcript pipeline wants ("which agents
+    work the same tools at the same time") in its only 100 TB-safe shape:
+    distinct on (actor, tool, hour) first (combinable), per-key actor-count
+    guard BEFORE the self-join, then one equi-join on the key — fan-out is
+    ≤ max_actors² per key by construction, never O(actors²) global."""
+    from .io import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    ak = e.select(
+        F.col("user_id").alias("actor"),
+        F.col("event_type").alias("tool"),
+        F.date_trunc("hour", F.col("ts")).alias("b"),
+    ).distinct()
+    keep = (
+        ak.groupBy("tool", "b")
+        .agg(F.count(F.lit(1)).alias("n_actors"))
+        .where(F.col("n_actors") <= _COUSAGE_MAX_ACTORS)
+        .select("tool", "b")
+    )
+    small = ak.join(keep, ["tool", "b"])
+    x = small.select("tool", "b", F.col("actor").alias("u1"))
+    y = small.select("tool", "b", F.col("actor").alias("u2"))
+    return (
+        x.join(y, ["tool", "b"])
+        .where(F.col("u1") < F.col("u2"))
+        .groupBy("u1", "u2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= _COUSAGE_MIN_SHARED)
+        .orderBy(F.desc("shared"), "u1", "u2")
+        .limit(50)
+    )
+
+
+SQL_TOOL_COUSAGE = f"""
+WITH ak AS (
+  SELECT DISTINCT user_id AS actor, event_type AS tool,
+         date_trunc('hour', ts) AS b
+  FROM events
+), keep AS (
+  SELECT tool, b FROM (
+    SELECT tool, b, count(*) AS n_actors FROM ak GROUP BY tool, b
+  ) WHERE n_actors <= {_COUSAGE_MAX_ACTORS}
+), small AS (
+  SELECT ak.* FROM ak JOIN keep USING (tool, b)
+)
+SELECT x.actor AS u1, y.actor AS u2, count(*) AS shared
+FROM small x JOIN small y ON x.tool = y.tool AND x.b = y.b AND x.actor < y.actor
+GROUP BY x.actor, y.actor
+HAVING count(*) >= {_COUSAGE_MIN_SHARED}
+ORDER BY shared DESC, u1, u2 LIMIT 50
+"""

@@ -824,6 +824,27 @@ class KatzProgram(PageRankProgram):
     stat_reducers = {"delta": max, "rank_sum": sum}
 
 
+class EigenvectorProgram(KatzProgram):
+    """Eigenvector centrality via truncated power iteration
+    x_{t+1}(v) = Σ_{u→v} w(u,v)·x_t(u), x_0 = 1.
+
+    Exactly KatzProgram with alpha=1 / beta=0 (the pure in-edge weighted
+    sum — same packed-Arrow scatter on the RAW weights) started from the
+    all-ones vector.  The iterate is scale-invariant up to normalization,
+    so callers L1-normalize ONCE at the end (a single global agg) instead
+    of per superstep — at web scale that removes k-1 global barriers; for
+    very large k renormalize periodically off the observed rank_sum stat
+    to keep doubles in range (unnecessary at fixed gate-scale k)."""
+
+    name = "eigenvector"
+
+    def __init__(self, tol: float = 0.0):
+        super().__init__(alpha=1.0, beta=0.0, tol=tol)
+
+    def init_state(self, ctx: GraphContext) -> DataFrame:
+        return ctx.vertex_base.withColumn("rank", F.lit(1.0))
+
+
 class BFSProgram:
     """Multi-source BFS hop distance over the undirected simple graph.
 

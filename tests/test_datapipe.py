@@ -210,3 +210,37 @@ def test_doc_bigram_lm_matches_python(spark):
         assert got[doc_id][1] == pytest.approx(
             round(sum(nll) / len(nll), 6), abs=2e-6
         ), doc_id
+
+
+def test_length_buckets_invariants(spark):
+    """doc_length_buckets: every doc assigned once; buckets are ascending
+    token-count ranges (ntile semantics); batch ids contiguous from 0 with
+    every batch ≤ _LB_BATCH and all but the last full; deterministic."""
+    from linkgraph.datapipe import _LB_BATCH, _LB_BUCKETS, doc_length_buckets
+
+    out = doc_length_buckets(spark, SF).collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(out) == n_docs
+    assert len({r["doc_id"] for r in out}) == n_docs
+
+    by_bucket: dict[int, list] = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    assert set(by_bucket) <= set(range(1, _LB_BUCKETS + 1))
+
+    prev_max = None
+    for b in sorted(by_bucket):
+        toks = [r["n_tokens"] for r in by_bucket[b]]
+        if prev_max is not None:
+            assert min(toks) >= prev_max  # ties may straddle, order may not
+        prev_max = max(toks)
+        sizes: dict[int, int] = {}
+        for r in by_bucket[b]:
+            sizes[r["batch_id"]] = sizes.get(r["batch_id"], 0) + 1
+        assert set(sizes) == set(range(len(sizes)))
+        last = len(sizes) - 1
+        for bid, c in sizes.items():
+            assert c == _LB_BATCH if bid < last else c <= _LB_BATCH
+
+    again = doc_length_buckets(spark, SF).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in out]

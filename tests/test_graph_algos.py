@@ -399,3 +399,92 @@ def test_hits_empty_edge_set_yields_zeros(spark):
     assert not out["hub"].isna().any()
     assert (out["authority"] == 0.0).all()
     assert (out["hub"] == 0.0).all()
+
+
+def test_modularity_matches_networkx(spark):
+    """q_modularity (engine LPA labels + Catalyst aggregate) vs
+    nx.community.modularity on the SAME partition and the SAME undirected
+    simple events graph at sf0.001 — checks the per-community contributions
+    sum to Newman's Q and that every vertex is counted exactly once."""
+    import networkx as nx
+
+    from linkgraph.engine_queries import engine_labelprop, q_modularity
+    from linkgraph.flagship import events_graph
+    from linkgraph.io import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    g = events_graph(load_table(spark, sf_dir, "events"))
+    vkey = {r["vid"]: r["vkey"] for r in g.vertices.collect()}
+    G = nx.Graph()
+    G.add_nodes_from(vkey.values())
+    for r in g.edges.select("src", "dst").collect():
+        if r["src"] != r["dst"]:
+            G.add_edge(vkey[r["src"]], vkey[r["dst"]])
+
+    labels = {
+        r["vkey"]: r["label_key"]
+        for r in engine_labelprop(spark, sf_dir).collect()
+    }
+    comms: dict[str, set] = {}
+    for vk, lbl in labels.items():
+        comms.setdefault(lbl, set()).add(vk)
+    q_nx = nx.community.modularity(G, comms.values(), weight=None)
+
+    rows = q_modularity(spark, sf_dir).collect()
+    assert sum(r["n_vertices"] for r in rows) == len(labels)
+    assert {r["label_key"] for r in rows} == set(comms)
+    assert sum(r["q_contrib"] for r in rows) == pytest.approx(q_nx, abs=1e-3)
+    # per-community: internal_pairs is the directed-adjacency count = 2×
+    # the undirected internal edge count
+    for r in rows:
+        internal = sum(
+            1 for a, b in G.edges(comms[r["label_key"]])
+            if labels[a] == labels[b]
+        )
+        assert r["internal_pairs"] == 2 * internal
+
+
+def test_tool_cousage_matches_python(spark):
+    """q_tool_cousage vs a pure-python bipartite projection over the
+    sf0.001 events table, including the hub-key guard and min-shared
+    threshold."""
+    from itertools import combinations
+
+    from linkgraph.io import load_table
+    from linkgraph.linkpred import (
+        _COUSAGE_MAX_ACTORS,
+        _COUSAGE_MIN_SHARED,
+        q_tool_cousage,
+    )
+
+    rows = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .select("user_id", "event_type", "ts")
+        .collect()
+    )
+    ak = {
+        (r["user_id"], r["event_type"],
+         r["ts"].replace(minute=0, second=0, microsecond=0))
+        for r in rows
+    }
+    by_key: dict[tuple, set] = {}
+    for actor, tool, b in ak:
+        by_key.setdefault((tool, b), set()).add(actor)
+    shared: dict[tuple, int] = {}
+    for actors in by_key.values():
+        if len(actors) > _COUSAGE_MAX_ACTORS:
+            continue
+        for u1, u2 in combinations(sorted(actors), 2):
+            shared[(u1, u2)] = shared.get((u1, u2), 0) + 1
+    exp = sorted(
+        ((u1, u2, c) for (u1, u2), c in shared.items()
+         if c >= _COUSAGE_MIN_SHARED),
+        key=lambda t: (-t[2], t[0], t[1]),
+    )[:50]
+
+    got = [
+        (r["u1"], r["u2"], r["shared"])
+        for r in q_tool_cousage(spark, "/root/testdata/sf0.001").collect()
+    ]
+    assert got == exp
+    assert len(exp) > 0  # fixture actually produces co-usage pairs

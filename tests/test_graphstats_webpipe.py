@@ -14,6 +14,7 @@ from linkgraph.graphstats import (
     q_degree_assortativity,
     q_engine_diameter2sweep,
     q_graph_reciprocity,
+    q_transitivity,
 )
 from linkgraph.webpipe import (
     _EMAIL_RE,
@@ -83,6 +84,21 @@ def test_diameter2sweep_matches_networkx(spark, dk_edges):
     assert row["diameter_lb"] == max(d2.values())
     # fixed-depth sweeps must actually cover this graph
     assert max(ecc, row["diameter_lb"]) < 10
+
+
+def test_transitivity_matches_networkx(spark, dk_edges):
+    import networkx as nx
+
+    row = q_transitivity(spark, SF_DIR).first()
+    G = nx.Graph()
+    G.add_edges_from(dk_edges)  # self-loops already dropped upstream
+
+    n_tri = sum(nx.triangles(G).values()) // 3
+    n_wedges = sum(d * (d - 1) // 2 for _, d in G.degree())
+    assert row["n_triangles"] == n_tri
+    assert row["n_wedges"] == n_wedges
+    assert row["transitivity"] == pytest.approx(nx.transitivity(G), abs=1e-6)
+    assert n_tri > 0  # fixture actually exercises the closing join
 
 
 # -- webpipe ------------------------------------------------------------------

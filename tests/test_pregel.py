@@ -132,6 +132,27 @@ def test_katz_csr_matches_numpy_power_series(synth_ctx):
     np.testing.assert_allclose(got, x, rtol=0, atol=1e-9)
 
 
+def test_eigenvector_csr_matches_numpy_power_iteration(synth_ctx):
+    """EigenvectorProgram (Katz with alpha=1/beta=0, x_0 = 1) vs a dense
+    numpy truncated power iteration x_{t+1} = W^T x_t, fixed 4 steps —
+    un-normalized, matching the engine's normalize-once-at-the-end shape."""
+    from linkgraph.pregel import EigenvectorProgram
+
+    g, ctx = synth_ctx
+    src, dst, w, n = edges_numpy(g)
+    k = 4
+
+    W = np.zeros((n, n))
+    np.add.at(W, (src, dst), w)
+    x = np.ones(n)
+    for _ in range(k):
+        x = W.T @ x
+
+    res = run_program(ctx, EigenvectorProgram(), fixed_iters=k)
+    got = _col(res.state, "rank", n)
+    np.testing.assert_allclose(got, x, rtol=1e-12, atol=1e-9)
+
+
 def test_katz_hub_split_equals_unsplit(spark):
     """Forced hub split on the star_hub fixture: the raw-weight hub
     broadcast path must produce identical Katz values to the unsplit plan."""
