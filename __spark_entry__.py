@@ -43,7 +43,7 @@ _GATE_PRIORITY = [
     "host_pagerank", "doc_bigram_lm", "component_sizes",
     "anf_kmv", "ktruss_edges", "doc_entropy", "url_dedup",
     "engine_eigenvector", "modularity", "transitivity",
-    "tool_cousage", "doc_length_buckets",
+    "tool_cousage", "doc_length_buckets", "betweenness_pivots",
     # rows-only in r2 (no oracle → not in the green union): keep windowed
     "ann_lsh_topk",
     # last green in r2 — refresh before they go stale

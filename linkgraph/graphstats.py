@@ -514,9 +514,174 @@ FROM wedges, tris
 )
 
 
+# --------------------------------------------------------------------------
+# pivot betweenness centrality (truncated Brandes from a fixed pivot set)
+# --------------------------------------------------------------------------
+
+_BC_PIVOTS = 4   # pivots = the 4 lexicographically-min ACTOR vkeys (deterministic)
+_BC_DEPTH = 8    # shortest paths truncated at 8 hops (gate graphs: diam < 10)
+_BC_TOPK = 30
+
+
+def q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot betweenness: Brandes dependency accumulation from a FIXED
+    pivot set (the _BC_PIVOTS lexicographically-min actor vkeys — actor
+    pivots make the metric informative on the transcript graph: tools score
+    by how often they broker actor-actor shortest paths), shortest paths
+    truncated at _BC_DEPTH hops, over the undirected simple events graph;
+    top-_BC_TOPK vertices by summed dependency.
+
+    The standard sampled-pivot betweenness approximation
+    (Brandes 2001 accumulation; Riondato-Kornaropoulos-style pivot
+    sampling made deterministic for the oracle).  All pivots advance
+    level-synchronously in ONE DataFrame keyed by (pivot, vertex):
+
+    - forward: frontier ⋈ edges → groupBy(pivot, v) sum of path counts,
+      anti-join vs the cumulative reach set — message volume is
+      Σ deg(frontier) per level (frontier-sparse), never V·pivots;
+    - backward: per level, one edge join + one combinable groupBy
+      distributing (1 + δ_w)/σ_w to predecessors.
+
+    Every join keys on (pivot, vertex) so at 100 TB all shuffles are
+    hash-partitioned on the same key; frontier/reach truncate lineage per
+    level (eager localCheckpoint, the same discipline pregel.py applies —
+    2·_BC_DEPTH chained self-referencing rounds would otherwise double the
+    logical plan per level and stall the optimizer long before the data
+    costs anything).  The CSR engine is the production home for the
+    forward pass — BFSProgram already runs this schedule; the DataFrame
+    shape here keeps sigma arithmetic oracle-replayable."""
+    dk = _directed_simple(spark, sf_dir)
+    und = (
+        dk.unionByName(dk.select(F.col("t").alias("s"), F.col("s").alias("t")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    verts = (
+        und.select(F.col("s").alias("v"))
+        .unionByName(und.select(F.col("t").alias("v")))
+        .distinct()
+    )
+    piv = (
+        verts.where(F.col("v").startswith("user:"))
+        .orderBy("v")
+        .limit(_BC_PIVOTS)
+        .select(F.col("v").alias("p"))
+    )
+
+    def keep(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=True)
+
+    frontier = keep(
+        piv.select("p", F.col("p").alias("v"), F.lit(1.0).alias("sigma"))
+    )
+    # cumulative reach: (p, v, d, sigma)
+    reach = keep(frontier.withColumn("d", F.lit(0)))
+    levels = {0: frontier}
+    for i in range(1, _BC_DEPTH + 1):
+        msgs = frontier.join(und, frontier["v"] == und["s"]).select(
+            "p", F.col("t").alias("v"), "sigma"
+        )
+        nxt = keep(
+            msgs.groupBy("p", "v")
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(reach.select("p", "v"), ["p", "v"], "left_anti")
+        )
+        levels[i] = nxt
+        reach = keep(reach.unionByName(nxt.withColumn("d", F.lit(i))))
+        frontier = nxt
+
+    # backward accumulation: delta over levels D-1 .. 1
+    delta = keep(levels[_BC_DEPTH].select(
+        "p", "v", "sigma", F.lit(0.0).alias("delta")
+    ))
+    acc = delta.select("p", "v", "delta")
+    for i in range(_BC_DEPTH - 1, 0, -1):
+        contrib = (
+            delta.join(und, delta["v"] == und["t"])
+            .groupBy("p", F.col("s").alias("v"))
+            .agg(
+                F.sum((F.lit(1.0) + F.col("delta")) / F.col("sigma"))
+                .alias("contrib")
+            )
+        )
+        delta = keep(
+            levels[i]
+            .join(contrib, ["p", "v"], "left")
+            .select(
+                "p", "v", "sigma",
+                (F.coalesce(F.col("contrib"), F.lit(0.0)) * F.col("sigma"))
+                .alias("delta"),
+            )
+        )
+        acc = acc.unionByName(delta.select("p", "v", "delta"))
+
+    return (
+        acc.groupBy(F.col("v").alias("vkey"))
+        .agg((F.round(F.sum("delta"), 6) + 0.0).alias("bc"))
+        .orderBy(F.desc("bc"), "vkey")
+        .limit(_BC_TOPK)
+    )
+
+
+def _betweenness_sql(n_piv: int, depth: int, topk: int) -> str:
+    ctes = [
+        _GRAPH_CTES,
+        "dk AS (SELECT DISTINCT s, t FROM ek WHERE s <> t)",
+        "und AS MATERIALIZED (SELECT DISTINCT s, t FROM "
+        "(SELECT s, t FROM dk UNION ALL SELECT t AS s, s AS t FROM dk))",
+        "av AS (SELECT DISTINCT v FROM "
+        "(SELECT s AS v FROM und UNION ALL SELECT t AS v FROM und))",
+        f"piv AS (SELECT v AS p FROM av WHERE v LIKE 'user:%' "
+        f"ORDER BY v LIMIT {n_piv})",
+        "f0 AS (SELECT p, p AS v, CAST(1 AS DOUBLE) AS sigma FROM piv)",
+        "r0 AS (SELECT p, v, 0 AS d, sigma FROM f0)",
+    ]
+    for i in range(1, depth + 1):
+        ctes.append(
+            f"f{i} AS MATERIALIZED (SELECT f.p, u.t AS v, sum(f.sigma) AS sigma "
+            f"FROM f{i - 1} f JOIN und u ON u.s = f.v "
+            f"LEFT JOIN r{i - 1} r ON r.p = f.p AND r.v = u.t "
+            f"WHERE r.v IS NULL GROUP BY f.p, u.t)"
+        )
+        ctes.append(
+            f"r{i} AS MATERIALIZED (SELECT * FROM r{i - 1} "
+            f"UNION ALL SELECT p, v, {i} AS d, sigma FROM f{i})"
+        )
+    ctes.append(
+        f"d{depth} AS (SELECT p, v, sigma, CAST(0 AS DOUBLE) AS delta "
+        f"FROM f{depth})"
+    )
+    for i in range(depth - 1, 0, -1):
+        ctes.append(
+            f"c{i} AS (SELECT w.p, u.s AS v, sum((1 + w.delta) / w.sigma) "
+            f"AS contrib FROM d{i + 1} w JOIN und u ON u.t = w.v "
+            f"GROUP BY w.p, u.s)"
+        )
+        ctes.append(
+            f"d{i} AS MATERIALIZED (SELECT f.p, f.v, f.sigma, "
+            f"coalesce(c.contrib, 0) * f.sigma AS delta "
+            f"FROM f{i} f LEFT JOIN c{i} c ON c.p = f.p AND c.v = f.v)"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT p, v, delta FROM d{i}" for i in range(1, depth + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT v AS vkey, round(sum(delta), 6) + 0.0 AS bc
+FROM ({union}) GROUP BY v
+ORDER BY bc DESC, vkey LIMIT {topk}
+"""
+    )
+
+
+SQL_BETWEENNESS = _betweenness_sql(_BC_PIVOTS, _BC_DEPTH, _BC_TOPK)
+
+
 def registry():
     return {
         "graph_reciprocity": (q_graph_reciprocity, SQL_GRAPH_RECIPROCITY),
+        "betweenness_pivots": (q_betweenness, SQL_BETWEENNESS),
         "transitivity": (q_transitivity, SQL_TRANSITIVITY),
         "degree_assortativity": (q_degree_assortativity, SQL_DEGREE_ASSORTATIVITY),
         "engine_diameter2sweep": (q_engine_diameter2sweep, SQL_ENGINE_DIAMETER2SWEEP),

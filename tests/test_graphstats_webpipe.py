@@ -364,3 +364,60 @@ def test_url_dedup_collapses_variants(spark, docs):
     assert all(
         u == u.lower() and ":80" not in u and not u.endswith("/") for u in rows
     )
+
+
+def test_betweenness_pivots_matches_python(spark, dk_edges):
+    """q_betweenness vs a from-scratch truncated Brandes accumulation from
+    the same fixed pivot set (4 min vkeys, depth 8) — exact float compare
+    at 1e-9 before rounding effects."""
+    from collections import defaultdict, deque
+
+    from linkgraph.graphstats import (
+        _BC_DEPTH,
+        _BC_PIVOTS,
+        _BC_TOPK,
+        q_betweenness,
+    )
+
+    adj = defaultdict(set)
+    for s, t in dk_edges:
+        adj[s].add(t)
+        adj[t].add(s)
+    pivots = sorted(v for v in adj if v.startswith("user:"))[:_BC_PIVOTS]
+
+    bc: dict = defaultdict(float)
+    for p in pivots:
+        dist = {p: 0}
+        sigma = defaultdict(float)
+        sigma[p] = 1.0
+        order = []
+        q = deque([p])
+        while q:
+            v = q.popleft()
+            if dist[v] >= _BC_DEPTH:
+                continue
+            for w in sorted(adj[v]):
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    order.append(w)
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+        delta = defaultdict(float)
+        for w in reversed(order):
+            for u in adj[w]:
+                if dist.get(u) == dist[w] - 1:
+                    delta[u] += sigma[u] / sigma[w] * (1 + delta[w])
+            if w != p:
+                bc[w] += delta[w]
+
+    exp = sorted(
+        ((round(v, 6) + 0.0, k) for k, v in bc.items()),
+        key=lambda t: (-t[0], t[1]),
+    )
+    # vertices reached with zero dependency still appear with bc 0
+    got = [(r["bc"], r["vkey"]) for r in q_betweenness(spark, SF_DIR).collect()]
+    nonzero = [(v, k) for v, k in exp if v > 0]
+    assert got[: len(nonzero)] == nonzero[:_BC_TOPK]
+    assert all(v == 0.0 for v, _ in got[len(nonzero):])
+    assert len(nonzero) >= 5  # fixture exercises real path counting
