@@ -1004,6 +1004,65 @@ ORDER BY bucket, batch_id, doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# weighted sampling without replacement (Efraimidis-Spirakis A-ES)
+# --------------------------------------------------------------------------
+
+_WS_K = 100
+_WS_SCALE = float(1 << 60)
+
+
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample WITHOUT replacement: top-_WS_K docs by the
+    Efraimidis-Spirakis key ln(u)/w with w = token count — longer docs
+    proportionally more likely, every doc still possible, and the sample
+    is exactly equivalent to sequential weighted draws without
+    replacement (A-ES, Inf. Proc. Letters 97(5), 2006).
+
+    u is a deterministic salted md5 of doc_id mapped into (0, 1], so the
+    'randomness' is reproducible across runs, engines, and machines —
+    the same discipline as doc_split.  At 100 TB this is a narrow column
+    expression + ONE top-k (TakeOrdered — per-partition heaps, no global
+    sort); the standard corpus-downsampling primitive when quality
+    weights exist."""
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        _md5_int(
+            F.concat_ws(":", F.lit("wsample"), F.col("doc_id").cast("string"))
+        )
+        + F.lit(1.0)
+    ) / F.lit(_WS_SCALE)
+    t = d.select(
+        "doc_id",
+        F.size(_words(F.col("text"))).alias("n_tokens"),
+        (F.log(u) / F.size(_words(F.col("text")))).alias("k_raw"),
+    ).where(F.col("n_tokens") > 0)
+    return (
+        t.orderBy(F.desc("k_raw"), "doc_id")
+        .limit(_WS_K)
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.round(F.col("k_raw"), 6) + 0.0).alias("skey"),
+        )
+    )
+
+
+SQL_DOC_WEIGHTED_SAMPLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(string_split(lower(trim(text)), ' ')) AS n_tokens,
+         ln(({_sql_md5_int("'wsample:' || CAST(doc_id AS VARCHAR)")} + 1.0)
+            / {_WS_SCALE})
+           / len(string_split(lower(trim(text)), ' ')) AS k_raw
+  FROM documents
+)
+SELECT doc_id, n_tokens, round(k_raw, 6) + 0.0 AS skey
+FROM t WHERE n_tokens > 0
+ORDER BY k_raw DESC, doc_id LIMIT {_WS_K}
+"""
+
+
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
     return {
         "doc_split": (doc_split, SQL_DOC_SPLIT),
@@ -1025,4 +1084,5 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "doc_chunk": (doc_chunk, SQL_DOC_CHUNK),
         "doc_contamination": (doc_contamination, SQL_DOC_CONTAMINATION),
         "doc_length_buckets": (doc_length_buckets, SQL_DOC_LENGTH_BUCKETS),
+        "doc_weighted_sample": (doc_weighted_sample, SQL_DOC_WEIGHTED_SAMPLE),
     }

@@ -244,3 +244,37 @@ def test_length_buckets_invariants(spark):
 
     again = doc_length_buckets(spark, SF).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in out]
+
+
+def test_weighted_sample_matches_python_and_biases_long_docs(spark):
+    """doc_weighted_sample vs a from-scratch A-ES replication (same salted
+    md5 randomness), plus the statistical point of the op: the
+    token-weighted sample must skew longer than the corpus."""
+    import hashlib
+    import math
+
+    from linkgraph.datapipe import _WS_K, _WS_SCALE, doc_weighted_sample
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    keyed = []
+    for doc_id, text in docs.items():
+        n = len(text.strip().lower().split(" "))
+        if n <= 0:
+            continue
+        h = int(hashlib.md5(f"wsample:{doc_id}".encode()).hexdigest()[:15], 16)
+        keyed.append((math.log((h + 1.0) / _WS_SCALE) / n, doc_id, n))
+    keyed.sort(key=lambda t: (-t[0], t[1]))
+    exp = [(d, n, round(k, 6) + 0.0) for k, d, n in keyed[:_WS_K]]
+
+    got = [
+        (r["doc_id"], r["n_tokens"], r["skey"])
+        for r in doc_weighted_sample(spark, SF).collect()
+    ]
+    assert got == exp
+
+    corpus_mean = sum(n for _, _, n in keyed) / len(keyed)
+    sample_mean = sum(n for _, n, _ in got) / len(got)
+    assert sample_mean > corpus_mean
