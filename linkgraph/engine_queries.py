@@ -518,12 +518,14 @@ def registry():
         SQL_DEGREE_HIST,
         SQL_JACCARD_PAIRS,
         SQL_RANDOM_WALKS,
+        SQL_TEMPORAL_PATHS2,
         SQL_TOOL_COUSAGE,
         q_adamic_adar,
         q_clustering_coeff,
         q_degree_hist,
         q_jaccard_pairs,
         q_random_walks,
+        q_temporal_paths2,
         q_tool_cousage,
     )
     from .relational import SQL_TRIANGLE_COUNT
@@ -550,4 +552,5 @@ def registry():
         "degree_hist": (q_degree_hist, SQL_DEGREE_HIST),
         "random_walks": (q_random_walks, SQL_RANDOM_WALKS),
         "tool_cousage": (q_tool_cousage, SQL_TOOL_COUSAGE),
+        "temporal_paths2": (q_temporal_paths2, SQL_TEMPORAL_PATHS2),
     }

@@ -599,3 +599,80 @@ GROUP BY x.actor, y.actor
 HAVING count(*) >= {_COUSAGE_MIN_SHARED}
 ORDER BY shared DESC, u1, u2 LIMIT 50
 """
+
+
+# --------------------------------------------------------------------------
+# time-respecting 2-hop paths (banded temporal join)
+# --------------------------------------------------------------------------
+
+_TP_WINDOW = "INTERVAL 1 HOUR"  # second hop must follow within one hour
+_TP_TOPK = 50
+
+
+def q_temporal_paths2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-respecting 2-hop tool paths: (src → m at t1, m → dst at t2)
+    with t1 < t2 ≤ t1 + 1 hour, counted per (src, dst); top-50.
+
+    The range predicate is decomposed into a BANDED equi-join — the only
+    100 TB-safe shape for a temporal join: both edge sets carry an hour
+    bucket, the right side is duplicated onto buckets {b, b−1}, the join
+    keys on (mid, bucket) so candidate fan-out is bounded by co-bucketed
+    traffic through each mid vertex, and the exact window filter runs
+    post-join on the tiny candidate set.  A plain t2-range theta join
+    would force a per-mid cross product; the band cap makes the candidate
+    volume proportional to traffic density, not to corpus size."""
+    from .io import load_table
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    te = (
+        e.select(
+            F.col("event_type").alias("s"),
+            F.lead("event_type").over(w).alias("t"),
+            F.lead("ts").over(w).alias("ts"),
+        )
+        .where(F.col("t").isNotNull() & (F.col("s") != F.col("t")))
+        .distinct()
+    )
+    b = F.date_trunc("hour", F.col("ts"))
+    e1 = te.select(
+        F.col("s").alias("src"), F.col("t").alias("m"),
+        F.col("ts").alias("t1"), b.alias("jb"),
+    )
+    e2 = te.select(
+        F.col("s").alias("m"), F.col("t").alias("dst"),
+        F.col("ts").alias("t2"), b.alias("b2"),
+    )
+    e2x = e2.withColumn("jb", F.col("b2")).unionByName(
+        e2.withColumn("jb", F.col("b2") - F.expr("INTERVAL 1 HOUR"))
+    )
+    return (
+        e1.join(e2x, ["m", "jb"])
+        .where(
+            (F.col("t2") > F.col("t1"))
+            & (F.col("t2") <= F.col("t1") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "src", "dst")
+        .limit(_TP_TOPK)
+    )
+
+
+SQL_TEMPORAL_PATHS2 = f"""
+WITH seq AS (
+  SELECT event_type AS s,
+         lead(event_type) OVER w AS t,
+         lead(ts) OVER w AS ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), te AS (
+  SELECT DISTINCT s, t, ts FROM seq WHERE t IS NOT NULL AND s <> t
+)
+SELECT e1.s AS src, e2.t AS dst, count(*) AS n_paths
+FROM te e1 JOIN te e2 ON e2.s = e1.t
+WHERE e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+GROUP BY e1.s, e2.t
+ORDER BY n_paths DESC, src, dst LIMIT {_TP_TOPK}
+"""

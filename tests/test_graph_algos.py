@@ -488,3 +488,45 @@ def test_tool_cousage_matches_python(spark):
     ]
     assert got == exp
     assert len(exp) > 0  # fixture actually produces co-usage pairs
+
+
+def test_temporal_paths2_matches_python(spark):
+    """q_temporal_paths2 (banded hour-bucket join) vs a from-scratch
+    time-respecting 2-hop count with the plain range predicate — proves
+    the band decomposition {b, b−1} loses no pairs at bucket boundaries."""
+    from collections import defaultdict
+    from datetime import timedelta
+
+    from linkgraph.io import load_table
+    from linkgraph.linkpred import _TP_TOPK, q_temporal_paths2
+
+    rows = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .select("user_id", "event_id", "event_type", "ts")
+        .collect()
+    )
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+    te = set()
+    for evs in by_user.values():
+        evs.sort()
+        for (_t1, _e1, a), (t2, _e2, b) in zip(evs, evs[1:]):
+            if a != b:
+                te.add((a, b, t2))
+    n = defaultdict(int)
+    te = sorted(te)
+    for s1, t1, ts1 in te:
+        for s2, t2, ts2 in te:
+            if s2 == t1 and ts2 > ts1 and ts2 <= ts1 + timedelta(hours=1):
+                n[(s1, t2)] += 1
+    exp = sorted(
+        ((src, dst, c) for (src, dst), c in n.items()),
+        key=lambda t: (-t[2], t[0], t[1]),
+    )[:_TP_TOPK]
+    got = [
+        (r["src"], r["dst"], r["n_paths"])
+        for r in q_temporal_paths2(spark, "/root/testdata/sf0.001").collect()
+    ]
+    assert got == exp
+    assert len(got) > 0
