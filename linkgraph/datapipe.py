@@ -1063,6 +1063,126 @@ ORDER BY k_raw DESC, doc_id LIMIT {_WS_K}
 """
 
 
+# --------------------------------------------------------------------------
+# mixture-weighted corpus composition (domain reweighting under a budget)
+# --------------------------------------------------------------------------
+
+_MIX_BUDGET = 0.3   # target: 30% of corpus tokens
+_MIX_SCALE = float(1 << 60)
+
+
+def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-reweighted corpus composition: given per-source mixture
+    weights (here w_s = source index + 1, a fixed data-independent
+    function) and a global token budget (_MIX_BUDGET of corpus tokens),
+    compute each source's sampling rate min(1, budget·w̃_s / tokens_s)
+    and the deterministic md5-thresholded sample it induces; one
+    accounting row per source.
+
+    The canonical pretraining-mixture op (fixed-weight domain
+    reweighting): two combinable aggregates (per-source token totals,
+    then sampled totals), a 1-row broadcast for the weight normalizer,
+    and a broadcast rate join back onto the scan — at 100 TB nothing
+    shuffles except the two groupBys on `source`, and doc selection is a
+    pure column predicate (hash < rate) fused into the scan, so the
+    SAME docs are chosen on any cluster, any run."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "source",
+        F.col("doc_id"),
+        F.size(_words(F.col("text"))).alias("n_tokens"),
+        (
+            (
+                _md5_int(
+                    F.concat_ws(
+                        ":", F.lit("mix"), F.col("doc_id").cast("string")
+                    )
+                )
+                + F.lit(1.0)
+            )
+            / F.lit(_MIX_SCALE)
+        ).alias("u"),
+        (F.regexp_extract("source", r"(\d+)$", 1).cast("long") + 1)
+        .cast("double")
+        .alias("w"),
+    )
+    per_src = t.groupBy("source", "w").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tokens_in"),
+    )
+    tot = per_src.agg(
+        F.sum("tokens_in").alias("_tok_total"), F.sum("w").alias("_w_total")
+    )
+    rates = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "tokens_in",
+        F.least(
+            F.lit(1.0),
+            F.lit(_MIX_BUDGET)
+            * F.col("_tok_total")
+            * (F.col("w") / F.col("_w_total"))
+            / F.col("tokens_in"),
+        ).alias("rate_raw"),
+    )
+    sampled = (
+        t.join(F.broadcast(rates.select("source", "rate_raw")), "source")
+        .where(F.col("u") < F.col("rate_raw"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_tokens").alias("tokens_sampled"),
+        )
+    )
+    return (
+        rates.join(sampled, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "tokens_in",
+            (F.round(F.col("rate_raw"), 6) + 0.0).alias("rate"),
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+            F.coalesce("tokens_sampled", F.lit(0)).alias("tokens_sampled"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_DOC_MIXTURE_SAMPLE = f"""
+WITH t AS (
+  SELECT source, doc_id,
+         len(string_split(lower(trim(text)), ' ')) AS n_tokens,
+         ({_sql_md5_int("'mix:' || CAST(doc_id AS VARCHAR)")} + 1.0)
+           / {_MIX_SCALE} AS u,
+         CAST(CAST(regexp_extract(source, '(\\d+)$', 1) AS BIGINT) + 1
+              AS DOUBLE) AS w
+  FROM documents
+), per_src AS (
+  SELECT source, w, count(*) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS tokens_in
+  FROM t GROUP BY source, w
+), tot AS (
+  SELECT sum(tokens_in) AS tok_total, sum(w) AS w_total FROM per_src
+), rates AS (
+  SELECT source, n_docs, tokens_in,
+         least(1.0, {_MIX_BUDGET} * tot.tok_total * (w / tot.w_total)
+                    / tokens_in) AS rate_raw
+  FROM per_src, tot
+), sampled AS (
+  SELECT t.source, count(*) AS n_sampled,
+         CAST(sum(t.n_tokens) AS BIGINT) AS tokens_sampled
+  FROM t JOIN rates r ON r.source = t.source
+  WHERE t.u < r.rate_raw GROUP BY t.source
+)
+SELECT r.source, r.n_docs, r.tokens_in,
+       round(r.rate_raw, 6) + 0.0 AS rate,
+       CAST(coalesce(s.n_sampled, 0) AS BIGINT) AS n_sampled,
+       CAST(coalesce(s.tokens_sampled, 0) AS BIGINT) AS tokens_sampled
+FROM rates r LEFT JOIN sampled s ON s.source = r.source
+ORDER BY r.source
+"""
+
+
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
     return {
         "doc_split": (doc_split, SQL_DOC_SPLIT),
@@ -1085,4 +1205,5 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "doc_contamination": (doc_contamination, SQL_DOC_CONTAMINATION),
         "doc_length_buckets": (doc_length_buckets, SQL_DOC_LENGTH_BUCKETS),
         "doc_weighted_sample": (doc_weighted_sample, SQL_DOC_WEIGHTED_SAMPLE),
+        "doc_mixture_sample": (doc_mixture_sample, SQL_DOC_MIXTURE_SAMPLE),
     }

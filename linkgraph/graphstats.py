@@ -678,10 +678,104 @@ ORDER BY bc DESC, vkey LIMIT {topk}
 SQL_BETWEENNESS = _betweenness_sql(_BC_PIVOTS, _BC_DEPTH, _BC_TOPK)
 
 
+# --------------------------------------------------------------------------
+# bridge (weak-tie) edges: triangle support = 0
+# --------------------------------------------------------------------------
+
+_BRIDGE_TOPK = 100
+
+
+def q_bridge_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weak-tie ranking: undirected simple edges by ascending triangle
+    support (support 0 = a local bridge in Granovetter's sense — removing
+    it strictly lengthens the path between its endpoints).  Output
+    (u, v, support, deg_u, deg_v), bottom-_BRIDGE_TOPK by
+    (support, u, v) — the crawl/community-hygiene primitive for spotting
+    inter-cluster connectors.
+
+    Support reuses the oriented 2-join triangle shape (each triangle
+    enumerated once as u<v<w), scatters each triangle onto its three
+    edges as +1 rows, and hash-aggregates — the triangle set itself never
+    materializes, so at 100 TB the cost is the same two equi-joins every
+    exact triangle method pays plus two combinable aggregates."""
+    dk = _directed_simple(spark, sf_dir)
+    und = (
+        dk.select(
+            F.least("s", "t").alias("u"), F.greatest("s", "t").alias("v")
+        )
+        .distinct()
+    )
+    e2 = und.select(F.col("u").alias("u2"), F.col("v").alias("v2"))
+    e3 = und.select(F.col("u").alias("u3"), F.col("v").alias("v3"))
+    tri = (
+        und.join(e2, (F.col("u2") == F.col("u")) & (F.col("v2") > F.col("v")))
+        .join(e3, (F.col("u3") == F.col("v")) & (F.col("v3") == F.col("v2")))
+    )
+    sup = (
+        tri.select("u", "v")
+        .unionByName(tri.select("u", F.col("v2").alias("v")))
+        .unionByName(tri.select(F.col("v").alias("u"), F.col("v2").alias("v")))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    deg = (
+        und.select(F.col("u").alias("x"))
+        .unionByName(und.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return (
+        und.join(sup, ["u", "v"], "left")
+        .join(deg.select(F.col("x").alias("u"), F.col("deg").alias("deg_u")), "u")
+        .join(deg.select(F.col("x").alias("v"), F.col("deg").alias("deg_v")), "v")
+        .select(
+            "u", "v",
+            F.coalesce("support", F.lit(0)).alias("support"),
+            "deg_u", "deg_v",
+        )
+        .orderBy("support", "u", "v")
+        .limit(_BRIDGE_TOPK)
+    )
+
+
+SQL_BRIDGE_EDGES = (
+    "WITH "
+    + _GRAPH_CTES
+    + f""",
+und AS (
+  SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS v FROM ek WHERE s <> t
+), tri AS (
+  SELECT e1.u, e1.v, e2.v2
+  FROM und e1
+  JOIN (SELECT u AS u2, v AS v2 FROM und) e2 ON e2.u2 = e1.u AND e2.v2 > e1.v
+  JOIN (SELECT u AS u3, v AS v3 FROM und) e3 ON e3.u3 = e1.v AND e3.v3 = e2.v2
+), sup AS (
+  SELECT u, v, count(*) AS support FROM (
+    SELECT u, v FROM tri
+    UNION ALL SELECT u, v2 AS v FROM tri
+    UNION ALL SELECT v AS u, v2 AS v FROM tri
+  ) GROUP BY u, v
+), deg AS (
+  SELECT x, count(*) AS deg FROM (
+    SELECT u AS x FROM und UNION ALL SELECT v AS x FROM und
+  ) GROUP BY x
+)
+SELECT und.u, und.v, coalesce(s.support, 0) AS support,
+       du.deg AS deg_u, dv.deg AS deg_v
+FROM und
+LEFT JOIN sup s ON s.u = und.u AND s.v = und.v
+JOIN deg du ON du.x = und.u
+JOIN deg dv ON dv.x = und.v
+ORDER BY support, und.u, und.v LIMIT {_BRIDGE_TOPK}
+"""
+)
+
+
 def registry():
     return {
         "graph_reciprocity": (q_graph_reciprocity, SQL_GRAPH_RECIPROCITY),
         "betweenness_pivots": (q_betweenness, SQL_BETWEENNESS),
+        "bridge_edges": (q_bridge_edges, SQL_BRIDGE_EDGES),
         "transitivity": (q_transitivity, SQL_TRANSITIVITY),
         "degree_assortativity": (q_degree_assortativity, SQL_DEGREE_ASSORTATIVITY),
         "engine_diameter2sweep": (q_engine_diameter2sweep, SQL_ENGINE_DIAMETER2SWEEP),

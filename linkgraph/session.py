@@ -41,6 +41,14 @@ def get_spark(
         "spark.ui.enabled": "false",
         "spark.ui.showConsoleProgress": "false",
         "spark.driver.memory": "8g",
+        # Heartbeat/network tolerances: the default 10s interval × 60 missed
+        # beats kills the executor (System.exit) when the host is saturated
+        # by external tenants — observed on the shared box at loadavg 14
+        # ("Exit as unable to send heartbeats to driver more than 60
+        # times" mid-probe).  On a production cluster these are the same
+        # knobs raised for long-GC / busy-node survival.
+        "spark.executor.heartbeatInterval": "60s",
+        "spark.network.timeout": "600s",
         # CSR block rows are multi-MB Arrow arrays -> humongous objects in
         # G1; default region sizing caused multi-second GC stalls (measured
         # 15-40s superstep outliers on a 48g heap). 32m regions +

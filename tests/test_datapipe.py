@@ -278,3 +278,46 @@ def test_weighted_sample_matches_python_and_biases_long_docs(spark):
     corpus_mean = sum(n for _, _, n in keyed) / len(keyed)
     sample_mean = sum(n for _, n, _ in got) / len(got)
     assert sample_mean > corpus_mean
+
+
+def test_mixture_sample_matches_python(spark):
+    """doc_mixture_sample vs a from-scratch fixed-weight domain-reweighting
+    computation (same salted md5 selection), including the rate formula
+    and the induced per-source sampled totals."""
+    import hashlib
+
+    from linkgraph.datapipe import _MIX_BUDGET, _MIX_SCALE, doc_mixture_sample
+
+    rows = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    per: dict[str, list] = {}
+    for r in rows:
+        n = len(r["text"].strip().lower().split(" "))
+        h = int(
+            hashlib.md5(f"mix:{r['doc_id']}".encode()).hexdigest()[:15], 16
+        )
+        per.setdefault(r["source"], []).append((r["doc_id"], n, (h + 1.0) / _MIX_SCALE))
+    tok_total = sum(n for docs in per.values() for _, n, _ in docs)
+    w = {s: float(int(s[3:]) + 1) for s in per}
+    w_total = sum(w.values())
+    exp = {}
+    for s, docs in per.items():
+        tokens_in = sum(n for _, n, _ in docs)
+        rate = min(1.0, _MIX_BUDGET * tok_total * (w[s] / w_total) / tokens_in)
+        chosen = [(d, n) for d, n, u in docs if u < rate]
+        exp[s] = (
+            len(docs), tokens_in, round(rate, 6) + 0.0,
+            len(chosen), sum(n for _, n in chosen),
+        )
+
+    got = {
+        r["source"]: (
+            r["n_docs"], r["tokens_in"], r["rate"],
+            r["n_sampled"], r["tokens_sampled"],
+        )
+        for r in doc_mixture_sample(spark, SF).collect()
+    }
+    assert got == exp
+    # higher-indexed sources get higher rates (the weight actually bites)
+    rates = {s: v[2] for s, v in got.items()}
+    assert rates["src19"] > rates["src0"]
+    assert any(v[3] > 0 for v in got.values())

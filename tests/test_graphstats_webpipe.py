@@ -421,3 +421,27 @@ def test_betweenness_pivots_matches_python(spark, dk_edges):
     assert got[: len(nonzero)] == nonzero[:_BC_TOPK]
     assert all(v == 0.0 for v, _ in got[len(nonzero):])
     assert len(nonzero) >= 5  # fixture exercises real path counting
+
+
+def test_bridge_edges_support_matches_networkx(spark, dk_edges):
+    """q_bridge_edges (ascending triangle-support / weak-tie ranking) vs
+    networkx common-neighbor counts per edge."""
+    import networkx as nx
+
+    from linkgraph.graphstats import _BRIDGE_TOPK, q_bridge_edges
+
+    G = nx.Graph()
+    G.add_edges_from(dk_edges)
+    exp_all = sorted(
+        (
+            (len(list(nx.common_neighbors(G, u, v))), min(u, v), max(u, v))
+            for u, v in G.edges()
+        ),
+    )[:_BRIDGE_TOPK]
+    got = [
+        (r["support"], r["u"], r["v"], r["deg_u"], r["deg_v"])
+        for r in q_bridge_edges(spark, SF_DIR).collect()
+    ]
+    assert [(s, u, v) for s, u, v, _, _ in got] == exp_all
+    for s, u, v, du, dv in got:
+        assert du == G.degree(u) and dv == G.degree(v)
