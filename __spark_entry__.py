@@ -45,7 +45,7 @@ _GATE_PRIORITY = [
     "engine_eigenvector", "modularity", "transitivity",
     "tool_cousage", "doc_length_buckets", "betweenness_pivots",
     "doc_weighted_sample", "temporal_paths2", "doc_mixture_sample",
-    "bridge_edges",
+    "bridge_edges", "ann_pq_recall", "ann_pq_topk",
     # rows-only in r2 (no oracle → not in the green union): keep windowed
     "ann_lsh_topk",
     # last green in r2 — refresh before they go stale

@@ -184,3 +184,54 @@ def test_emb_near_dups_lsh_vs_exact(spark, planted_dir):
     assert len(e) >= N_DUP * 0.9  # the planting worked
     assert l <= e, "LSH produced a pair the exact path rejects"
     assert len(l) / len(e) >= 0.8, f"near-dup recall {len(l)/len(e):.2f}"
+
+
+def test_ann_pq_finds_planted_neighbors(spark, planted_dir):
+    """PQ-ADC (compressed-domain scan): a noisy planted duplicate's codes
+    stay close to its source's, so ADC top-1 recall on the planted truth
+    must be high even at 4x16 (16-bit) codes."""
+    from linkgraph.ann import _pq_adc_topk, _vectors
+    from pyspark.sql import functions as F
+
+    nq = 50
+    v = _vectors(spark, planted_dir)
+    pq = _pq_adc_topk(v, F.col("vec_id") < nq, k=3).toPandas()
+    by_q = pq.sort_values(["q_id", "adc_score"], ascending=[True, False])
+    top1 = by_q.groupby("q_id").head(1)
+    hit = (top1["vec_id"] == top1["q_id"] + N_DUP).mean()
+    assert hit >= 0.8, f"PQ-ADC top-1 planted recall {hit:.2f}"
+
+
+def test_ann_pq_codebooks_deterministic_and_exact_on_copies(spark):
+    """Codebook training is RNG-free (two runs bit-identical), and an
+    EXACT scaled copy encodes to the same codes as its source, making its
+    ADC score equal the source self-score — the invariant the
+    ann_pq_recall gate builds on."""
+    import numpy as np
+
+    from linkgraph.ann import (
+        _planted_vectors,
+        _pq_codebooks,
+        _pq_encode_udf,
+        ann_pq_recall,
+    )
+
+    v = _planted_vectors(spark, SF)
+    B1 = _pq_codebooks(v)
+    B2 = _pq_codebooks(v)
+    assert (B1 == B2).all()
+
+    enc = _pq_encode_udf(B1)
+    from linkgraph.ann import N_PLANTED, PLANT_OFFSET
+    from pyspark.sql import functions as F
+
+    codes = {
+        r["vec_id"]: tuple(r["c"])
+        for r in v.where(
+            (F.col("vec_id") < N_PLANTED) | (F.col("vec_id") >= PLANT_OFFSET)
+        ).select("vec_id", enc("e").alias("c")).collect()
+    }
+    for i in range(N_PLANTED):
+        assert codes[i] == codes[i + PLANT_OFFSET]
+
+    assert ann_pq_recall(spark, SF).first()["recall_ok"] == 1
