@@ -318,3 +318,48 @@ def ingest_available_now(
     )
     q.awaitTermination()
     return q
+
+
+def streaming_dedup(
+    transcripts: DataFrame, watermark: str = "30 seconds"
+) -> DataFrame:
+    """Watermark-bounded exact dedup of the turn stream on
+    (conv_id, turn_idx) — ingestion hygiene for at-least-once upstream
+    delivery (log shippers replay files; the graph must not double-count
+    a turn).
+
+    ``dropDuplicatesWithinWatermark`` keeps one state row per key only
+    until the watermark passes the key's event time, so state is
+    O(keys inside the watermark horizon), not O(all keys ever seen) —
+    the difference between a query that runs forever and one that OOMs:
+    a plain streaming ``dropDuplicates`` would pin every key forever.
+    Replays beyond the horizon are upstream contract violations by
+    definition (the same bound every exactly-once ingest pipeline
+    documents)."""
+    return transcripts.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["conv_id", "turn_idx"]
+    )
+
+
+def dedup_available_now(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = 1,
+):
+    """Drain ``in_dir`` through the watermarked dedup in append mode into
+    the exactly-once parquet file sink (the memory sink cannot recover
+    from a checkpoint); a killed/restarted drain never duplicates or
+    drops a row — at-least-once upstream becomes exactly-once on disk."""
+    ded = streaming_dedup(stream_transcripts(spark, in_dir, max_files_per_trigger))
+    q = (
+        ded.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

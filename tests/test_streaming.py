@@ -464,3 +464,38 @@ def test_stream_stream_interval_join_equals_batch(spark, landing_dirs):
     assert ("c0", "search", "user", base + _dt.timedelta(seconds=70)) in got
     # the too-late 200s response is excluded by the interval bound
     assert not any(r[3] == base + _dt.timedelta(seconds=200) for r in got)
+
+
+def test_streaming_dedup_drops_replayed_turns(spark, landing_dirs):
+    """Watermarked exact dedup (at-least-once upstream -> exactly-once
+    downstream): replayed turn rows within the watermark horizon are
+    dropped; output == batch distinct on (conv_id, turn_idx); a restart
+    from the checkpoint re-emits nothing."""
+    from linkgraph.streaming import dedup_available_now
+
+    in_dir, ck_dir = landing_dirs
+    t = synth_transcripts(spark, n_conversations=20, seed=11)
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    t = t.select(*cols)
+
+    # file 0: the full batch; file 1: a replay of ~half of it (same rows)
+    t.coalesce(1).write.mode("overwrite").parquet(os.path.join(in_dir, "f0"))
+    replay = t.where(F.col("turn_idx") % 2 == 0)
+    replay.coalesce(1).write.mode("append").parquet(os.path.join(in_dir, "f0"))
+
+    out_dir = os.path.join(in_dir, "deduped")
+    dedup_available_now(spark, os.path.join(in_dir, "f0"), out_dir, ck_dir)
+    got = spark.read.parquet(out_dir).select("conv_id", "turn_idx").collect()
+    keys = [(r["conv_id"], r["turn_idx"]) for r in got]
+    assert len(keys) == len(set(keys)), "duplicates survived the dedup"
+    exp = {
+        (r["conv_id"], r["turn_idx"])
+        for r in t.select("conv_id", "turn_idx").distinct().collect()
+    }
+    assert set(keys) == exp
+
+    # restart with NO new input: the file-sink log guarantees nothing is
+    # re-emitted or duplicated
+    dedup_available_now(spark, os.path.join(in_dir, "f0"), out_dir, ck_dir)
+    again = spark.read.parquet(out_dir).select("conv_id", "turn_idx").collect()
+    assert sorted((r["conv_id"], r["turn_idx"]) for r in again) == sorted(keys)
