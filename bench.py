@@ -258,6 +258,28 @@ def main() -> None:
         hub_nnz = hub_ctx.nnz_directed + hub_ctx.nnz_hub
         flat_step_s = timings["pagerank"] / max(pr.supersteps, 1)
         hub_step_s = timings["hub_tier_pagerank"] / HUB_TIER_STEPS
+        hub_ctx.unpersist()
+
+        # Control: the SAME skewed graph with the split disabled (the star's
+        # 70k-entry adjacency stays inside its CSR block).  The honest cost
+        # metric for the salting machinery is split vs unsplit on identical
+        # data — the flat-tier ratio also bakes in a 2.75x nnz difference.
+        def _hub_build_unsplit(_r):
+            return GraphContext.build(hub_g, P, hub_theta=None)
+
+        hub_ctx_u = timed(
+            "hub_tier_build_unsplit", _hub_build_unsplit,
+            cleanup=lambda c: c.unpersist(),
+        )
+        timed(
+            "hub_tier_pagerank_unsplit",
+            lambda r: run_program(
+                hub_ctx_u, PageRankProgram(tol=0.0), max_iter=HUB_TIER_STEPS,
+                ckpt_root=f"{ckpt_root}/hubu{r}", resume=False,
+            ),
+        )
+        hub_ctx_u.unpersist()
+        unsplit_step_s = timings["hub_tier_pagerank_unsplit"] / HUB_TIER_STEPS
         extra["hub_tier"] = {
             "vertices": hub_ctx.n_vertices,
             "edges": hub_nnz,
@@ -265,13 +287,14 @@ def main() -> None:
             "split_engaged": hub_ctx.nnz_hub > 0,
             "steps": HUB_TIER_STEPS,
             "per_step_s": round(hub_step_s, 3),
+            "unsplit_per_step_s": round(unsplit_step_s, 3),
+            "step_ratio_split_vs_unsplit": round(hub_step_s / unsplit_step_s, 2),
             "flat_tier_per_step_s": round(flat_step_s, 3),
             "step_ratio_vs_flat": round(hub_step_s / flat_step_s, 2),
             "edges_scattered_per_sec": round(
                 hub_nnz * HUB_TIER_STEPS / timings["hub_tier_pagerank"], 1
             ),
         }
-        hub_ctx.unpersist()
 
         # -- relational coverage on the driver tables ----------------------
         timed("rel_agg_pricing", lambda r: q_agg_pricing(spark, sf_dir).collect())
@@ -283,7 +306,10 @@ def main() -> None:
         # (derive+engine+relational).  The skewed hub tier is timed and
         # reported separately under "hub_tier" / "hub_tier_total_sec" so
         # adding it to the surface doesn't read as a total regression.
-        hub_keys = {"hub_tier_build", "hub_tier_pagerank"}
+        hub_keys = {
+            "hub_tier_build", "hub_tier_pagerank",
+            "hub_tier_build_unsplit", "hub_tier_pagerank_unsplit",
+        }
         total = round(sum(v for k, v in timings.items() if k not in hub_keys), 3)
         print(
             json.dumps(
