@@ -412,6 +412,33 @@ def _make_hub_packer(payload_names: tuple[str, ...]):
 _pack_hub_rows = _make_hub_packer(("msum",))
 
 
+def _pack_hub_jvm(hub_rows, payload: tuple[str, ...]):
+    """JVM-side hub message packer: per destination partition, one packed
+    array row in the same wire format as ``_packed_msgs`` — collect_list of
+    (dst, payload...) structs, unzipped with ``transform``.  Replaces the
+    ``applyInArrow`` packer in every superstep hub path: same single
+    shuffle on part_id, but no Python worker round trip, which is the bulk
+    of the hub split's fixed per-superstep overhead at small scale (the
+    Arrow packer remains for reference in _make_hub_packer, still used by
+    nothing on the hot path)."""
+    z = F.collect_list(F.struct(F.col("dst"), *[F.col(c) for c in payload]))
+
+    def _field(name):
+        # single-parameter lambda per field: a two-parameter lambda would be
+        # read by transform() as (element, index) and break field extraction
+        return lambda x: x[name]
+
+    return (
+        hub_rows.groupBy("part_id")
+        .agg(z.alias("_z"))
+        .select(
+            "part_id",
+            F.transform("_z", _field("dst")).alias("dst"),
+            *[F.transform("_z", _field(c)).alias(c) for c in payload],
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # vertex programs
 # --------------------------------------------------------------------------
@@ -509,9 +536,7 @@ class PageRankProgram:
                 "dst",
                 (F.col("rank") * F.col("coeff")).alias("msum"),
             )
-            hub_msgs = hub_rows.groupBy("part_id").applyInArrow(
-                _pack_hub_rows, packed_schema
-            )
+            hub_msgs = _pack_hub_jvm(hub_rows, ("msum",))
             msgs = msgs.unionByName(hub_msgs)
         # ONE shuffle: packed message rows to their destination partition;
         # the cogroup finalizes sum + rank update in numpy (no groupBy(dst),
@@ -692,9 +717,7 @@ class ComponentsProgram:
                 "dst",
                 F.col("comp").alias("mmin"),
             )
-            hub_msgs = hub_rows.groupBy("part_id").applyInArrow(
-                _make_hub_packer(("mmin",)), packed_schema
-            )
+            hub_msgs = _pack_hub_jvm(hub_rows, ("mmin",))
             msgs = msgs.unionByName(hub_msgs)
         return (
             msgs.groupby("part_id")
@@ -808,9 +831,7 @@ class KatzProgram(PageRankProgram):
                 "dst",
                 (F.col("rank") * F.col("w")).alias("msum"),
             )
-            hub_msgs = hub_rows.groupBy("part_id").applyInArrow(
-                _pack_hub_rows, packed_schema
-            )
+            hub_msgs = _pack_hub_jvm(hub_rows, ("msum",))
             msgs = msgs.unionByName(hub_msgs)
         return (
             msgs.groupby("part_id")
@@ -949,9 +970,7 @@ class BFSProgram:
                 "dst",
                 (F.col("dist") + 1).alias("mmin"),
             )
-            hub_msgs = hub_rows.groupBy("part_id").applyInArrow(
-                _make_hub_packer(("mmin",)), packed_schema
-            )
+            hub_msgs = _pack_hub_jvm(hub_rows, ("mmin",))
             msgs = msgs.unionByName(hub_msgs)
         return (
             msgs.groupby("part_id")
@@ -1079,9 +1098,7 @@ class SSSPProgram:
                 "dst",
                 (F.col("dist") + F.col("w")).alias("mmin"),
             )
-            hub_msgs = hub_rows.groupBy("part_id").applyInArrow(
-                _make_hub_packer(("mmin",)), packed_schema
-            )
+            hub_msgs = _pack_hub_jvm(hub_rows, ("mmin",))
             msgs = msgs.unionByName(hub_msgs)
         return (
             msgs.groupby("part_id")
@@ -1213,9 +1230,7 @@ class LabelPropProgram:
                 "label",
                 F.lit(1).cast("long").alias("cnt"),
             )
-            hub_msgs = hub_rows.groupBy("part_id").applyInArrow(
-                _make_hub_packer(("label", "cnt")), packed_schema
-            )
+            hub_msgs = _pack_hub_jvm(hub_rows, ("label", "cnt"))
             msgs = msgs.unionByName(hub_msgs)
         return (
             msgs.groupby("part_id")
