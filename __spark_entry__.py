@@ -45,9 +45,13 @@ _GATE_PRIORITY = [
     "engine_eigenvector", "modularity", "transitivity",
     "tool_cousage", "doc_length_buckets", "betweenness_pivots",
     "doc_weighted_sample", "temporal_paths2", "doc_mixture_sample",
-    "bridge_edges", "ann_pq_recall", "ann_pq_topk",
-    # rows-only in r2 (no oracle → not in the green union): keep windowed
-    "ann_lsh_topk",
+    "bridge_edges", "ann_pq_recall",
+    "emb_semdedup", "doc_dedup_retention",
+    # NOTE: ann_lsh_topk / ann_pq_topk are rows-only by design (no oracle)
+    # and can never enter the green union — they are exempted in
+    # tests/test_gate_window.py (their correctness is gated by the
+    # hash-checked ann_lsh_recall / ann_pq_recall rows) rather than pinned
+    # to window slots that full hash rows can use.
     # last green in r2 — refresh before they go stale
     "doc_exact_dedup", "doc_minhash", "doc_near_dups", "doc_simhash",
     "doc_token_stats", "doc_quality", "doc_langid", "doc_fingerprint",

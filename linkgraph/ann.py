@@ -778,6 +778,97 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ANN_LSH_RECALL = "SELECT CAST(1 AS BIGINT) AS recall_ok"
 
 
+# --------------------------------------------------------------------------
+# SemDeDup: cluster-then-dedup over embeddings (Abbas et al. 2023 shape)
+# --------------------------------------------------------------------------
+
+
+def emb_semdedup(
+    spark: SparkSession,
+    sf_dir: str,
+    tau: float = PLANT_TAU,
+    n_cells: int = N_CELLS,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: coarse-quantize every embedding to
+    its nearest cell, then within each cell drop any vector that has an
+    earlier (lower ``vec_id``) cell-mate at cosine >= ``tau`` — the
+    deterministic "keep the first of every near-duplicate neighbourhood"
+    rule; output is (vec_id, cell, dropped) for EVERY vector so the gate
+    hashes both the assignment and the drop decisions.
+
+    Runs on the planted-duplicate union (source at ``vec_id``, 1.5x-scaled
+    copy at ``vec_id + PLANT_OFFSET``): a copy has the SAME direction as
+    its source, hence the same cell and cosine exactly 1.0, so all
+    ``N_PLANTED`` copies MUST be dropped — a structural gate that fails if
+    the assignment UDF, the within-cell join, or the drop rule breaks.
+
+    Scale shape: the whole point of cluster-then-dedup is that the O(N^2)
+    pairwise pass becomes one equi-join on ``cell`` with per-cell bounded
+    work; production sizes ``n_cells ~ N/1000`` so cells stay small (the
+    fixed quantizer here is the SQL-derivable stand-in; swap in
+    ``_centroids_kmeans`` exactly as ``ann_ivf_kmeans_recall`` does)."""
+    v = _planted_vectors(spark, sf_dir)
+    C = _centroids_np(v, n_cells)
+    assign, _ = _make_cell_udfs(C, 1)
+    vd = v.select("vec_id", "e", "nrm", assign("e").alias("cell"))
+    a = vd.select(
+        "cell",
+        F.col("vec_id").alias("a"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    b = vd.select("cell", F.col("vec_id").alias("b"), "e", "nrm")
+    dups = (
+        a.join(b, "cell")
+        .where(F.col("a") < F.col("b"))
+        .where(F.round(_dot() / (F.col("qn") * F.col("nrm")), 6) >= tau)
+        .select(F.col("b").alias("vec_id"))
+        .distinct()
+        .withColumn("dup", F.lit(1))
+    )
+    return (
+        vd.join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce("dup", F.lit(0)).cast("int").alias("dropped"),
+        )
+    )
+
+
+SQL_EMB_SEMDEDUP = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), u AS (
+  SELECT vec_id, e FROM v
+  UNION ALL
+  SELECT vec_id + {PLANT_OFFSET} AS vec_id, list_transform(e, x -> x * 1.5) AS e
+  FROM v WHERE vec_id < {N_PLANTED}
+), cents AS (
+  SELECT CAST(vec_id AS INT) AS cell, e AS ce FROM v WHERE vec_id < {N_CELLS}
+), sims AS (
+  SELECT u.vec_id, c.cell, list_cosine_similarity(u.e, c.ce) AS s
+  FROM u CROSS JOIN cents c
+), asg AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+    FROM sims) WHERE rn = 1
+), dups AS (
+  SELECT DISTINCT bb.vec_id
+  FROM asg aa JOIN asg bb USING (cell)
+  JOIN u ua ON ua.vec_id = aa.vec_id
+  JOIN u ub ON ub.vec_id = bb.vec_id
+  WHERE aa.vec_id < bb.vec_id
+    AND round(list_cosine_similarity(ua.e, ub.e), 6) >= {PLANT_TAU}
+)
+SELECT a.vec_id, a.cell,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS INT) AS dropped
+FROM asg a LEFT JOIN dups d ON d.vec_id = a.vec_id
+"""
+
+
 def registry():
     return {
         "emb_near_dups_exact": (emb_near_dups_exact, SQL_EMB_NEAR_DUPS_EXACT),
@@ -789,4 +880,5 @@ def registry():
         "ann_ivf_kmeans_recall": (ann_ivf_kmeans_recall, SQL_ANN_IVF_KMEANS_RECALL),
         "ann_pq_topk": (ann_pq_topk, None),          # covered by ann_pq_recall
         "ann_pq_recall": (ann_pq_recall, SQL_ANN_PQ_RECALL),
+        "emb_semdedup": (emb_semdedup, SQL_EMB_SEMDEDUP),
     }

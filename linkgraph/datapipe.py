@@ -585,6 +585,71 @@ SELECT v AS doc_id, min(root) AS canon_doc FROM reach GROUP BY v
 """
 
 
+def doc_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup retention accounting — the single-row report a
+    production corpus pipeline publishes after a dedup pass: how many
+    documents came in, how many fell to exact dedup (non-canonical copies
+    of a text hash), how many additionally fell to near-dup clustering
+    (exact-canonical docs whose MinHash/LSH cluster canonical is a
+    different doc), and how many were retained.
+
+    Composes the two real pipelines (``doc_exact_dedup`` hashing and the
+    ``doc_dedup_clusters`` Pregel closure) rather than re-deriving either;
+    the removal sets are disjoint by construction (a doc is charged to
+    exact dedup first), so ``retained = n_docs - exact - near`` exactly.
+
+    Scale shape: one map-side-combinable groupBy on the text hash, a
+    broadcast-size join against the cluster table (only docs WITH a
+    near-dup are clustered), and a single global agg — nothing beyond the
+    shuffles the component pipelines already pay."""
+    d = load_table(spark, sf_dir, "documents")
+    eh = d.select("doc_id", _md5_int(F.col("text")).alias("h"))
+    ek = eh.groupBy("h").agg(F.min("doc_id").alias("keep"))
+    flags = eh.join(ek, "h").select(
+        "doc_id", (F.col("doc_id") == F.col("keep")).alias("exact_kept")
+    )
+    clus = doc_dedup_clusters(spark, sf_dir)
+    j = flags.join(clus, "doc_id", "left")
+    exact_rm = F.sum((~F.col("exact_kept")).cast("long"))
+    near_rm = F.sum(
+        (
+            F.col("exact_kept")
+            & F.col("canon_doc").isNotNull()
+            & (F.col("canon_doc") != F.col("doc_id"))
+        ).cast("long")
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        exact_rm.alias("exact_removed"),
+        near_rm.alias("near_removed"),
+        (F.count(F.lit(1)) - exact_rm - near_rm).alias("retained"),
+    )
+
+
+SQL_DOC_DEDUP_RETENTION = f"""
+WITH eh AS (
+  SELECT doc_id, {_sql_md5_int('text')} AS h FROM documents
+), ek AS (
+  SELECT h, min(doc_id) AS keep FROM eh GROUP BY h
+), flags AS (
+  SELECT eh.doc_id, eh.doc_id = ek.keep AS exact_kept
+  FROM eh JOIN ek USING (h)
+), clus AS ({SQL_DOC_DEDUP_CLUSTERS})
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN NOT exact_kept THEN 1 ELSE 0 END) AS BIGINT)
+         AS exact_removed,
+       CAST(sum(CASE WHEN exact_kept AND c.canon_doc IS NOT NULL
+                      AND c.canon_doc <> f.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS near_removed,
+       CAST(count(*)
+            - sum(CASE WHEN NOT exact_kept THEN 1 ELSE 0 END)
+            - sum(CASE WHEN exact_kept AND c.canon_doc IS NOT NULL
+                        AND c.canon_doc <> f.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS retained
+FROM flags f LEFT JOIN clus c ON c.doc_id = f.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # corpus statistics / sampling / packing (LLM training-data pipeline ops)
 # --------------------------------------------------------------------------
@@ -1190,6 +1255,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "doc_minhash": (doc_minhash, SQL_DOC_MINHASH),
         "doc_near_dups": (doc_near_dups, SQL_DOC_NEAR_DUPS),
         "doc_dedup_clusters": (doc_dedup_clusters, SQL_DOC_DEDUP_CLUSTERS),
+        "doc_dedup_retention": (doc_dedup_retention, SQL_DOC_DEDUP_RETENTION),
         "doc_simhash": (doc_simhash, SQL_DOC_SIMHASH),
         "doc_token_stats": (doc_token_stats, SQL_DOC_TOKEN_STATS),
         "doc_quality": (doc_quality, SQL_DOC_QUALITY),

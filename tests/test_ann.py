@@ -235,3 +235,43 @@ def test_ann_pq_codebooks_deterministic_and_exact_on_copies(spark):
         assert codes[i] == codes[i + PLANT_OFFSET]
 
     assert ann_pq_recall(spark, SF).first()["recall_ok"] == 1
+
+
+def test_emb_semdedup_drops_planted_copies(spark):
+    """SemDeDup gate invariants on the planted union at sf0.001:
+    every planted copy (same direction as its source => same cell,
+    cos 1.0) is dropped; recomputing the greedy rule from the output's
+    own cell assignment confirms each drop has an earlier kept-or-dropped
+    cell-mate at tau and each kept vector has none."""
+    from pyspark.sql import functions as F
+
+    from linkgraph.ann import (
+        N_PLANTED,
+        PLANT_OFFSET,
+        PLANT_TAU,
+        _planted_vectors,
+        emb_semdedup,
+    )
+
+    out = emb_semdedup(spark, SF).toPandas().set_index("vec_id")
+    # planted copies must all be dropped, and share their source's cell
+    for i in range(N_PLANTED):
+        assert out.loc[i + PLANT_OFFSET, "dropped"] == 1
+        assert out.loc[i + PLANT_OFFSET, "cell"] == out.loc[i, "cell"]
+    # greedy rule recomputed from raw vectors: dropped <=> exists an
+    # earlier same-cell vector at cos >= tau
+    v = _planted_vectors(spark, SF).select("vec_id", "e").toPandas()
+    import numpy as np
+
+    M = np.stack(v["e"].to_numpy()).astype(np.float64)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    ids = v["vec_id"].to_numpy()
+    cells = out.loc[ids, "cell"].to_numpy()
+    order = np.argsort(ids)
+    for pos in order:
+        same = (cells == cells[pos]) & (ids < ids[pos])
+        has_earlier = bool(
+            same.any()
+            and (np.round(M[same] @ M[pos], 6) >= PLANT_TAU).any()
+        )
+        assert has_earlier == bool(out.loc[ids[pos], "dropped"]), ids[pos]

@@ -321,3 +321,27 @@ def test_mixture_sample_matches_python(spark):
     rates = {s: v[2] for s, v in got.items()}
     assert rates["src19"] > rates["src0"]
     assert any(v[3] > 0 for v in got.values())
+
+
+def test_dedup_retention_accounting(spark):
+    """doc_dedup_retention must tie out against independent recomputations:
+    exact_removed from a pandas groupby on text, near_removed from the
+    doc_dedup_clusters output restricted to exact-canonical docs, and the
+    identity n_docs = exact_removed + near_removed + retained."""
+    from linkgraph.datapipe import doc_dedup_clusters, doc_dedup_retention
+    from linkgraph.io import load_table
+
+    row = doc_dedup_retention(spark, SF).first()
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").toPandas()
+    assert row["n_docs"] == len(docs)
+    keep = docs.groupby("text")["doc_id"].transform("min")
+    exact_kept_ids = set(docs.loc[docs["doc_id"] == keep, "doc_id"])
+    assert row["exact_removed"] == len(docs) - len(exact_kept_ids)
+    clus = doc_dedup_clusters(spark, SF).toPandas()
+    near = clus[
+        (clus["doc_id"] != clus["canon_doc"])
+        & clus["doc_id"].isin(exact_kept_ids)
+    ]
+    assert row["near_removed"] == len(near)
+    assert row["retained"] == row["n_docs"] - row["exact_removed"] - row["near_removed"]
+    assert row["retained"] > 0

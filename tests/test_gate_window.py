@@ -16,6 +16,12 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 WINDOW = 50
 
+# Rows-only by design (no DuckDB oracle => the driver records err=no_oracle
+# and they can never enter the green union).  Their correctness is gated by
+# the hash-checked companion rows ann_lsh_recall / ann_pq_recall plus pytest
+# recall oracles, so they do not need to occupy gate-window slots forever.
+ROWS_ONLY_EXEMPT = {"ann_lsh_topk", "ann_pq_topk"}
+
 
 def _registry_names() -> list[str]:
     import sys
@@ -52,13 +58,28 @@ def test_every_row_windowed_or_already_green():
     names = _registry_names()
     window = set(names[:WINDOW])
     green = _green_union()
-    uncovered = [n for n in names if n not in window and n not in green]
+    uncovered = [
+        n
+        for n in names
+        if n not in window and n not in green and n not in ROWS_ONLY_EXEMPT
+    ]
     assert not uncovered, (
         f"{len(uncovered)} registry rows are outside the driver's "
         f"{WINDOW}-row gate window AND have no driver-green record in any "
         f"CORRECTNESS_r*.json — reorder _GATE_PRIORITY in __spark_entry__.py: "
         f"{uncovered}"
     )
+
+
+def test_exempt_rows_are_genuinely_rows_only():
+    """The exemption is only for rows that CANNOT go green (no oracle).
+    If someone adds an oracle to an exempted row, it must rejoin the
+    window rotation instead of staying exempt."""
+    import __spark_entry__ as entry
+
+    oracled = set(entry.oracle_sql().keys())
+    bad = sorted(ROWS_ONLY_EXEMPT & oracled)
+    assert not bad, f"exempted rows now HAVE oracles — un-exempt them: {bad}"
 
 
 def test_oracle_keys_subset_of_queries():
