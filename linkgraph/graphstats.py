@@ -771,6 +771,170 @@ ORDER BY support, und.u, und.v LIMIT {_BRIDGE_TOPK}
 )
 
 
+# --------------------------------------------------------------------------
+# Minimum spanning forest via Borůvka rounds (the distributed-MST classic:
+# every component picks its lightest outgoing edge, merged components
+# contract, repeat — components at least halve per round, so the round
+# count is <= ceil(log2 V) regardless of graph shape).
+# --------------------------------------------------------------------------
+
+_MSF_ROUNDS = 16  # >= ceil(log2 V) for any gate/test graph; early-exit
+
+
+def _components_over_keys(pairs: DataFrame) -> DataFrame:
+    """(a, b) string-key pair list -> (vkey, comp_key) through the hash-min
+    Pregel components engine (pregel.py) — the string-key sibling of
+    datapipe.cluster_pairs.  vids are assigned by sorted vkey, so the
+    engine's min-vid label maps back to the lexicographically smallest key
+    of each component."""
+    from .derive import GraphTables, build_degrees
+    from .pregel import ComponentsProgram, GraphContext, run_program
+
+    keys = (
+        pairs.select(F.col("a").alias("vkey"))
+        .unionByName(pairs.select(F.col("b").alias("vkey")))
+        .distinct()
+    )
+    vw = Window.orderBy("vkey")
+    verts = keys.select(
+        "vkey",
+        (F.row_number().over(vw) - 1).cast("long").alias("vid"),
+        F.lit("k").alias("vtype"),
+    )
+    va = verts.select(F.col("vkey").alias("a"), F.col("vid").alias("src"))
+    vb = verts.select(F.col("vkey").alias("b"), F.col("vid").alias("dst"))
+    edges = (
+        pairs.join(va, "a")
+        .join(vb, "b")
+        .select("src", "dst", F.lit("msf").alias("etype"), F.lit(1.0).alias("w"))
+    )
+    g = GraphTables(
+        vertices=verts.select("vkey", "vid", "vtype"),
+        edges=edges,
+        degrees=build_degrees(edges, verts),
+    )
+    ctx = GraphContext.build(g, 4)
+    try:
+        res = run_program(ctx, ComponentsProgram(), max_iter=100)
+        if not res.converged:
+            raise RuntimeError("components closure did not converge")
+        v = verts.select("vkey", "vid")
+        ck = v.select(F.col("vid").alias("comp"), F.col("vkey").alias("comp_key"))
+        return res.state.join(v, "vid").join(ck, "comp").select("vkey", "comp_key")
+    finally:
+        ctx.unpersist()
+
+
+def q_engine_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum spanning forest of the undirected events graph, Borůvka
+    style: per round every component selects its lightest outgoing edge
+    (deterministic (w, a, b) tie-break), the selected edges join the
+    forest, and merged components contract by relabelling through the
+    SAME hash-min Pregel components engine run on the (tiny) contracted
+    pair graph.  Edge weights are the cross-engine int64 md5 of the
+    undirected key, so they are distinct for all practical graphs and the
+    MSF is unique — which is what lets the DuckDB oracle verify it via
+    the cycle property (an edge is in the unique MSF iff its endpoints
+    are NOT connected by strictly lighter edges) without replaying the
+    round schedule.
+
+    Scale posture: per round, one broadcast-able comp-label join pair +
+    one partial-aggregable per-comp struct-min + one Pregel closure over
+    the CONTRACTED graph (#nodes = #components, shrinking at least 2x per
+    round); the full edge list is touched once per round with no fan-out;
+    <= ceil(log2 V) rounds total, each early-exit checked with a bounded
+    ``isEmpty``.  Output (a, b, w) — the forest's undirected edges."""
+    from .datapipe import _md5_int
+
+    e = _directed_simple(spark, sf_dir)
+    und = (
+        e.select(F.least("s", "t").alias("a"), F.greatest("s", "t").alias("b"))
+        .distinct()
+        .withColumn("w", _md5_int(F.concat("a", F.lit("|"), "b")))
+        .localCheckpoint()
+    )
+    comp = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .distinct()
+        .select("v", F.col("v").alias("c"))
+    )
+    msf: DataFrame | None = None
+    for _ in range(_MSF_ROUNDS):
+        ca = comp.select(F.col("v").alias("a"), F.col("c").alias("ca"))
+        cb = comp.select(F.col("v").alias("b"), F.col("c").alias("cb"))
+        cross = und.join(ca, "a").join(cb, "b").where(F.col("ca") != F.col("cb"))
+        if cross.isEmpty():
+            break
+        cand = cross.select(F.col("ca").alias("comp"), "w", "a", "b", "ca", "cb")
+        cand = cand.unionByName(
+            cross.select(F.col("cb").alias("comp"), "w", "a", "b", "ca", "cb")
+        )
+        sel = (
+            cand.groupBy("comp")
+            .agg(F.min(F.struct("w", "a", "b", "ca", "cb")).alias("m"))
+            .select("m.w", "m.a", "m.b", "m.ca", "m.cb")
+            .distinct()
+            .localCheckpoint()
+        )
+        picked = sel.select("a", "b", "w")
+        msf = picked if msf is None else msf.unionByName(picked).distinct()
+        msf = msf.localCheckpoint()
+        lab = _components_over_keys(
+            sel.select(F.col("ca").alias("a"), F.col("cb").alias("b"))
+        )
+        comp = (
+            comp.join(lab.withColumnRenamed("vkey", "c"), "c", "left")
+            .select("v", F.coalesce("comp_key", F.col("c")).alias("c"))
+            .localCheckpoint()
+        )
+    else:
+        raise RuntimeError(
+            f"Borůvka did not finish in {_MSF_ROUNDS} rounds — impossible "
+            "unless the graph has > 2^16 vertices; raise _MSF_ROUNDS"
+        )
+    if msf is None:
+        return und.select("a", "b", "w").limit(0)
+    return msf.select("a", "b", "w")
+
+
+# Cycle-property oracle: with distinct weights, edge (a,b,w) is in the
+# unique MSF iff b is NOT reachable from a over edges of weight < w.
+SQL_ENGINE_MSF = (
+    "WITH "
+    + _GRAPH_CTES
+    + """,
+msf_und AS (
+  SELECT least(s, t) AS a, greatest(s, t) AS b
+  FROM ek WHERE s <> t
+  GROUP BY 1, 2
+), wund AS (
+  SELECT a, b,
+         CAST(('0x' || substr(md5(a || '|' || b), 1, 15)) AS BIGINT) AS w,
+         row_number() OVER (ORDER BY a, b) AS eid
+  FROM msf_und
+), dir AS (
+  SELECT eid, a AS s, b AS t, w FROM wund
+  UNION ALL
+  SELECT eid, b AS s, a AS t, w FROM wund
+), lighter_reach AS (
+  WITH RECURSIVE rr(eid, v, wmax) AS (
+    SELECT eid, a, w FROM wund
+    UNION
+    SELECT rr.eid, d.t, rr.wmax
+    FROM rr JOIN dir d ON d.s = rr.v AND d.w < rr.wmax
+  )
+  SELECT * FROM rr
+)
+SELECT e.a, e.b, e.w
+FROM wund e
+WHERE NOT EXISTS (
+  SELECT 1 FROM lighter_reach r WHERE r.eid = e.eid AND r.v = e.b
+)
+"""
+)
+
+
 def registry():
     return {
         "graph_reciprocity": (q_graph_reciprocity, SQL_GRAPH_RECIPROCITY),
@@ -781,4 +945,5 @@ def registry():
         "engine_diameter2sweep": (q_engine_diameter2sweep, SQL_ENGINE_DIAMETER2SWEEP),
         "anf_kmv": (q_anf_kmv, SQL_ANF_KMV),
         "ktruss_edges": (q_ktruss, SQL_KTRUSS),
+        "engine_msf": (q_engine_msf, SQL_ENGINE_MSF),
     }

@@ -363,3 +363,60 @@ def dedup_available_now(
     )
     q.awaitTermination()
     return q
+
+
+def streaming_sessions(
+    transcripts: DataFrame,
+    gap: str = "5 minutes",
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """Event-time session windows per conversation (§2.11): Spark's native
+    ``session_window`` merges turns into one session while consecutive
+    events are within ``gap`` of each other — the streaming twin of the
+    batch gap-based sessionization (relational.q_sessionize), running on
+    the engine's built-in session-window state store instead of a
+    lag/cumsum window pass.  In append mode a session row is emitted
+    exactly once, when the watermark passes session end + gap; state is
+    O(open sessions) and expires with the watermark, so the query runs
+    indefinitely.  Output (conv_id, sess_start, sess_end, n_turns,
+    n_actors)."""
+    return (
+        transcripts.withWatermark("ts", watermark)
+        .groupBy("conv_id", F.session_window("ts", gap).alias("sess"))
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.approx_count_distinct("role").alias("n_actors"),
+        )
+        .select(
+            "conv_id",
+            F.col("sess.start").alias("sess_start"),
+            F.col("sess.end").alias("sess_end"),
+            "n_turns",
+            "n_actors",
+        )
+    )
+
+
+def sessions_available_now(
+    spark: SparkSession,
+    in_dir: str,
+    checkpoint_dir: str,
+    gap: str = "5 minutes",
+    query_name: str = "linkgraph_sessions",
+    max_files_per_trigger: int | None = 1,
+):
+    """Drain ``in_dir`` through the session-window aggregation in APPEND
+    mode (only watermark-finalized sessions are emitted)."""
+    sess = streaming_sessions(
+        stream_transcripts(spark, in_dir, max_files_per_trigger), gap
+    )
+    q = (
+        sess.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -404,6 +404,216 @@ def host_pagerank_sql(k: int = _PR_STEPS, limit: int = 10, d: float = 0.85) -> s
     )
 
 
+# --------------------------------------------------------------------------
+# CCNet-style line-level dedup (boilerplate removal): drop every "line"
+# whose exact form recurs across >= LINE_DF_MAX distinct documents.
+# --------------------------------------------------------------------------
+
+LINE_TOKENS = 8      # tokens per "line" (the synthetic corpus has no \n;
+                     # fixed-width token segments stand in for lines)
+LINE_DF_MAX = 2      # a line present in >= 2 distinct docs is boilerplate
+_FOOTER = "subscribe now for daily updates follow the feed"  # 8 tokens
+_FP_MOD = 2147483647
+
+
+def q_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style line-level dedup: segment each document's token stream
+    into fixed ``LINE_TOKENS``-token lines, count each line's document
+    frequency corpus-wide, and drop lines that recur in >= ``LINE_DF_MAX``
+    distinct documents (boilerplate: headers, footers, nav chrome).  The
+    synthetic corpus has no newlines and near-unique token runs, so a
+    deterministic 8-token footer is appended to every doc in-query (the
+    webpipe fixture discipline) — the dedup machinery then provably
+    removes exactly that shared line.
+
+    Scale posture: lines join on their int64 md5 hash, never on text; the
+    doc-frequency aggregate and both groupBys are partial-aggregable; at
+    100 TB this is two combinable shuffles over (doc, seg) and (line_h) —
+    the canonical CCNet shape.  Output (doc_id, n_lines, n_kept,
+    n_tokens_kept, kept_fp)."""
+    from .datapipe import _md5_int
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.concat(F.lower(F.trim("text")), F.lit(" " + _FOOTER)).alias("text2"),
+    )
+    words = base.select(
+        "doc_id",
+        F.posexplode(F.split("text2", " ")).alias("pos", "word"),
+    )
+    lines = (
+        words.withColumn("seg", (F.col("pos") / LINE_TOKENS).cast("long"))
+        .groupBy("doc_id", "seg")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s["word"],
+                ),
+                " ",
+            ).alias("line"),
+        )
+        .withColumn("line_h", _md5_int(F.col("line")))
+    )
+    df = lines.groupBy("line_h").agg(
+        F.countDistinct("doc_id").alias("line_df")
+    )
+    tagged = lines.join(df, "line_h")
+    kept = F.col("line_df") < LINE_DF_MAX
+    return tagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_toks")).otherwise(F.lit(0))).alias(
+            "n_tokens_kept"
+        ),
+        F.sum(
+            F.when(kept, F.pmod(F.col("line_h"), F.lit(_FP_MOD))).otherwise(
+                F.lit(0)
+            )
+        ).alias("kept_fp"),
+    )
+
+
+SQL_DOC_LINE_DEDUP = f"""
+WITH base AS (
+  SELECT doc_id, lower(trim(text)) || ' {_FOOTER}' AS text2 FROM documents
+), words AS (
+  SELECT doc_id, g.i - 1 AS pos, w[g.i] AS word
+  FROM (SELECT doc_id, string_split(text2, ' ') AS w FROM base),
+       LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g
+), lines AS (
+  SELECT doc_id, CAST(floor(pos / {LINE_TOKENS}) AS BIGINT) AS seg,
+         count(*) AS n_toks,
+         string_agg(word, ' ' ORDER BY pos) AS line
+  FROM words GROUP BY doc_id, seg
+), hashed AS (
+  SELECT doc_id, n_toks,
+         CAST(('0x' || substr(md5(line), 1, 15)) AS BIGINT) AS line_h
+  FROM lines
+), df AS (
+  SELECT line_h, count(DISTINCT doc_id) AS line_df FROM hashed GROUP BY line_h
+)
+SELECT doc_id,
+       count(*) AS n_lines,
+       CAST(sum(CASE WHEN line_df < {LINE_DF_MAX} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(sum(CASE WHEN line_df < {LINE_DF_MAX} THEN n_toks ELSE 0 END)
+         AS BIGINT) AS n_tokens_kept,
+       CAST(sum(CASE WHEN line_df < {LINE_DF_MAX} THEN line_h % {_FP_MOD}
+                ELSE 0 END) AS BIGINT) AS kept_fp
+FROM hashed JOIN df USING (line_h)
+GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Gopher-style composite quality rules (Rae et al. 2021 table A1 family):
+# each rule is a pure column predicate; the row reports per-rule pass
+# counts plus the final keep count, so the gate checks every rule.
+# --------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 12
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WLEN = 2.0
+GOPHER_MAX_MEAN_WLEN = 10.0
+GOPHER_MAX_TOP_SHARE = 0.20
+GOPHER_MIN_DISTINCT_RATIO = 0.30
+
+
+def q_doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite quality filter: word-count bounds, mean
+    word length bounds, top-token share cap, distinct-token ratio floor —
+    every rule a pure Catalyst expression over one token explode, so at
+    100 TB the whole filter fuses into the scan plus two combinable
+    aggregates.  Output: one row per rule (plus 'keep') with the number
+    of passing documents — checking the marginal of every rule, not just
+    the conjunction."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), " ")).alias("word"),
+    )
+    wc = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("n"))
+    stats = wc.groupBy("doc_id").agg(
+        F.sum("n").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("n").alias("top_n"),
+        (F.sum(F.length("word") * F.col("n")) / F.sum("n")).alias("mean_wlen"),
+    )
+    rules = stats.select(
+        "doc_id",
+        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS).alias(
+            "r_words"
+        ),
+        F.col("mean_wlen")
+        .between(GOPHER_MIN_MEAN_WLEN, GOPHER_MAX_MEAN_WLEN)
+        .alias("r_wlen"),
+        ((F.col("top_n") / F.col("n_words")) <= GOPHER_MAX_TOP_SHARE).alias(
+            "r_topshare"
+        ),
+        (
+            (F.col("n_distinct") / F.col("n_words"))
+            >= GOPHER_MIN_DISTINCT_RATIO
+        ).alias("r_distinct"),
+    ).withColumn(
+        "r_keep",
+        F.col("r_words")
+        & F.col("r_wlen")
+        & F.col("r_topshare")
+        & F.col("r_distinct"),
+    )
+    agg = rules.agg(
+        F.sum(F.col("r_words").cast("long")).alias("words_bounds"),
+        F.sum(F.col("r_wlen").cast("long")).alias("mean_word_len"),
+        F.sum(F.col("r_topshare").cast("long")).alias("top_token_share"),
+        F.sum(F.col("r_distinct").cast("long")).alias("distinct_ratio"),
+        F.sum(F.col("r_keep").cast("long")).alias("keep"),
+    )
+    melted = agg.selectExpr(
+        "stack(5, 'words_bounds', words_bounds, 'mean_word_len', "
+        "mean_word_len, 'top_token_share', top_token_share, "
+        "'distinct_ratio', distinct_ratio, 'keep', keep) AS (rule, n_pass)"
+    )
+    return melted
+
+
+SQL_DOC_GOPHER_RULES = f"""
+WITH words AS (
+  SELECT doc_id, w AS word
+  FROM documents, unnest(string_split(lower(trim(text)), ' ')) AS t(w)
+), wc AS (
+  SELECT doc_id, word, count(*) AS n FROM words GROUP BY doc_id, word
+), stats AS (
+  SELECT doc_id, sum(n) AS n_words, count(*) AS n_distinct, max(n) AS top_n,
+         CAST(sum(length(word) * n) AS DOUBLE) / sum(n) AS mean_wlen
+  FROM wc GROUP BY doc_id
+), rules AS (
+  SELECT doc_id,
+         n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS} AS r_words,
+         mean_wlen BETWEEN {GOPHER_MIN_MEAN_WLEN} AND {GOPHER_MAX_MEAN_WLEN}
+           AS r_wlen,
+         CAST(top_n AS DOUBLE) / n_words <= {GOPHER_MAX_TOP_SHARE}
+           AS r_topshare,
+         CAST(n_distinct AS DOUBLE) / n_words >= {GOPHER_MIN_DISTINCT_RATIO}
+           AS r_distinct
+  FROM stats
+), agg AS (
+  SELECT sum(CASE WHEN r_words THEN 1 ELSE 0 END) AS words_bounds,
+         sum(CASE WHEN r_wlen THEN 1 ELSE 0 END) AS mean_word_len,
+         sum(CASE WHEN r_topshare THEN 1 ELSE 0 END) AS top_token_share,
+         sum(CASE WHEN r_distinct THEN 1 ELSE 0 END) AS distinct_ratio,
+         sum(CASE WHEN r_words AND r_wlen AND r_topshare AND r_distinct
+             THEN 1 ELSE 0 END) AS keep
+  FROM rules
+)
+SELECT rule, CAST(n_pass AS BIGINT) AS n_pass
+FROM agg UNPIVOT (n_pass FOR rule IN
+  (words_bounds, mean_word_len, top_token_share, distinct_ratio, keep))
+"""
+
+
 def registry():
     return {
         "url_host_edges": (q_url_host_edges, SQL_URL_HOST_EDGES),
@@ -413,4 +623,6 @@ def registry():
         "host_pagerank": (q_host_pagerank, host_pagerank_sql()),
         "doc_entropy": (q_doc_entropy, SQL_DOC_ENTROPY),
         "url_dedup": (q_url_dedup, SQL_URL_DEDUP),
+        "doc_line_dedup": (q_doc_line_dedup, SQL_DOC_LINE_DEDUP),
+        "doc_gopher_rules": (q_doc_gopher_rules, SQL_DOC_GOPHER_RULES),
     }

@@ -445,3 +445,115 @@ def test_bridge_edges_support_matches_networkx(spark, dk_edges):
     assert [(s, u, v) for s, u, v, _, _ in got] == exp_all
     for s, u, v, du, dv in got:
         assert du == G.degree(u) and dv == G.degree(v)
+
+
+def test_engine_msf_matches_networkx(spark, dk_edges):
+    """Borůvka MSF (Pregel-merged rounds) vs networkx minimum_spanning_tree
+    on the identical md5-derived distinct weights — exact edge-set match
+    (distinct weights make the MSF unique)."""
+    import hashlib
+
+    import networkx as nx
+
+    from linkgraph.graphstats import q_engine_msf
+
+    def w(a: str, b: str) -> int:
+        return int(hashlib.md5(f"{a}|{b}".encode()).hexdigest()[:15], 16)
+
+    G = nx.Graph()
+    for s, t in dk_edges:
+        if s != t:
+            a, b = min(s, t), max(s, t)
+            G.add_edge(a, b, weight=w(a, b))
+    T = nx.minimum_spanning_tree(G)
+    exp = sorted(
+        (min(a, b), max(a, b), G[a][b]["weight"]) for a, b in T.edges()
+    )
+    got = sorted(
+        (r["a"], r["b"], r["w"]) for r in q_engine_msf(spark, SF_DIR).collect()
+    )
+    assert got == exp
+    # forest invariants: V - #components edges, no cycles
+    assert len(got) == G.number_of_nodes() - nx.number_connected_components(G)
+
+
+def test_doc_line_dedup_matches_python(spark, docs):
+    """Line-level dedup vs a from-scratch Counter replication: fixed
+    8-token segmentation, corpus line-frequency, boilerplate drop."""
+    import hashlib
+
+    from linkgraph.webpipe import (
+        _FOOTER,
+        _FP_MOD,
+        LINE_DF_MAX,
+        LINE_TOKENS,
+        q_doc_line_dedup,
+    )
+
+    def lines_of(text: str) -> list[str]:
+        words = (text.strip().lower() + " " + _FOOTER).split(" ")
+        return [
+            " ".join(words[i : i + LINE_TOKENS])
+            for i in range(0, len(words), LINE_TOKENS)
+        ]
+
+    def h(line: str) -> int:
+        return int(hashlib.md5(line.encode()).hexdigest()[:15], 16)
+
+    df: Counter = Counter()
+    for text in docs.values():
+        for line in set(lines_of(text)):
+            df[line] += 1
+
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["n_tokens_kept"], r["kept_fp"])
+        for r in q_doc_line_dedup(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(docs)
+    any_dropped = False
+    for doc_id, text in docs.items():
+        ls = lines_of(text)
+        kept = [l for l in ls if df[l] < LINE_DF_MAX]
+        any_dropped |= len(kept) < len(ls)
+        exp = (
+            len(ls),
+            len(kept),
+            sum(len(l.split(" ")) for l in kept),
+            sum(h(l) % _FP_MOD for l in kept),
+        )
+        assert got[doc_id] == exp, doc_id
+    assert any_dropped  # the planted footer must actually be deduped
+
+
+def test_doc_gopher_rules_matches_python(spark, docs):
+    from linkgraph.webpipe import (
+        GOPHER_MAX_MEAN_WLEN,
+        GOPHER_MAX_TOP_SHARE,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_DISTINCT_RATIO,
+        GOPHER_MIN_MEAN_WLEN,
+        GOPHER_MIN_WORDS,
+        q_doc_gopher_rules,
+    )
+
+    got = {
+        r["rule"]: r["n_pass"]
+        for r in q_doc_gopher_rules(spark, SF_DIR).collect()
+    }
+    exp = Counter()
+    for text in docs.values():
+        words = text.strip().lower().split(" ")
+        c = Counter(words)
+        n = len(words)
+        mean_wlen = sum(len(w) for w in words) / n
+        r_words = GOPHER_MIN_WORDS <= n <= GOPHER_MAX_WORDS
+        r_wlen = GOPHER_MIN_MEAN_WLEN <= mean_wlen <= GOPHER_MAX_MEAN_WLEN
+        r_top = max(c.values()) / n <= GOPHER_MAX_TOP_SHARE
+        r_dist = len(c) / n >= GOPHER_MIN_DISTINCT_RATIO
+        exp["words_bounds"] += r_words
+        exp["mean_word_len"] += r_wlen
+        exp["top_token_share"] += r_top
+        exp["distinct_ratio"] += r_dist
+        exp["keep"] += r_words and r_wlen and r_top and r_dist
+    assert got == dict(exp)
+    assert 0 < got["keep"] < len(docs)  # the filter must discriminate

@@ -499,3 +499,90 @@ def test_streaming_dedup_drops_replayed_turns(spark, landing_dirs):
     dedup_available_now(spark, os.path.join(in_dir, "f0"), out_dir, ck_dir)
     again = spark.read.parquet(out_dir).select("conv_id", "turn_idx").collect()
     assert sorted((r["conv_id"], r["turn_idx"]) for r in again) == sorted(keys)
+
+
+def test_streaming_session_windows_merge_across_batches(spark, landing_dirs):
+    """Native event-time session windows (streaming.streaming_sessions,
+    APPEND mode): (a) a session row is emitted exactly once, when the
+    watermark passes session end + gap; (b) a session whose turns arrive
+    in DIFFERENT micro-batches merges through the session-window state
+    store into one row; (c) a still-open session is withheld.  Gap 2 min,
+    watermark 30 s."""
+    import datetime as _dt
+    import time as _time
+
+    in_dir, ck_dir = landing_dirs
+    base = _dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def rows(specs):
+        return spark.createDataFrame(
+            [
+                (conv, idx, role, "txt", None, base + _dt.timedelta(seconds=s))
+                for conv, idx, role, s in specs
+            ],
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp",
+        )
+
+    def land(df, name, mtime):
+        tmp = os.path.join(in_dir, f"_stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(
+            os.path.join(tmp, f_)
+            for f_ in os.listdir(tmp)
+            if f_.endswith(".parquet")
+        )
+        dst = os.path.join(in_dir, f"{name}.parquet")
+        shutil.copyfile(src, dst)
+        os.utime(dst, (mtime, mtime))
+        shutil.rmtree(tmp)
+
+    now = _time.time()
+    # batch 0: c0 has two turns 60s apart (one session), c2 opens a session
+    # near the batch's watermark frontier, c9 advances the watermark to 970s
+    land(
+        rows(
+            [
+                ("c0", 0, "A", 0),
+                ("c0", 1, "B", 60),
+                ("c1", 0, "A", 30),
+                ("c2", 0, "A", 900),
+                ("c9", 0, "A", 1000),
+            ]
+        ),
+        "f0",
+        now,
+    )
+    # batch 1: c2's second turn (990s: inside the open session's window,
+    # NOT late vs the 970s watermark) must MERGE into the batch-0 session;
+    # c9's 2000s turn advances the watermark to 1970s and stays open
+    land(rows([("c2", 1, "B", 990), ("c9", 1, "A", 2000)]), "f1", now + 60)
+
+    from linkgraph.streaming import sessions_available_now
+
+    q = sessions_available_now(
+        spark,
+        in_dir,
+        ck_dir,
+        gap="2 minutes",
+        query_name="t_sessions",
+        max_files_per_trigger=1,
+    )
+    assert not q.isActive
+    out = {
+        (r["conv_id"], r["sess_start"]): (r["sess_end"], r["n_turns"], r["n_actors"])
+        for r in spark.table("t_sessions").collect()
+    }
+
+    def t(s):
+        return base + _dt.timedelta(seconds=s)
+
+    # (a) exactly-once finalized sessions with gap-extended ends
+    assert out[("c0", t(0))] == (t(180), 2, 2)     # 60s + 120s gap
+    assert out[("c1", t(30))] == (t(150), 1, 1)
+    # (b) the cross-batch c2 session merged: [900, 990 + 120)
+    assert out[("c2", t(900))] == (t(1110), 2, 2)
+    assert out[("c9", t(1000))] == (t(1120), 1, 1)
+    # (c) c9's 2000s session is still open -> withheld in append mode
+    assert ("c9", t(2000)) not in out
+    assert len(out) == 4
