@@ -1248,6 +1248,177 @@ ORDER BY r.source
 """
 
 
+# --------------------------------------------------------------------------
+# one-sided containment detection (quote / subset duplicates): pairs where
+# nearly all of the SMALLER document's shingles appear in the larger one.
+# Jaccard-based LSH structurally misses these (a 12-word quote inside a
+# 300-word page has Jaccard ~0.04 but containment 1.0), so candidates come
+# from a rare-shingle inverted index instead: only shingles whose corpus
+# document frequency is <= CONTAIN_RARE_DF generate candidate pairs, which
+# bounds the fan-out per shingle at df^2 regardless of corpus size.
+# --------------------------------------------------------------------------
+
+CONTAIN_TAU = 0.9
+CONTAIN_RARE_DF = 10
+_QUOTE_MOD = 5          # every 5th doc gets a planted quote twin
+_QUOTE_WORDS = 12       # quote = the doc's first 12 words
+_QUOTE_OFFSET = 1_000_000
+
+
+def _with_quotes(d: DataFrame) -> DataFrame:
+    """Planted quote fixture: every ``_QUOTE_MOD``-th doc gains a twin at
+    doc_id + ``_QUOTE_OFFSET`` whose text is the doc's first
+    ``_QUOTE_WORDS`` words — containment 1.0 in its source by
+    construction, Jaccard far below the near-dup threshold (the case
+    this op exists for).  Deterministic and replicated in the oracle."""
+    quotes = d.where(F.col("doc_id") % _QUOTE_MOD == 0).select(
+        (F.col("doc_id") + _QUOTE_OFFSET).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(_words(F.col("text")), 1, _QUOTE_WORDS)
+        ).alias("text"),
+    )
+    return d.select("doc_id", "text").unionByName(quotes)
+
+
+def doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided containment pairs over the quote-planted corpus:
+    candidates from the rare-shingle inverted index (df <=
+    ``CONTAIN_RARE_DF``), then EXACT containment
+    |grams(small) ∩ grams(big)| / |grams(small)| >= ``CONTAIN_TAU``
+    (ties on gram count broken by doc_id: lower id is "small").
+
+    Scale posture: the inverted index is one combinable groupBy; rare
+    shingles cap per-key fan-out at df² pairs; the exact rerank joins the
+    candidate list (≪ corpus²) against per-doc gram sets once.  The same
+    shape FineWeb-style pipelines use for quote/boilerplate containment.
+    Output (doc_small, doc_big, containment)."""
+    d = _with_quotes(load_table(spark, sf_dir, "documents"))
+    w = d.select("doc_id", _words(F.col("text")).alias("w"))
+    sh = w.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                _gram_starts(F.col("w"), 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("w"), i),
+                    F.element_at(F.col("w"), i + 1),
+                    F.element_at(F.col("w"), i + 2),
+                ),
+            )
+        ).alias("shingle"),
+    ).distinct()
+    df_per = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    rare = sh.join(
+        df_per.where(F.col("df") <= CONTAIN_RARE_DF).select("shingle"), "shingle"
+    )
+    r1 = rare.select(F.col("doc_id").alias("doc_a"), "shingle")
+    r2 = rare.select(F.col("doc_id").alias("doc_b"), "shingle")
+    cand = (
+        r1.join(r2, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    scored = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            F.when(
+                (F.col("na") < F.col("nb"))
+                | ((F.col("na") == F.col("nb")) & (F.col("doc_a") < F.col("doc_b"))),
+                F.struct(
+                    F.col("doc_a").alias("doc_small"),
+                    F.col("doc_b").alias("doc_big"),
+                    F.col("na").alias("n_small"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("doc_b").alias("doc_small"),
+                    F.col("doc_a").alias("doc_big"),
+                    F.col("nb").alias("n_small"),
+                )
+            )
+            .alias("o"),
+            "n_common",
+        )
+        .select(
+            F.col("o.doc_small").alias("doc_small"),
+            F.col("o.doc_big").alias("doc_big"),
+            F.round(F.col("n_common") / F.col("o.n_small"), 6).alias("containment"),
+        )
+        .where(F.col("containment") >= CONTAIN_TAU)
+    )
+    return scored
+
+
+SQL_DOC_CONTAINMENT = f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_QUOTE_OFFSET} AS doc_id,
+         concat_ws(' ', list_aggregate(
+           string_split(lower(trim(text)), ' ')[1:{_QUOTE_WORDS}],
+           'string_agg', ' ')) AS text
+  FROM documents WHERE doc_id % {_QUOTE_MOD} = 0
+), sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, greatest(len(w) - 2, 0)),
+             i -> concat_ws(' ', w[i], w[i+1], w[i+2])
+           )) AS shingle
+    FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM base)
+  )
+), dfp AS (
+  SELECT shingle, count(*) AS df FROM sh GROUP BY shingle
+), rare AS (
+  SELECT sh.doc_id, sh.shingle FROM sh
+  JOIN dfp ON dfp.shingle = sh.shingle AND dfp.df <= {CONTAIN_RARE_DF}
+), cand AS (
+  SELECT DISTINCT r1.doc_id AS doc_a, r2.doc_id AS doc_b
+  FROM rare r1 JOIN rare r2
+    ON r1.shingle = r2.shingle AND r1.doc_id < r2.doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS n_grams FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+), scored AS (
+  SELECT CASE WHEN za.n_grams < zb.n_grams
+              OR (za.n_grams = zb.n_grams AND i.doc_a < i.doc_b)
+         THEN i.doc_a ELSE i.doc_b END AS doc_small,
+         CASE WHEN za.n_grams < zb.n_grams
+              OR (za.n_grams = zb.n_grams AND i.doc_a < i.doc_b)
+         THEN i.doc_b ELSE i.doc_a END AS doc_big,
+         round(CAST(i.n_common AS DOUBLE)
+               / least(za.n_grams, zb.n_grams), 6) AS containment
+  FROM inter i
+  JOIN sizes za ON za.doc_id = i.doc_a
+  JOIN sizes zb ON zb.doc_id = i.doc_b
+)
+SELECT doc_small, doc_big, containment
+FROM scored WHERE containment >= {CONTAIN_TAU}
+"""
+
+
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
     return {
         "doc_split": (doc_split, SQL_DOC_SPLIT),
@@ -1272,4 +1443,5 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "doc_length_buckets": (doc_length_buckets, SQL_DOC_LENGTH_BUCKETS),
         "doc_weighted_sample": (doc_weighted_sample, SQL_DOC_WEIGHTED_SAMPLE),
         "doc_mixture_sample": (doc_mixture_sample, SQL_DOC_MIXTURE_SAMPLE),
+        "doc_containment_pairs": (doc_containment, SQL_DOC_CONTAINMENT),
     }

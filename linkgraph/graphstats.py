@@ -898,6 +898,128 @@ def q_engine_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return msf.select("a", "b", "w")
 
 
+# --------------------------------------------------------------------------
+# GNN-style neighborhood feature propagation (GraphSAGE mean-aggregate
+# family): k rounds of x' = 0.5*x + 0.5*mean(neighbor x) over structural
+# seed features — the feature-engineering pass a graph-ML training
+# pipeline runs before export.
+# --------------------------------------------------------------------------
+
+_FPROP_ROUNDS = 2
+
+
+def q_feature_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two rounds of mean-neighbor feature smoothing over the undirected
+    events graph, seeded with each vertex's (out_degree, in_degree) —
+    the distributed shape of a GraphSAGE mean-aggregator layer stack:
+    per round ONE equi-join of the feature table onto the edge list and
+    ONE combinable mean aggregate, so at 100 TB each round is a single
+    shuffle on vertex key with message volume = |E| * feature width (and
+    the feature table co-partitions with the edges across rounds).
+    Output (vkey, f_out, f_in) rounded to 6 dp."""
+    e = _directed_simple(spark, sf_dir)
+    und = (
+        e.select("s", "t")
+        .unionByName(e.select(F.col("t").alias("s"), F.col("s").alias("t")))
+        .distinct()
+    )
+    out_d = e.groupBy(F.col("s").alias("vkey")).agg(
+        F.count(F.lit(1)).alias("f_out")
+    )
+    in_d = e.groupBy(F.col("t").alias("vkey")).agg(
+        F.count(F.lit(1)).alias("f_in")
+    )
+    verts = (
+        e.select(F.col("s").alias("vkey"))
+        .unionByName(e.select(F.col("t").alias("vkey")))
+        .distinct()
+    )
+    x = (
+        verts.join(out_d, "vkey", "left")
+        .join(in_d, "vkey", "left")
+        .select(
+            "vkey",
+            F.coalesce(F.col("f_out").cast("double"), F.lit(0.0)).alias("f_out"),
+            F.coalesce(F.col("f_in").cast("double"), F.lit(0.0)).alias("f_in"),
+        )
+    )
+    for _ in range(_FPROP_ROUNDS):
+        nbr = (
+            und.join(x.withColumnRenamed("vkey", "t"), "t")
+            .groupBy(F.col("s").alias("vkey"))
+            .agg(
+                F.avg("f_out").alias("m_out"),
+                F.avg("f_in").alias("m_in"),
+            )
+        )
+        x = (
+            x.join(nbr, "vkey", "left")
+            .select(
+                "vkey",
+                (
+                    0.5 * F.col("f_out")
+                    + 0.5 * F.coalesce("m_out", F.col("f_out"))
+                ).alias("f_out"),
+                (
+                    0.5 * F.col("f_in") + 0.5 * F.coalesce("m_in", F.col("f_in"))
+                ).alias("f_in"),
+            )
+        )
+    return x.select(
+        "vkey", F.round("f_out", 6).alias("f_out"), F.round("f_in", 6).alias("f_in")
+    )
+
+
+def _feature_prop_sql(rounds: int) -> str:
+    ctes = [
+        """und AS (
+  SELECT DISTINCT s, t FROM (
+    SELECT s, t FROM dk UNION ALL SELECT t AS s, s AS t FROM dk
+  )
+)""",
+        """x0 AS (
+  SELECT v.vkey,
+         CAST(coalesce(o.f_out, 0) AS DOUBLE) AS f_out,
+         CAST(coalesce(i.f_in, 0) AS DOUBLE) AS f_in
+  FROM (SELECT DISTINCT vkey
+        FROM (SELECT s AS vkey FROM dk UNION ALL SELECT t AS vkey FROM dk)) v
+  LEFT JOIN (SELECT s AS vkey, count(*) AS f_out FROM dk GROUP BY s) o
+    ON o.vkey = v.vkey
+  LEFT JOIN (SELECT t AS vkey, count(*) AS f_in FROM dk GROUP BY t) i
+    ON i.vkey = v.vkey
+)""",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"""x{r + 1} AS (
+  SELECT x.vkey,
+         0.5 * x.f_out + 0.5 * coalesce(n.m_out, x.f_out) AS f_out,
+         0.5 * x.f_in + 0.5 * coalesce(n.m_in, x.f_in) AS f_in
+  FROM x{r} x
+  LEFT JOIN (
+    SELECT und.s AS vkey, avg(x.f_out) AS m_out, avg(x.f_in) AS m_in
+    FROM und JOIN x{r} x ON x.vkey = und.t
+    GROUP BY und.s
+  ) n ON n.vkey = x.vkey
+)"""
+        )
+    return (
+        "WITH "
+        + _GRAPH_CTES
+        + """,
+dk AS (SELECT DISTINCT s, t FROM ek WHERE s <> t),
+"""
+        + ",\n".join(ctes)
+        + f"""
+SELECT vkey, round(f_out, 6) AS f_out, round(f_in, 6) AS f_in
+FROM x{rounds}
+"""
+    )
+
+
+SQL_FEATURE_PROP = _feature_prop_sql(_FPROP_ROUNDS)
+
+
 # Cycle-property oracle: with distinct weights, edge (a,b,w) is in the
 # unique MSF iff b is NOT reachable from a over edges of weight < w.
 SQL_ENGINE_MSF = (
@@ -946,4 +1068,5 @@ def registry():
         "anf_kmv": (q_anf_kmv, SQL_ANF_KMV),
         "ktruss_edges": (q_ktruss, SQL_KTRUSS),
         "engine_msf": (q_engine_msf, SQL_ENGINE_MSF),
+        "feature_prop": (q_feature_prop, SQL_FEATURE_PROP),
     }

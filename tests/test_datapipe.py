@@ -345,3 +345,71 @@ def test_dedup_retention_accounting(spark):
     assert row["near_removed"] == len(near)
     assert row["retained"] == row["n_docs"] - row["exact_removed"] - row["near_removed"]
     assert row["retained"] > 0
+
+
+def test_doc_containment_finds_planted_quotes(spark):
+    """Containment pairs vs a from-scratch replication of the rare-shingle
+    blocking + exact containment; every planted quote whose shingles pass
+    the rare-df rule must surface with containment 1.0, and quote→source
+    pairs are structurally guaranteed containment 1.0 whenever found."""
+    from collections import Counter, defaultdict
+
+    from linkgraph.datapipe import (
+        _QUOTE_MOD,
+        _QUOTE_OFFSET,
+        _QUOTE_WORDS,
+        CONTAIN_RARE_DF,
+        CONTAIN_TAU,
+        doc_containment,
+    )
+    from linkgraph.io import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    corpus = dict(docs)
+    for doc_id, text in docs.items():
+        if doc_id % _QUOTE_MOD == 0:
+            words = text.strip().lower().split(" ")[:_QUOTE_WORDS]
+            corpus[doc_id + _QUOTE_OFFSET] = " ".join(words)
+
+    def grams(text):
+        w = text.strip().lower().split(" ")
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    gsets = {d: grams(t) for d, t in corpus.items()}
+    df: Counter = Counter()
+    for gs in gsets.values():
+        for g in gs:
+            df[g] += 1
+    by_gram = defaultdict(set)
+    for d, gs in gsets.items():
+        for g in gs:
+            if df[g] <= CONTAIN_RARE_DF:
+                by_gram[g].add(d)
+    cands = set()
+    for ds in by_gram.values():
+        ds = sorted(ds)
+        for i, a in enumerate(ds):
+            for b in ds[i + 1 :]:
+                cands.add((a, b))
+    exp = {}
+    for a, b in cands:
+        ga, gb = gsets[a], gsets[b]
+        small, big = (a, b) if (len(ga), a) <= (len(gb), b) else (b, a)
+        c = len(ga & gb) / len(gsets[small])
+        if c >= CONTAIN_TAU:
+            exp[(small, big)] = round(c, 6)
+
+    got = {
+        (r["doc_small"], r["doc_big"]): r["containment"]
+        for r in doc_containment(spark, sf_dir).collect()
+    }
+    assert got == exp
+    planted = [(s, b) for (s, b) in got if s >= _QUOTE_OFFSET and b == s - _QUOTE_OFFSET]
+    assert len(planted) > 0
+    assert all(got[p] == 1.0 for p in planted)

@@ -557,3 +557,39 @@ def test_doc_gopher_rules_matches_python(spark, docs):
         exp["keep"] += r_words and r_wlen and r_top and r_dist
     assert got == dict(exp)
     assert 0 < got["keep"] < len(docs)  # the filter must discriminate
+
+
+def test_feature_prop_matches_python(spark, dk_edges):
+    """2-round mean-neighbor feature smoothing vs a from-scratch dict
+    replication over the identical (out_deg, in_deg) seeds."""
+    from collections import defaultdict
+
+    from linkgraph.graphstats import _FPROP_ROUNDS, q_feature_prop
+
+    dk = set((s, t) for s, t in dk_edges if s != t)
+    outd: Counter = Counter(s for s, _ in dk)
+    ind: Counter = Counter(t for _, t in dk)
+    verts = {s for s, _ in dk} | {t for _, t in dk}
+    nbrs = defaultdict(set)
+    for s, t in dk:
+        nbrs[s].add(t)
+        nbrs[t].add(s)
+    x = {v: (float(outd[v]), float(ind[v])) for v in verts}
+    for _ in range(_FPROP_ROUNDS):
+        nx_ = {}
+        for v in verts:
+            if nbrs[v]:
+                mo = sum(x[u][0] for u in nbrs[v]) / len(nbrs[v])
+                mi = sum(x[u][1] for u in nbrs[v]) / len(nbrs[v])
+            else:
+                mo, mi = x[v]
+            nx_[v] = (0.5 * x[v][0] + 0.5 * mo, 0.5 * x[v][1] + 0.5 * mi)
+        x = nx_
+    got = {
+        r["vkey"]: (r["f_out"], r["f_in"])
+        for r in q_feature_prop(spark, SF_DIR).collect()
+    }
+    assert set(got) == verts
+    for v in verts:
+        assert got[v][0] == pytest.approx(round(x[v][0], 6), abs=2e-6), v
+        assert got[v][1] == pytest.approx(round(x[v][1], 6), abs=2e-6), v
