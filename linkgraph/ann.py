@@ -869,8 +869,82 @@ FROM asg a LEFT JOIN dups d ON d.vec_id = a.vec_id
 """
 
 
+# --------------------------------------------------------------------------
+# quantized random projection (Johnson–Lindenstrauss family): dim 64 -> 16
+# with a deterministic ±1 sign matrix.  Embeddings are floor-quantized to
+# int64 milli-units FIRST, so the projection is exact integer arithmetic —
+# bit-identical between the engine's Arrow matmul and the oracle's
+# exploded-SQL formulation regardless of summation order.
+# --------------------------------------------------------------------------
+
+RP_OUT_DIM = 16
+RP_SCALE = 1000
+
+
+def _rp_signs(out_dim: int, in_dim: int) -> np.ndarray:
+    """±1 sign matrix from the shared cross-engine md5-int convention:
+    S[j, i] = +1 iff md5int('rp:j:i') is even."""
+    import hashlib
+
+    S = np.empty((out_dim, in_dim), dtype=np.int64)
+    for j in range(out_dim):
+        for i in range(in_dim):
+            h = int(hashlib.md5(f"rp:{j}:{i}".encode()).hexdigest()[:15], 16)
+            S[j, i] = 1 if h % 2 == 0 else -1
+    return S
+
+
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL-style dimensionality reduction of the embedding column: one
+    Arrow-batched matmul per batch against the broadcast ±1 sign matrix
+    (the production shape — at 100 TB this is a narrow mapInArrow pass,
+    no shuffle, no collect; the 16x64 matrix ships in the closure).
+    Output long-form (vec_id, j, y) so the driver hash checks every
+    projected coordinate."""
+    v = load_table(spark, sf_dir, "embeddings")
+    dims = v.select(F.size("embedding").alias("d")).distinct().collect()
+    in_dim = dims[0]["d"]
+    if len(dims) != 1:
+        raise ValueError(f"mixed embedding dims: {dims}")
+    S = _rp_signs(RP_OUT_DIM, in_dim)
+
+    @pandas_udf("array<long>")
+    def rproj(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype=object)
+        M = np.stack(col.to_numpy()).astype(np.float64)
+        Xq = np.floor(M * RP_SCALE).astype(np.int64)
+        Y = Xq @ S.T
+        return pd.Series(list(Y))
+
+    return (
+        v.select("vec_id", F.posexplode(rproj("embedding")))
+        .select("vec_id", F.col("pos").alias("j"), F.col("col").alias("y"))
+    )
+
+
+SQL_EMB_RANDOM_PROJECTION = f"""
+WITH x AS (
+  SELECT vec_id, g.i - 1 AS i,
+         CAST(floor(CAST(embedding[g.i] AS DOUBLE) * {RP_SCALE}) AS BIGINT)
+           AS xq
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+), terms AS (
+  SELECT vec_id, j.j AS j,
+         CASE WHEN CAST(('0x' || substr(md5('rp:' || j.j || ':' || x.i), 1, 15))
+                   AS BIGINT) % 2 = 0
+              THEN xq ELSE -xq END AS term
+  FROM x, (SELECT unnest(generate_series(0, {RP_OUT_DIM - 1})) AS j) j
+)
+SELECT vec_id, CAST(j AS INT) AS j, CAST(sum(term) AS BIGINT) AS y
+FROM terms GROUP BY vec_id, j
+"""
+
+
 def registry():
     return {
+        "emb_random_projection": (emb_random_projection, SQL_EMB_RANDOM_PROJECTION),
         "emb_near_dups_exact": (emb_near_dups_exact, SQL_EMB_NEAR_DUPS_EXACT),
         "ann_lsh_topk": (ann_lsh_topk, None),        # covered by ann_lsh_recall
         "ann_lsh_recall": (ann_lsh_recall, SQL_ANN_LSH_RECALL),

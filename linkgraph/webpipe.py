@@ -614,6 +614,106 @@ FROM agg UNPIVOT (n_pass FOR rule IN
 """
 
 
+# --------------------------------------------------------------------------
+# count-min sketch heavy hitters: the fixed-size frequency sketch (Cormode
+# & Muthukrishnan) — D hash rows x W counters, estimate = min over rows.
+# --------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+CMS_TOPK = 20
+
+
+def q_token_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream, evaluated against
+    the exact top-``CMS_TOPK`` tokens: the sketch is ``CMS_DEPTH`` x
+    ``CMS_WIDTH`` counters built with ONE combinable groupBy (the whole
+    point at 100 TB — frequency state is a fixed few KB regardless of
+    corpus size, and counter summation is associative so it map-side
+    combines), estimates are the row-wise minimum.  CMS guarantees
+    estimate >= exact; the gate row carries both so the driver hash
+    checks the sketch math, and pytest asserts the one-sided error bound.
+    Output (rank, word, n_exact, n_cms)."""
+    from .datapipe import _md5_int
+
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(F.split(F.lower(F.trim("text")), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    seeds = F.array([F.lit(i) for i in range(CMS_DEPTH)])
+    counters = (
+        wc.select("n", F.explode(seeds).alias("seed"), "word")
+        .select(
+            "seed",
+            F.pmod(
+                _md5_int(F.concat(F.col("seed"), F.lit("#"), F.col("word"))),
+                F.lit(CMS_WIDTH),
+            ).alias("bucket"),
+            "n",
+        )
+        .groupBy("seed", "bucket")
+        .agg(F.sum("n").alias("c"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("word"))
+    top = wc.select(
+        F.row_number().over(w).alias("rank"), "word", F.col("n").alias("n_exact")
+    ).where(F.col("rank") <= CMS_TOPK)
+    probes = top.select(
+        "rank",
+        "word",
+        "n_exact",
+        F.explode(seeds).alias("seed"),
+    ).select(
+        "rank",
+        "word",
+        "n_exact",
+        "seed",
+        F.pmod(
+            _md5_int(F.concat(F.col("seed"), F.lit("#"), F.col("word"))),
+            F.lit(CMS_WIDTH),
+        ).alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(counters), ["seed", "bucket"])
+        .groupBy("rank", "word", "n_exact")
+        .agg(F.min("c").alias("n_cms"))
+    )
+
+
+SQL_TOKEN_CMS = f"""
+WITH wc AS (
+  SELECT w AS word, count(*) AS n
+  FROM documents, unnest(string_split(lower(trim(text)), ' ')) AS t(w)
+  GROUP BY w
+), seeds AS (
+  SELECT unnest(generate_series(0, {CMS_DEPTH - 1})) AS seed
+), counters AS (
+  SELECT seed,
+         CAST(('0x' || substr(md5(seed || '#' || word), 1, 15)) AS BIGINT)
+           % {CMS_WIDTH} AS bucket,
+         sum(n) AS c
+  FROM wc CROSS JOIN seeds
+  GROUP BY 1, 2
+), top AS (
+  SELECT CAST(row_number() OVER (ORDER BY n DESC, word) AS INT) AS rank,
+         word, n AS n_exact
+  FROM wc
+  QUALIFY rank <= {CMS_TOPK}
+), probes AS (
+  SELECT rank, word, n_exact, seed,
+         CAST(('0x' || substr(md5(seed || '#' || word), 1, 15)) AS BIGINT)
+           % {CMS_WIDTH} AS bucket
+  FROM top CROSS JOIN seeds
+)
+SELECT rank, word, CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(min(c) AS BIGINT) AS n_cms
+FROM probes JOIN counters USING (seed, bucket)
+GROUP BY rank, word, n_exact
+"""
+
+
 def registry():
     return {
         "url_host_edges": (q_url_host_edges, SQL_URL_HOST_EDGES),
@@ -625,4 +725,5 @@ def registry():
         "url_dedup": (q_url_dedup, SQL_URL_DEDUP),
         "doc_line_dedup": (q_doc_line_dedup, SQL_DOC_LINE_DEDUP),
         "doc_gopher_rules": (q_doc_gopher_rules, SQL_DOC_GOPHER_RULES),
+        "token_cms_topk": (q_token_cms, SQL_TOKEN_CMS),
     }

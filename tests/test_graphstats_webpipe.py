@@ -593,3 +593,41 @@ def test_feature_prop_matches_python(spark, dk_edges):
     for v in verts:
         assert got[v][0] == pytest.approx(round(x[v][0], 6), abs=2e-6), v
         assert got[v][1] == pytest.approx(round(x[v][1], 6), abs=2e-6), v
+
+
+def test_token_cms_bounds_and_matches_python(spark, docs):
+    """Count-min estimates vs a from-scratch sketch replication: exact
+    equality of every counter-derived estimate, plus the CMS one-sided
+    guarantee (estimate >= exact count, never below)."""
+    import hashlib
+    from collections import defaultdict
+
+    from linkgraph.webpipe import CMS_DEPTH, CMS_TOPK, CMS_WIDTH, q_token_cms
+
+    wc: Counter = Counter()
+    for text in docs.values():
+        wc.update(text.strip().lower().split(" "))
+
+    def bucket(seed: int, word: str) -> int:
+        return (
+            int(hashlib.md5(f"{seed}#{word}".encode()).hexdigest()[:15], 16)
+            % CMS_WIDTH
+        )
+
+    counters: defaultdict = defaultdict(int)
+    for word, n in wc.items():
+        for s in range(CMS_DEPTH):
+            counters[(s, bucket(s, word))] += n
+    top = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:CMS_TOPK]
+    exp = {}
+    for rank, (word, n) in enumerate(top, start=1):
+        est = min(counters[(s, bucket(s, word))] for s in range(CMS_DEPTH))
+        exp[(rank, word)] = (n, est)
+
+    got = {
+        (r["rank"], r["word"]): (r["n_exact"], r["n_cms"])
+        for r in q_token_cms(spark, SF_DIR).collect()
+    }
+    assert got == exp
+    for (rank, word), (n, est) in got.items():
+        assert est >= n, (rank, word)
