@@ -517,6 +517,7 @@ def registry():
         SQL_CLUSTERING_COEFF,
         SQL_DEGREE_HIST,
         SQL_JACCARD_PAIRS,
+        SQL_NODE2VEC_WALKS,
         SQL_RANDOM_WALKS,
         SQL_TEMPORAL_PATHS2,
         SQL_TOOL_COUSAGE,
@@ -524,6 +525,7 @@ def registry():
         q_clustering_coeff,
         q_degree_hist,
         q_jaccard_pairs,
+        q_node2vec_walks,
         q_random_walks,
         q_temporal_paths2,
         q_tool_cousage,
@@ -551,6 +553,7 @@ def registry():
         "adamic_adar": (q_adamic_adar, SQL_ADAMIC_ADAR),
         "degree_hist": (q_degree_hist, SQL_DEGREE_HIST),
         "random_walks": (q_random_walks, SQL_RANDOM_WALKS),
+        "node2vec_walks": (q_node2vec_walks, SQL_NODE2VEC_WALKS),
         "tool_cousage": (q_tool_cousage, SQL_TOOL_COUSAGE),
         "temporal_paths2": (q_temporal_paths2, SQL_TEMPORAL_PATHS2),
     }

@@ -18,7 +18,7 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .derive import GraphTables, undirected_simple_edges
@@ -676,3 +676,216 @@ WHERE e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 1 HOUR
 GROUP BY e1.s, e2.t
 ORDER BY n_paths DESC, src, dst LIMIT {_TP_TOPK}
 """
+
+
+# --------------------------------------------------------------------------
+# node2vec-biased second-order walks (Grover & Leskovec 2016): the walker
+# remembers its previous vertex and biases the next hop by the p/q return/
+# in-out parameters.  Weighted sampling is made ENGINE-EXACT by integer
+# weight replication: a candidate of (rational) weight w/2 is replicated
+# k = 2w times with distinct salts, and the global min salted hash wins —
+# correct weighted choice in distribution, zero floating point, so Spark
+# and the SQL oracle pick bit-identical walks.
+# --------------------------------------------------------------------------
+
+_N2V_STEPS = 3
+# p = 2, q = 0.5 scaled x2 -> integer replication counts
+_N2V_K_RETURN = 1    # d(prev, nxt) = 0: weight 1/p = 0.5
+_N2V_K_COMMON = 2    # d(prev, nxt) = 1: weight 1
+_N2V_K_FORWARD = 4   # d(prev, nxt) = 2: weight 1/q = 2
+_N2V_FP_MOD = 2147483647
+
+
+def q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order (node2vec) biased walks over the events graph — the
+    walk corpus behind node2vec embedding training.  Each walker carries
+    (prev, cur); a candidate next-hop is classified return / common /
+    forward against ``prev`` (common = an edge prev→nxt or nxt→prev
+    exists) and replicated ``k`` ∈ {1, 2, 4} times with distinct salts;
+    the candidate owning the globally smallest salted md5 wins.  Walkers
+    with no out-edge stay put.  The first step has no ``prev`` and is
+    uniform (every candidate forward-class), per the node2vec paper.
+
+    Scale posture: per step ONE frontier⋈edges equi-join, one broadcast-
+    able prev-edge membership left join, a ≤4× in-plan row replication
+    (explode of a ≤4-element sequence — never a shuffle), and one
+    per-walk top-1; L steps = L shuffles.  At extreme scale the
+    replication trick trades 4× map-side rows for exactness; swapping in
+    Efraimidis–Spirakis float keys (doc_weighted_sample's shape) halves
+    the rows at the cost of cross-engine float parity.
+    Output (start_key, end_key, hops, path_fp) — path_fp folds every
+    visited vertex, so the gate verifies whole paths, not endpoints."""
+    from .datapipe import _md5_int
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    turn = (
+        ev.select(
+            F.col("event_type").alias("s"),
+            F.lead("event_type").over(w).alias("t"),
+        )
+        .where(F.col("t").isNotNull())
+    )
+    tool = ev.select(
+        F.concat(F.lit("user:"), F.col("user_id").cast("string")).alias("s"),
+        F.col("event_type").alias("t"),
+    )
+    ed = turn.unionByName(tool).distinct()
+    undp = (
+        ed.select(F.col("s").alias("ps"), F.col("t").alias("pt"))
+        .unionByName(ed.select(F.col("t").alias("ps"), F.col("s").alias("pt")))
+        .distinct()
+    )
+    verts = (
+        ed.select(F.col("s").alias("vkey"))
+        .unionByName(ed.select(F.col("t").alias("vkey")))
+        .distinct()
+    )
+
+    state = verts.select(
+        F.col("vkey").alias("start"),
+        F.lit(None).cast("string").alias("prev"),
+        F.col("vkey").alias("cur"),
+        F.lit(0).cast("long").alias("hops"),
+        F.pmod(_md5_int(F.col("vkey")), F.lit(_N2V_FP_MOD)).alias("fp"),
+    )
+    for i in range(1, _N2V_STEPS + 1):
+        cand = (
+            state.join(ed, state.cur == ed.s)
+            .join(
+                undp,
+                (F.col("prev").isNotNull())
+                & (F.col("prev") == F.col("ps"))
+                & (F.col("t") == F.col("pt")),
+                "left",
+            )
+            .select(
+                "start",
+                F.col("t").alias("nxt"),
+                F.when(
+                    F.col("prev").isNotNull() & (F.col("t") == F.col("prev")),
+                    F.lit(_N2V_K_RETURN),
+                )
+                .when(F.col("ps").isNotNull(), F.lit(_N2V_K_COMMON))
+                .otherwise(F.lit(_N2V_K_FORWARD))
+                .alias("k"),
+            )
+        )
+        scored = cand.select(
+            "start",
+            "nxt",
+            F.explode(F.sequence(F.lit(0), F.col("k") - 1)).alias("r"),
+        ).select(
+            "start",
+            "nxt",
+            _md5_int(
+                F.concat_ws(
+                    ":", F.lit("n2v"), F.lit(str(i)), F.col("start"),
+                    F.col("nxt"), F.col("r"),
+                )
+            ).alias("sc"),
+        )
+        pw = Window.partitionBy("start").orderBy("sc", "nxt")
+        pick = (
+            scored.withColumn("rn", F.row_number().over(pw))
+            .where(F.col("rn") == 1)
+            .select("start", F.col("nxt").alias("picked"))
+        )
+        state = (
+            state.join(pick, "start", "left")
+            .select(
+                "start",
+                F.when(F.col("picked").isNotNull(), F.col("cur"))
+                .otherwise(F.col("prev"))
+                .alias("prev"),
+                F.coalesce("picked", F.col("cur")).alias("cur"),
+                (F.col("hops") + F.col("picked").isNotNull().cast("long")).alias(
+                    "hops"
+                ),
+                F.when(
+                    F.col("picked").isNotNull(),
+                    F.pmod(
+                        F.col("fp") + F.pmod(_md5_int(F.col("picked")),
+                                             F.lit(_N2V_FP_MOD)),
+                        F.lit(_N2V_FP_MOD),
+                    ),
+                )
+                .otherwise(F.col("fp"))
+                .alias("fp"),
+            )
+        )
+    return state.select(
+        F.col("start").alias("start_key"),
+        F.col("cur").alias("end_key"),
+        "hops",
+        F.col("fp").alias("path_fp"),
+    )
+
+
+def _node2vec_sql(steps: int) -> str:
+    from .datapipe import _sql_md5_int
+
+    m = _N2V_FP_MOD
+    ctes = [
+        "base AS (SELECT user_id, event_type, ts, event_id FROM events)",
+        "turn AS (SELECT event_type AS s, "
+        "lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t "
+        "FROM base)",
+        "ek AS (SELECT s, t FROM turn WHERE t IS NOT NULL "
+        "UNION ALL SELECT 'user:' || CAST(user_id AS VARCHAR) AS s, event_type AS t FROM base)",
+        "ed AS (SELECT DISTINCT s, t FROM ek)",
+        "undp AS (SELECT DISTINCT ps, pt FROM ("
+        "SELECT s AS ps, t AS pt FROM ed UNION ALL SELECT t AS ps, s AS pt FROM ed))",
+        "vv AS (SELECT DISTINCT vkey FROM "
+        "(SELECT s AS vkey FROM ed UNION ALL SELECT t AS vkey FROM ed))",
+        f"s0 AS (SELECT vkey AS start, CAST(NULL AS VARCHAR) AS prev, "
+        f"vkey AS cur, 0 AS hops, "
+        f"{_sql_md5_int('vkey')} % {m} AS fp FROM vv)",
+    ]
+    for i in range(1, steps + 1):
+        sc = _sql_md5_int(
+            f"concat_ws(':', 'n2v', '{i}', c.start, c.nxt, CAST(g.r AS VARCHAR))"
+        )
+        ctes.append(
+            f"""c{i} AS (
+  SELECT s.start, e.t AS nxt,
+         CASE WHEN s.prev IS NOT NULL AND e.t = s.prev THEN {_N2V_K_RETURN}
+              WHEN p.ps IS NOT NULL THEN {_N2V_K_COMMON}
+              ELSE {_N2V_K_FORWARD} END AS k
+  FROM s{i - 1} s
+  JOIN ed e ON e.s = s.cur
+  LEFT JOIN undp p
+    ON s.prev IS NOT NULL AND p.ps = s.prev AND p.pt = e.t
+)"""
+        )
+        ctes.append(
+            f"r{i} AS (SELECT c.start, c.nxt, {sc} AS sc "
+            f"FROM c{i} c, LATERAL (SELECT unnest(generate_series(0, c.k - 1)) AS r) g)"
+        )
+        ctes.append(
+            f"p{i} AS (SELECT start, nxt FROM ("
+            f"SELECT start, nxt, row_number() OVER (PARTITION BY start ORDER BY sc, nxt) AS rn "
+            f"FROM r{i}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"""s{i} AS (
+  SELECT s.start,
+         CASE WHEN p.nxt IS NOT NULL THEN s.cur ELSE s.prev END AS prev,
+         coalesce(p.nxt, s.cur) AS cur,
+         s.hops + CASE WHEN p.nxt IS NULL THEN 0 ELSE 1 END AS hops,
+         CASE WHEN p.nxt IS NOT NULL
+              THEN (s.fp + {_sql_md5_int('p.nxt')} % {m}) % {m}
+              ELSE s.fp END AS fp
+  FROM s{i - 1} s LEFT JOIN p{i} p USING (start)
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT start AS start_key, cur AS end_key, "
+        f"CAST(hops AS BIGINT) AS hops, CAST(fp AS BIGINT) AS path_fp "
+        f"FROM s{steps}"
+    )
+
+
+SQL_NODE2VEC_WALKS = _node2vec_sql(_N2V_STEPS)

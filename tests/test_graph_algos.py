@@ -530,3 +530,90 @@ def test_temporal_paths2_matches_python(spark):
     ]
     assert got == exp
     assert len(got) > 0
+
+
+def test_node2vec_walks_match_python_replication(spark):
+    """Exact from-scratch replication of the biased second-order walk:
+    p/q classification against prev, integer weight replication, salted
+    min-hash pick, path fingerprint — every walker's full trajectory must
+    match, and the bias must actually fire (at least one walker must pick
+    a candidate that the UNBIASED rule would not)."""
+    import hashlib
+    from collections import defaultdict
+
+    from linkgraph.linkpred import (
+        _N2V_FP_MOD,
+        _N2V_K_COMMON,
+        _N2V_K_FORWARD,
+        _N2V_K_RETURN,
+        _N2V_STEPS,
+        q_node2vec_walks,
+    )
+
+    sf = "/root/testdata/sf0.001"
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").toPandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    ed = set()
+    for u, grp in ev.groupby("user_id"):
+        types = grp["event_type"].tolist()
+        ed.update(zip(types[:-1], types[1:]))
+        for t in types:
+            ed.add((f"user:{u}", t))
+    out_nbrs = defaultdict(list)
+    undp = set()
+    for s, t in ed:
+        out_nbrs[s].append(t)
+        undp.add((s, t))
+        undp.add((t, s))
+    verts = {s for s, _ in ed} | {t for _, t in ed}
+
+    state = {v: (None, v, 0, h(v) % _N2V_FP_MOD) for v in verts}
+    biased_differs = False
+    for i in range(1, _N2V_STEPS + 1):
+        new = {}
+        for start, (prev, cur, hops, fp) in state.items():
+            cands = out_nbrs.get(cur, [])
+            if not cands:
+                new[start] = (prev, cur, hops, fp)
+                continue
+
+            def pick_with(kfun):
+                best = None
+                for nxt in cands:
+                    k = kfun(nxt)
+                    for r in range(k):
+                        sc = h(f"n2v:{i}:{start}:{nxt}:{r}")
+                        key = (sc, nxt)
+                        if best is None or key < best[0]:
+                            best = (key, nxt)
+                return best[1]
+
+            def kfun(nxt):
+                if prev is not None and nxt == prev:
+                    return _N2V_K_RETURN
+                if prev is not None and (prev, nxt) in undp:
+                    return _N2V_K_COMMON
+                return _N2V_K_FORWARD
+
+            picked = pick_with(kfun)
+            if picked != pick_with(lambda _n: 1):
+                biased_differs = True
+            new[start] = (
+                cur,
+                picked,
+                hops + 1,
+                (fp + h(picked) % _N2V_FP_MOD) % _N2V_FP_MOD,
+            )
+        state = new
+
+    got = {
+        r["start_key"]: (r["end_key"], r["hops"], r["path_fp"])
+        for r in q_node2vec_walks(spark, sf).collect()
+    }
+    exp = {v: (cur, hops, fp) for v, (_p, cur, hops, fp) in state.items()}
+    assert got == exp
+    assert biased_differs, "p/q bias never changed a pick — fixture too weak"
