@@ -586,3 +586,119 @@ def test_streaming_session_windows_merge_across_batches(spark, landing_dirs):
     # (c) c9's 2000s session is still open -> withheld in append mode
     assert ("c9", t(2000)) not in out
     assert len(out) == 4
+
+
+def test_streaming_ingest_to_warm_pagerank_end_to_end(spark, landing_dirs):
+    """Production composition (§2.11 -> §2.10): transcripts stream through
+    the stateful pairing into the exactly-once parquet delta log; the graph
+    is built FROM THE STREAMED DELTAS and PageRank converges on it; more
+    conversations land, the SAME checkpointed stream drains the delta, and
+    the engine warm-starts from the previous ranks — reaching the
+    batch-derived fixed point in fewer supersteps than a cold start.
+    Proves streaming ingest, the durable sink, graph build, the superstep
+    engine, and incremental reconvergence compose end-to-end."""
+    import numpy as np
+
+    from linkgraph.derive import (
+        GraphTables,
+        build_degrees,
+        build_edges,
+        build_graph,
+        build_vertices,
+    )
+    from linkgraph.incremental import ranks_by_key, warm_pagerank_init
+    from linkgraph.pregel import GraphContext, PageRankProgram, run_program
+    from linkgraph.streaming import ingest_to_parquet
+
+    in_dir, ck_dir = landing_dirs
+    out_dir = tempfile.mkdtemp(prefix="lg_e2e_out_")
+    try:
+        base = synth_transcripts(spark, n_conversations=40, seed=21).orderBy(
+            "conv_id", "turn_idx"
+        )
+        extra = synth_transcripts(spark, n_conversations=5, seed=22).withColumn(
+            "conv_id", F.concat(F.lit("x"), F.col("conv_id"))
+        )
+        import time as _time
+
+        now = _time.time()
+
+        def land(df, name, mtime):
+            tmp = os.path.join(in_dir, f"_b_{name}")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            src = next(
+                os.path.join(tmp, f_)
+                for f_ in os.listdir(tmp)
+                if f_.endswith(".parquet")
+            )
+            shutil.copyfile(src, os.path.join(in_dir, f"{name}.parquet"))
+            os.utime(os.path.join(in_dir, f"{name}.parquet"), (mtime, mtime))
+            shutil.rmtree(tmp)
+
+        def graph_from_deltas():
+            ekeys = spark.read.parquet(out_dir).select(
+                "src_key", "dst_key", "etype"
+            )
+            vertices = build_vertices(ekeys, distributed=True)
+            edges = build_edges(ekeys, vertices)
+            return GraphTables(
+                vertices=vertices,
+                edges=edges,
+                degrees=build_degrees(edges, vertices),
+            )
+
+        def key_ranks(g, state):
+            return {
+                (r["vtype"], r["vkey"]): r["rank"]
+                for r in ranks_by_key(g, state).collect()
+            }
+
+        # phase 1: stream the base corpus, converge on the streamed graph
+        land(base.toDF(*base.columns), "f0", now)
+        ingest_to_parquet(spark, in_dir, out_dir, ck_dir)
+        g0 = graph_from_deltas()
+        ctx0 = GraphContext.build(g0, 8)
+        cold0 = run_program(ctx0, PageRankProgram(tol=1e-6), max_iter=200)
+        assert cold0.converged
+        prev = key_ranks(g0, cold0.state)
+        prev_df = ranks_by_key(g0, cold0.state)
+
+        # streamed graph == batch graph (by actor/tool key ranks)
+        gb = build_graph(base)
+        ctxb = GraphContext.build(gb, 8)
+        coldb = run_program(ctxb, PageRankProgram(tol=1e-6), max_iter=200)
+        ref = key_ranks(gb, coldb.state)
+        assert set(prev) == set(ref)
+        np.testing.assert_allclose(
+            [prev[k] for k in sorted(prev)],
+            [ref[k] for k in sorted(prev)],
+            atol=2e-5,
+        )
+        ctxb.unpersist()
+
+        # phase 2: more conversations land; the SAME stream checkpoint
+        # drains only the delta; warm-start on the grown graph
+        land(extra.toDF(*extra.columns), "f1", now + 60)
+        ingest_to_parquet(spark, in_dir, out_dir, ck_dir)
+        g1 = graph_from_deltas()
+        ctx1 = GraphContext.build(g1, 8)
+        cold1 = run_program(ctx1, PageRankProgram(tol=1e-6), max_iter=200)
+        assert cold1.converged
+        warm_init = warm_pagerank_init(ctx1, g1, prev_df)
+        warm1 = run_program(
+            ctx1, PageRankProgram(tol=1e-6), max_iter=200, init_state=warm_init
+        )
+        assert warm1.converged
+        assert warm1.supersteps < cold1.supersteps
+        got = key_ranks(g1, warm1.state)
+        want = key_ranks(g1, cold1.state)
+        assert set(got) == set(want)
+        np.testing.assert_allclose(
+            [got[k] for k in sorted(got)],
+            [want[k] for k in sorted(got)],
+            atol=2e-5,
+        )
+        ctx0.unpersist()
+        ctx1.unpersist()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
