@@ -300,6 +300,13 @@ def main() -> None:
         timed("rel_agg_pricing", lambda r: q_agg_pricing(spark, sf_dir).collect())
         timed("rel_join_region", lambda r: q_join_region_revenue(spark, sf_dir).collect())
 
+        # -- LLM-datapipe coverage (reported separately, like the hub tier,
+        #    so the headline total stays comparable across rounds) ---------
+        from linkgraph.datapipe import doc_near_dups, doc_tfidf
+
+        timed("pipe_near_dups", lambda r: doc_near_dups(spark, sf_dir).collect())
+        timed("pipe_tfidf", lambda r: doc_tfidf(spark, sf_dir).collect())
+
         noise["rep_walls"] = rep_walls
         noise["rep_loadavg_1m"] = rep_loads
         # "value" stays comparable across rounds: the r1-r3 headline set
@@ -310,7 +317,10 @@ def main() -> None:
             "hub_tier_build", "hub_tier_pagerank",
             "hub_tier_build_unsplit", "hub_tier_pagerank_unsplit",
         }
-        total = round(sum(v for k, v in timings.items() if k not in hub_keys), 3)
+        pipe_keys = {"pipe_near_dups", "pipe_tfidf"}
+        total = round(
+            sum(v for k, v in timings.items() if k not in hub_keys | pipe_keys), 3
+        )
         print(
             json.dumps(
                 {
@@ -319,6 +329,9 @@ def main() -> None:
                     "unit": "sec",
                     "hub_tier_total_sec": round(
                         sum(v for k, v in timings.items() if k in hub_keys), 3
+                    ),
+                    "datapipe_total_sec": round(
+                        sum(v for k, v in timings.items() if k in pipe_keys), 3
                     ),
                     "queries": timings,
                     "sf": sf,

@@ -320,6 +320,42 @@ FROM orders
 """
 
 
+_MOVING_RANGE_S = 3600  # 1 h event-time trailing window
+
+
+def q_moving_window(spark, sf_dir):
+    """RANGE-framed analytic window over EVENT TIME (op 27's time-range
+    sibling): per user, the count and mean turn gap of events inside a
+    trailing 1-hour window ending at each event.  Spark's rangeBetween
+    frames on a numeric sort key, so ts is projected to epoch seconds —
+    the standard trick (and exactly how a 100 TB trailing-window job
+    avoids a self-join: one Window pass, one shuffle on the partition
+    key, frame evaluation streamed per partition)."""
+    e = _t(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch)
+        .rangeBetween(-_MOVING_RANGE_S, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 3).alias("val_1h"),
+    )
+
+
+SQL_MOVING_WINDOW = f"""
+SELECT user_id, event_id,
+       count(*) OVER w AS n_1h,
+       round(sum(value) OVER w, 3) AS val_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN {_MOVING_RANGE_S} PRECEDING AND CURRENT ROW)
+"""
+
+
 # --------------------------------------------------------------------------
 # §2.6 sorts / top-k
 # --------------------------------------------------------------------------
@@ -1013,6 +1049,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "window_lag_events": (q_window_lag_events, SQL_WINDOW_LAG_EVENTS),
     "dense_rank_parts": (q_dense_rank_parts, SQL_DENSE_RANK_PARTS),
     "running_total": (q_running_total, SQL_RUNNING_TOTAL),
+    "moving_window_1h": (q_moving_window, SQL_MOVING_WINDOW),
     "topk_orders": (q_topk_orders, SQL_TOPK_ORDERS),
     "union_segments": (q_union_segments, SQL_UNION_SEGMENTS),
     "intersect_custkeys": (q_intersect_custkeys, SQL_INTERSECT_CUSTKEYS),

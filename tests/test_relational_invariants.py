@@ -40,3 +40,31 @@ def test_sessionize_invariants(spark):
             assert row.sess == s
             assert row.n_events == hi - lo
             assert row.dur_us == int(us[hi - 1] - us[lo])
+
+
+def test_moving_window_matches_python(spark):
+    """Time-range trailing window vs a from-scratch per-user replication."""
+    from collections import defaultdict
+
+    from linkgraph.relational import _MOVING_RANGE_S, q_moving_window
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet").toPandas()
+    got = {
+        (r["user_id"], r["event_id"]): (r["n_1h"], r["val_1h"])
+        for r in q_moving_window(spark, sf).collect()
+    }
+    by_user = defaultdict(list)
+    for r in ev.itertuples():
+        by_user[r.user_id].append((r.ts.timestamp(), r.event_id, r.value))
+    n_checked = 0
+    for uid, rows in by_user.items():
+        rows.sort()
+        for ts, eid, _v in rows:
+            inside = [v for (t2, _e, v) in rows if ts - _MOVING_RANGE_S <= t2 <= ts]
+            exp_n, exp_s = len(inside), round(sum(inside), 3)
+            gn, gs = got[(uid, eid)]
+            assert gn == exp_n, (uid, eid)
+            assert abs(gs - exp_s) < 1e-6, (uid, eid)
+            n_checked += 1
+    assert n_checked == len(got)
