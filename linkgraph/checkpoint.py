@@ -171,3 +171,47 @@ class CheckpointManager:
         os.makedirs(self.algo_dir, exist_ok=True)
         with open(os.path.join(self.algo_dir, "metrics.jsonl"), "a") as f:
             f.write(json.dumps({"algo": self.algo, **record}) + "\n")
+
+    def gc(self, keep_last: int = 2) -> list[int]:
+        """Retention: delete all but the newest ``keep_last`` COMPLETE
+        steps (plus every step newer than the newest complete one, so an
+        in-flight write is never collected).  At the 10^12-turn target a
+        superstep checkpoint is the full vertex state — retaining the
+        whole chain would grow storage linearly with supersteps, while
+        resume only ever needs the newest valid step (and one spare in
+        case the newest turns out torn on read-back).  Incomplete/torn
+        older steps are collected too.  Metrics (metrics.jsonl) are never
+        touched — the audit trail outlives the states.  Returns the
+        sorted list of deleted step numbers."""
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        if not os.path.isdir(self.algo_dir):
+            return []
+        entries = [
+            d
+            for d in os.listdir(self.algo_dir)
+            if d.startswith("step_") and not d.endswith("._tmp")
+        ]
+        steps = sorted(int(d.split("_")[1]) for d in entries)
+        complete = [
+            t
+            for t in steps
+            if (m := self.manifest(t)) is not None
+            and m.get("input_fingerprint") == self.fingerprint
+            and os.path.exists(
+                os.path.join(self._step_dir(t), "state", "_SUCCESS")
+            )
+        ]
+        if not complete:
+            return []
+        keep = set(complete[-keep_last:])
+        newest_complete = complete[-1]
+        deleted = []
+        for t in steps:
+            if t in keep or t > newest_complete:
+                continue
+            shutil.rmtree(self._step_dir(t), ignore_errors=True)
+            deleted.append(t)
+        return deleted

@@ -102,3 +102,53 @@ def test_torn_write_not_resumed(tmp_path, spark):
         assert latest is not None and latest[0] == final  # torn step skipped
     finally:
         ctx.unpersist()
+
+
+def test_checkpoint_gc_keeps_resume_point(tmp_path, spark):
+    """Retention GC (CheckpointManager.gc): all but the newest keep_last
+    complete steps are deleted, a torn NEWER step is never the survivor,
+    resume from the survivor equals the uninterrupted run, and the
+    metrics audit trail is untouched."""
+    from linkgraph.checkpoint import CheckpointManager
+
+    g = build_graph(synth_transcripts(spark, n_conversations=30, seed=42))
+    ctx = GraphContext.build(g, P)
+    try:
+        root = str(tmp_path / "ck")
+        res = run_program(ctx, PageRankProgram(tol=1e-6), max_iter=60, ckpt_root=root)
+        assert res.converged and res.supersteps >= 4
+        cm = CheckpointManager(
+            spark, root, "pagerank", ctx.fingerprint, P, ctx.n_vertices,
+            ["vid", "part_id", "dangling", "rank"],
+        )
+        before = _steps(root, "pagerank")
+        # tear the newest step: GC must still keep TWO complete ones
+        newest = before[-1]
+        os.remove(os.path.join(root, "pagerank", newest, "state", "_SUCCESS"))
+        deleted = cm.gc(keep_last=2)
+        after = _steps(root, "pagerank")
+        # survivors: the torn newest (never collected forward of the resume
+        # point... it IS newest) plus the two newest complete steps
+        assert newest in after
+        complete_after = [s for s in after if s != newest]
+        assert complete_after == before[-3:-1]
+        assert len(deleted) == len(before) - 3
+        # resume point = newest complete survivor, and it validates
+        latest = cm.latest_complete()
+        assert latest is not None
+        assert f"step_{latest[0]:06d}" == before[-2]
+        # metrics audit trail untouched
+        with open(os.path.join(root, "pagerank", "metrics.jsonl")) as f:
+            lines = f.readlines()
+        assert len(lines) == res.supersteps
+        # resuming from the survivor reconverges to the same fixed point
+        res2 = run_program(
+            ctx, PageRankProgram(tol=1e-6), max_iter=60, ckpt_root=root
+        )
+        assert res2.converged
+        n = ctx.n_vertices
+        np.testing.assert_allclose(
+            _ranks(res.state, n), _ranks(res2.state, n), atol=1e-12
+        )
+    finally:
+        ctx.unpersist()
