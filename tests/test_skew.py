@@ -122,3 +122,53 @@ def test_undirected_hub_split_cc_lpa_exact_synth(spark):
         assert (_col(lp.state, "label", n) == lpa_ref(src, dst, n, max_iter=30)).all()
     finally:
         ctx.unpersist()
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """Runtime skew handling for the relational glue (§4): with AQE skew
+    join enabled, a sort-merge join against a hot key is re-planned at
+    runtime — the executed plan must carry SortMergeJoin(skew=true) with
+    a skewed AQEShuffleRead — and the result must equal the plain join.
+    (The superstep engine pins its own partitioning and handles hubs via
+    the explicit split; AQE skew join is the complementary mechanism for
+    the ad-hoc relational layer, where plans are not pinned.)"""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32768",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # hot key 0 holds 25% of the fact side
+        big = spark.range(0, 400_000).select(
+            F.when(F.col("id") % 4 == 0, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        dim = spark.range(0, 50_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        j = big.join(dim, "k")
+        # the plan assertion must read the SAME QueryExecution that ran,
+        # so collect j itself (an aggregate would execute its own plan)
+        rows = j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+        assert "AQEShuffleRead coalesced and skewed" in plan
+        # correctness: equal to the arithmetic reference (k<50k survives:
+        # multiples of 4 fold to key 0, everything else joins iff id<50k)
+        ids = [i for i in range(400_000) if (0 if i % 4 == 0 else i) < 50_000]
+        assert len(rows) == len(ids)
+        assert sum(r["payload"] for r in rows) == sum(ids)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
