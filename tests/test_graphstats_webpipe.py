@@ -631,3 +631,44 @@ def test_token_cms_bounds_and_matches_python(spark, docs):
     assert got == exp
     for (rank, word), (n, est) in got.items():
         assert est >= n, (rank, word)
+
+
+def test_partition_cut_matches_python(spark):
+    """Edge-cut/balance audit vs a from-scratch replication of the
+    sorted-vkey vid rule + residue-class partitioning."""
+    from collections import defaultdict
+
+    from linkgraph.graphstats import _CUT_P, q_partition_cut
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").toPandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    ekeys: Counter = Counter()
+    for u, grp in ev.groupby("user_id"):
+        types = grp["event_type"].tolist()
+        for a, b in zip(types[:-1], types[1:]):
+            ekeys[(a, b, "turn")] += 1
+        for t in types:
+            ekeys[(f"user:{u}", t, "tool")] += 1
+    keys = sorted({s for s, _, _ in ekeys} | {t for _, t, _ in ekeys})
+    vid = {k: i for i, k in enumerate(keys)}
+    n_msgs: Counter = Counter()
+    cut_msgs: Counter = Counter()
+    per_dst: defaultdict = defaultdict(float)
+    for (s, t, et), w in ekeys.items():
+        n_msgs[et] += w
+        if vid[s] % _CUT_P != vid[t] % _CUT_P:
+            cut_msgs[et] += w
+        per_dst[(et, vid[t] % _CUT_P)] += w
+    got = {
+        r["etype"]: (r["n_msgs"], r["cut_msgs"], r["cut_frac"], r["max_dst_share"])
+        for r in q_partition_cut(spark, SF_DIR).collect()
+    }
+    for et in ("turn", "tool"):
+        shares = [v for (e2, _p), v in per_dst.items() if e2 == et]
+        exp = (
+            n_msgs[et],
+            cut_msgs[et],
+            round(cut_msgs[et] / n_msgs[et], 6),
+            round(max(shares) / sum(shares), 6),
+        )
+        assert got[et] == exp, (et, got[et], exp)
