@@ -1034,6 +1034,128 @@ FROM lineitem GROUP BY l_linestatus
 # registry
 # --------------------------------------------------------------------------
 
+# --------------------------------------------------------------------------
+# product-analytics compositions over the events stream: ordered funnel
+# conversion and trailing-baseline rate anomaly detection
+# --------------------------------------------------------------------------
+
+_FUNNEL = ["view", "click", "purchase"]
+
+
+def q_funnel(spark, sf_dir):
+    """Ordered funnel conversion (view → click → purchase): a user counts
+    for stage k only with an event STRICTLY LATER than their stage-k−1
+    entry time — the standard product-analytics ordered funnel, not mere
+    set intersection.  Per stage one filtered min-aggregate plus one
+    broadcast-able join on user_id; at 100 TB the funnel is k combinable
+    passes over the same scan, no self-join of the full stream.
+    Output (stage_idx, stage, n_users) with n_users non-increasing."""
+    e = _t(spark, sf_dir, "events")
+    reached = (
+        e.where(F.col("event_type") == _FUNNEL[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    out = [(1, _FUNNEL[0], reached)]
+    for i, stage in enumerate(_FUNNEL[1:], start=2):
+        prev = out[-1][2].select("user_id", F.col("t").alias("t_prev"))
+        reached = (
+            e.where(F.col("event_type") == stage)
+            .join(prev, "user_id")
+            .where(F.col("ts") > F.col("t_prev"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+        out.append((i, stage, reached))
+    counts = None
+    for i, stage, df in out:
+        row = df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i).alias("stage_idx"), F.lit(stage).alias("stage"), "n_users"
+        )
+        counts = row if counts is None else counts.unionByName(row)
+    return counts
+
+
+SQL_FUNNEL = f"""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = '{_FUNNEL[0]}' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = '{_FUNNEL[1]}' AND e.ts > s1.t
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s2 ON s2.user_id = e.user_id
+  WHERE e.event_type = '{_FUNNEL[2]}' AND e.ts > s2.t
+  GROUP BY e.user_id
+)
+SELECT 1 AS stage_idx, '{_FUNNEL[0]}' AS stage, count(*) AS n_users FROM s1
+UNION ALL
+SELECT 2, '{_FUNNEL[1]}', count(*) FROM s2
+UNION ALL
+SELECT 3, '{_FUNNEL[2]}', count(*) FROM s3
+"""
+
+
+_ANOM_BASELINE = 24  # trailing buckets per (type) used as the baseline
+_ANOM_Z = 2.0
+
+
+def q_rate_anomaly(spark, sf_dir):
+    """Trailing-baseline rate anomaly detection: hourly event counts per
+    type, z-scored against the mean/stddev of the PRECEDING 24 observed
+    buckets (ROWS frame — strictly historical, no leakage from the
+    current bucket).  Emits only |z| >= 2 rows; monitoring over an event
+    stream at 100 TB is exactly this shape — one combinable count, one
+    window pass partitioned by type.  Output (event_type, hour, n, z)."""
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-_ANOM_BASELINE, -1)
+    )
+    scored = hourly.select(
+        "event_type",
+        "hour",
+        "n",
+        F.avg("n").over(w).alias("mu"),
+        F.stddev_samp("n").over(w).alias("sd"),
+    ).where(F.col("sd").isNotNull() & (F.col("sd") > 0))
+    return (
+        scored.select(
+            "event_type",
+            "hour",
+            "n",
+            (F.round((F.col("n") - F.col("mu")) / F.col("sd"), 6) + 0.0).alias("z"),
+        )
+        .where(F.abs(F.col("z")) >= _ANOM_Z)
+    )
+
+
+SQL_RATE_ANOMALY = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+  FROM events GROUP BY 1, 2
+), scored AS (
+  SELECT event_type, hour, n,
+         avg(n) OVER w AS mu,
+         stddev_samp(n) OVER w AS sd
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN {_ANOM_BASELINE} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, hour, n,
+       round((n - mu) / sd, 6) + 0.0 AS z
+FROM scored
+WHERE sd IS NOT NULL AND sd > 0 AND abs(round((n - mu) / sd, 6) + 0.0) >= {_ANOM_Z}
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "filter_project": (q_filter_project, SQL_FILTER_PROJECT),
     "dropdup": (q_dropdup, SQL_DROPDUP),
@@ -1050,6 +1172,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dense_rank_parts": (q_dense_rank_parts, SQL_DENSE_RANK_PARTS),
     "running_total": (q_running_total, SQL_RUNNING_TOTAL),
     "moving_window_1h": (q_moving_window, SQL_MOVING_WINDOW),
+    "funnel_conversion": (q_funnel, SQL_FUNNEL),
+    "rate_anomaly": (q_rate_anomaly, SQL_RATE_ANOMALY),
     "topk_orders": (q_topk_orders, SQL_TOPK_ORDERS),
     "union_segments": (q_union_segments, SQL_UNION_SEGMENTS),
     "intersect_custkeys": (q_intersect_custkeys, SQL_INTERSECT_CUSTKEYS),

@@ -68,3 +68,73 @@ def test_moving_window_matches_python(spark):
             assert abs(gs - exp_s) < 1e-6, (uid, eid)
             n_checked += 1
     assert n_checked == len(got)
+
+
+def test_funnel_matches_python(spark):
+    """Ordered funnel vs a from-scratch per-user replication: stage entry
+    requires a strictly later event than the previous stage's entry."""
+    from linkgraph.relational import _FUNNEL, q_funnel
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet").toPandas()
+    entry = {}
+    stage_users = []
+    cur = {}
+    for i, stage in enumerate(_FUNNEL):
+        nxt = {}
+        sub = ev[ev.event_type == stage]
+        for r in sub.itertuples():
+            if i == 0:
+                t = nxt.get(r.user_id)
+                nxt[r.user_id] = min(t, r.ts) if t is not None else r.ts
+            else:
+                t_prev = cur.get(r.user_id)
+                if t_prev is not None and r.ts > t_prev:
+                    t = nxt.get(r.user_id)
+                    nxt[r.user_id] = min(t, r.ts) if t is not None else r.ts
+        stage_users.append(len(nxt))
+        cur = nxt
+    got = {
+        r["stage"]: r["n_users"] for r in q_funnel(spark, sf).collect()
+    }
+    assert [got[s] for s in _FUNNEL] == stage_users
+    assert stage_users[0] >= stage_users[1] >= stage_users[2]
+    assert stage_users[2] > 0  # the fixture must exercise the full funnel
+
+
+def test_rate_anomaly_matches_python(spark):
+    """Trailing z-score vs a from-scratch replication over hourly counts;
+    the baseline frame must be strictly historical (no self-inclusion)."""
+    import statistics as st
+    from collections import Counter, defaultdict
+
+    from linkgraph.relational import _ANOM_BASELINE, _ANOM_Z, q_rate_anomaly
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet").toPandas()
+    counts = Counter(
+        (r.event_type, r.ts.floor("h")) for r in ev.itertuples()
+    )
+    by_type = defaultdict(list)
+    for (et, hour), n in sorted(counts.items()):
+        by_type[et].append((hour, n))
+    exp = {}
+    for et, rows in by_type.items():
+        for i, (hour, n) in enumerate(rows):
+            frame = [x for _, x in rows[max(0, i - _ANOM_BASELINE) : i]]
+            if len(frame) < 2:
+                continue
+            sd = st.stdev(frame)
+            if sd > 0:
+                z = round((n - st.mean(frame)) / sd, 6) + 0.0
+                if abs(z) >= _ANOM_Z:
+                    exp[(et, hour)] = (n, z)
+    got = {
+        (r["event_type"], r["hour"]): (r["n"], r["z"])
+        for r in q_rate_anomaly(spark, sf).collect()
+    }
+    assert set(got) == set(exp)
+    for k, (n, z) in exp.items():
+        assert got[k][0] == n
+        assert abs(got[k][1] - z) < 2e-6, k
+    assert exp, "fixture produced zero anomalies — threshold too strict"
