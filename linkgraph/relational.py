@@ -1156,6 +1156,75 @@ WHERE sd IS NOT NULL AND sd > 0 AND abs(round((n - mu) / sd, 6) + 0.0) >= {_ANOM
 """
 
 
+# --------------------------------------------------------------------------
+# SCD2 dimension versioning: fold a deterministic update feed into
+# validity-interval rows (the warehouse slowly-changing-dimension type 2
+# pattern: one window pass closes each version at its successor's start)
+# --------------------------------------------------------------------------
+
+_SCD2_MOD = 7           # every 7th customer receives one segment update
+_SCD2_EPOCH = "1990-01-01"
+_SCD2_EFFECTIVE = "1996-06-15"
+
+
+def q_scd2(spark, sf_dir):
+    """SCD2 versioning of the customer dimension under a deterministic
+    in-query update feed (every ``_SCD2_MOD``-th customer moves to segment
+    'UPGRADED' effective 1996-06-15 — the synthetic tables carry no CDC
+    feed, so the feed is the fixture; the fold is the real pattern):
+    base rows open at the epoch, updates append, and ONE window pass per
+    key closes each version at its successor's start (`lead`), marking
+    the open-ended row current.  At 100 TB this is a union + a single
+    shuffle on the dimension key — no per-update MERGE round-trips.
+    Output (c_custkey, segment, valid_from, valid_to, is_current)."""
+    c = _t(spark, sf_dir, "customer")
+    base = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(_SCD2_EPOCH).cast("date").alias("valid_from"),
+    )
+    upd = c.where(F.col("c_custkey") % _SCD2_MOD == 0).select(
+        "c_custkey",
+        F.lit("UPGRADED").alias("segment"),
+        F.lit(_SCD2_EFFECTIVE).cast("date").alias("valid_from"),
+    )
+    w = Window.partitionBy("c_custkey").orderBy("valid_from")
+    return (
+        base.unionByName(upd)
+        .select(
+            "c_custkey",
+            "segment",
+            "valid_from",
+            F.lead("valid_from").over(w).alias("valid_to"),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull().cast("long"))
+        # dates emitted as ISO strings: Spark DATE arrives as datetime.date,
+        # DuckDB DATE as a pandas Timestamp — the string hash would differ
+        .withColumn("valid_from", F.col("valid_from").cast("string"))
+        .withColumn("valid_to", F.col("valid_to").cast("string"))
+    )
+
+
+SQL_SCD2 = f"""
+WITH feed AS (
+  SELECT c_custkey, c_mktsegment AS segment,
+         DATE '{_SCD2_EPOCH}' AS valid_from
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, 'UPGRADED', DATE '{_SCD2_EFFECTIVE}'
+  FROM customer WHERE c_custkey % {_SCD2_MOD} = 0
+)
+SELECT c_custkey, segment,
+       CAST(valid_from AS VARCHAR) AS valid_from,
+       CAST(lead(valid_from) OVER (PARTITION BY c_custkey ORDER BY valid_from)
+            AS VARCHAR) AS valid_to,
+       CAST(CASE WHEN lead(valid_from) OVER (PARTITION BY c_custkey
+            ORDER BY valid_from) IS NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS is_current
+FROM feed
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "filter_project": (q_filter_project, SQL_FILTER_PROJECT),
     "dropdup": (q_dropdup, SQL_DROPDUP),
@@ -1174,6 +1243,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "moving_window_1h": (q_moving_window, SQL_MOVING_WINDOW),
     "funnel_conversion": (q_funnel, SQL_FUNNEL),
     "rate_anomaly": (q_rate_anomaly, SQL_RATE_ANOMALY),
+    "scd2_customers": (q_scd2, SQL_SCD2),
     "topk_orders": (q_topk_orders, SQL_TOPK_ORDERS),
     "union_segments": (q_union_segments, SQL_UNION_SEGMENTS),
     "intersect_custkeys": (q_intersect_custkeys, SQL_INTERSECT_CUSTKEYS),

@@ -138,3 +138,28 @@ def test_rate_anomaly_matches_python(spark):
         assert got[k][0] == n
         assert abs(got[k][1] - z) < 2e-6, k
     assert exp, "fixture produced zero anomalies — threshold too strict"
+
+
+def test_scd2_interval_invariants(spark):
+    """SCD2 fold: per key the validity intervals must tile (each version
+    closes exactly at its successor's start), exactly one current row per
+    key, and updated keys carry exactly two versions."""
+    from collections import defaultdict
+
+    from linkgraph.relational import _SCD2_MOD, q_scd2
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_scd2(spark, sf).collect()
+    by_key = defaultdict(list)
+    for r in rows:
+        by_key[r["c_custkey"]].append(r)
+    for k, vs in by_key.items():
+        vs.sort(key=lambda r: r["valid_from"])
+        assert sum(r["is_current"] for r in vs) == 1
+        assert vs[-1]["valid_to"] is None and vs[-1]["is_current"] == 1
+        for a, b in zip(vs, vs[1:]):
+            assert a["valid_to"] == b["valid_from"]  # intervals tile
+        exp_versions = 2 if k % _SCD2_MOD == 0 else 1
+        assert len(vs) == exp_versions, k
+        if exp_versions == 2:
+            assert vs[-1]["segment"] == "UPGRADED"
