@@ -11,6 +11,8 @@ variations cannot drift.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -105,3 +107,63 @@ def compact_parquet(
     out = df.repartition(n) if shuffle else df.coalesce(n)
     out.write.mode("overwrite").parquet(out_path)
     return n
+
+
+def read_sink_as_of(
+    spark: SparkSession, out_dir: str, batch_id: int | None = None
+) -> DataFrame:
+    """Snapshot ("time travel") read of a streaming parquet file sink.
+
+    The exactly-once file sink (streaming.ingest_to_parquet) commits each
+    micro-batch by appending ``_spark_metadata/<batchId>`` — a JSON-lines
+    manifest (v1: one version line, then one ``{"path": ..., "action":
+    "add"}`` per file).  Reading the DIRECTORY therefore sees whatever the
+    log says is committed; reading AS OF batch ``batch_id`` means taking
+    the union of files in manifests 0..batch_id — snapshot isolation over
+    the append log, the same mental model as Iceberg snapshot reads, built
+    from the sink's own transaction log.  ``batch_id=None`` reads the
+    newest committed snapshot.  Compacted manifests (``<id>.compact``)
+    hold the full file list up to that id and are handled transparently.
+
+    Scale note: the manifest scan is driver-side metadata only (one small
+    JSON file per micro-batch); the data read is an explicit file list, so
+    partition pruning and row-group pushdown behave exactly as a plain
+    parquet read."""
+    import json as _json
+
+    meta = os.path.join(out_dir, "_spark_metadata")
+    entries = []
+    for name in os.listdir(meta):
+        base = name.split(".")[0]
+        if not base.isdigit():
+            continue
+        entries.append((int(base), name.endswith(".compact"), name))
+    if not entries:
+        raise FileNotFoundError(f"no committed batches under {meta}")
+    max_committed = max(b for b, _c, _n in entries)
+    if batch_id is None:
+        batch_id = max_committed
+    if batch_id > max_committed:
+        raise ValueError(
+            f"batch {batch_id} not committed yet (newest: {max_committed})"
+        )
+    # newest compact manifest at or below batch_id carries everything
+    # before it; plain manifests after it add the rest
+    compacts = [b for b, c, _n in entries if c and b <= batch_id]
+    start_after = max(compacts) if compacts else -1
+    files: list[str] = []
+    for b, c, name in sorted(entries):
+        if b > batch_id:
+            continue
+        if (c and b == start_after) or (not c and b > start_after):
+            with open(os.path.join(meta, name)) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line or line.startswith("v"):
+                        continue
+                    rec = _json.loads(line)
+                    if rec.get("action", "add") == "add":
+                        files.append(rec["path"])
+    if not files:
+        return spark.read.parquet(out_dir).limit(0)
+    return spark.read.parquet(*files)

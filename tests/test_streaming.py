@@ -702,3 +702,62 @@ def test_streaming_ingest_to_warm_pagerank_end_to_end(spark, landing_dirs):
         ctx1.unpersist()
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def test_sink_time_travel_reads_committed_snapshots(spark, landing_dirs):
+    """Snapshot reads over the file sink's _spark_metadata log
+    (io.read_sink_as_of): as-of batch 0 returns exactly the first drain's
+    rows even after a second drain appended more; as-of the newest batch
+    equals the plain directory read; a not-yet-committed batch id raises."""
+    import pytest as _pytest
+
+    from linkgraph.io import read_sink_as_of
+    from linkgraph.streaming import ingest_to_parquet
+
+    in_dir, ck_dir = landing_dirs
+    out_dir = tempfile.mkdtemp(prefix="lg_tt_out_")
+    try:
+        t = synth_transcripts(spark, n_conversations=12, seed=31).orderBy(
+            "conv_id", "turn_idx"
+        )
+        pdf = t.toPandas()
+        import time as _time
+
+        now = _time.time()
+
+        def land(df_p, name, mtime):
+            tmp = os.path.join(in_dir, f"_b_{name}")
+            spark.createDataFrame(df_p).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            src = next(
+                os.path.join(tmp, f_)
+                for f_ in os.listdir(tmp)
+                if f_.endswith(".parquet")
+            )
+            shutil.copyfile(src, os.path.join(in_dir, f"{name}.parquet"))
+            os.utime(os.path.join(in_dir, f"{name}.parquet"), (mtime, mtime))
+            shutil.rmtree(tmp)
+
+        half = len(pdf) // 2
+        land(pdf.iloc[:half], "f0", now)
+        ingest_to_parquet(spark, in_dir, out_dir, ck_dir)
+        snap0 = read_sink_as_of(spark, out_dir).collect()
+        n0 = len(snap0)
+        assert n0 > 0
+
+        land(pdf.iloc[half:], "f1", now + 60)
+        ingest_to_parquet(spark, in_dir, out_dir, ck_dir)
+
+        # as-of the FIRST committed batch: exactly the first snapshot
+        asof0 = read_sink_as_of(spark, out_dir, batch_id=0).collect()
+        assert sorted(map(tuple, asof0)) == sorted(map(tuple, snap0))
+        # newest snapshot == plain directory read (the log IS the truth)
+        newest = read_sink_as_of(spark, out_dir).collect()
+        full = spark.read.parquet(out_dir).collect()
+        assert sorted(map(tuple, newest)) == sorted(map(tuple, full))
+        assert len(newest) > n0
+        with _pytest.raises(ValueError):
+            read_sink_as_of(spark, out_dir, batch_id=99)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
