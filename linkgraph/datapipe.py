@@ -695,6 +695,66 @@ LIMIT 50
 """
 
 
+_KEYWORDS_K = 3
+
+
+def doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: each document's top-3 terms by
+    per-doc tf·idf (idf = ln((N+1)/(df+1)), ties broken by term text) —
+    the standard document-tagging composition of the corpus TF-IDF
+    model.  Same two combinable groupBys as doc_tfidf plus one narrow
+    word-keyed join of the tf table against the (small) df table and a
+    per-doc top-k window.  Output (doc_id, rank, word, tfidf), docs < 200
+    to keep the gate row compact."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_words(F.col("text"))).alias("word"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    tot = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "word",
+            (
+                F.round(
+                    F.col("tf")
+                    * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                    6,
+                )
+                + 0.0
+            ).alias("tfidf"),
+        )
+        .where(F.col("doc_id") < 200)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
+    return scored.select(
+        "doc_id", F.row_number().over(w).alias("rank"), "word", "tfidf"
+    ).where(F.col("rank") <= _KEYWORDS_K)
+
+
+SQL_DOC_KEYWORDS = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word
+  FROM documents
+), tf AS (
+  SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY doc_id, word
+), dfreq AS (
+  SELECT word, count(*) AS df FROM tf GROUP BY word
+), n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, CAST(rank AS INT) AS rank, word, tfidf FROM (
+  SELECT doc_id, word,
+         round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) + 0.0 AS tfidf,
+         row_number() OVER (PARTITION BY doc_id
+             ORDER BY round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) + 0.0 DESC,
+                      word) AS rank
+  FROM tf JOIN dfreq USING (word), n
+  WHERE doc_id < 200
+) WHERE rank <= {_KEYWORDS_K}
+"""
+
+
 def doc_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-bigram frequency top-20 (n-gram LM counts): bounded explode
     (len-1 bigrams per doc) + one combinable groupBy."""
@@ -1434,6 +1494,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "doc_fingerprint": (doc_fingerprint, SQL_DOC_FINGERPRINT),
         "ann_topk_cosine": (ann_topk_cosine, SQL_ANN_TOPK),
         "doc_tfidf": (doc_tfidf, SQL_DOC_TFIDF),
+        "doc_keywords": (doc_keywords, SQL_DOC_KEYWORDS),
         "doc_bigram_topk": (doc_bigram_topk, SQL_DOC_BIGRAM),
         "doc_bigram_lm": (doc_bigram_lm, SQL_DOC_BIGRAM_LM),
         "doc_stratified_sample": (doc_stratified_sample, SQL_DOC_STRATIFIED),

@@ -1156,6 +1156,81 @@ WHERE sd IS NOT NULL AND sd > 0 AND abs(round((n - mu) / sd, 6) + 0.0) >= {_ANOM
 """
 
 
+_PATH_LEN = 3
+_PATH_TOPK = 15
+
+
+def q_session_paths(spark, sf_dir):
+    """Session path mining: the top-15 most common opening event-type
+    sequences (first ``_PATH_LEN`` events of each gap-session, in event
+    order) — the navigation-pattern query of every product-analytics
+    stack.  Reuses the single-shuffle sessionization, then one windowed
+    prefix filter + one combinable path count; the path string is built
+    from an ordered struct sort, never a collect.
+    Output (rank, path, n_sessions)."""
+    ev = _t(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("us", "event_id")
+    w = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    ).withColumn("prev_us", F.lag("us").over(order))
+    new_sess = (
+        F.col("prev_us").isNull()
+        | (F.col("us") - F.col("prev_us") > _SESSION_GAP_S * 1_000_000)
+    ).cast("long")
+    s = w.withColumn("sess", F.sum(new_sess).over(order))
+    pos = Window.partitionBy("user_id", "sess").orderBy("us", "event_id")
+    prefix = s.withColumn("pos", F.row_number().over(pos)).where(
+        F.col("pos") <= _PATH_LEN
+    )
+    paths = prefix.groupBy("user_id", "sess").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    counts = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+    rw = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
+    return counts.select(
+        F.row_number().over(rw).alias("rank"), "path", "n_sessions"
+    ).where(F.col("rank") <= _PATH_TOPK)
+
+
+SQL_SESSION_PATHS = f"""
+WITH w AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts), event_id) AS prev_us
+  FROM events
+), s AS (
+  SELECT *, sum(CASE WHEN prev_us IS NULL
+                     OR us - prev_us > CAST({_SESSION_GAP_S} AS BIGINT) * 1000000
+                THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY us, event_id) AS sess
+  FROM w
+), prefix AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, sess
+                               ORDER BY us, event_id) AS pos
+  FROM s QUALIFY pos <= {_PATH_LEN}
+), paths AS (
+  SELECT user_id, sess,
+         string_agg(event_type, '>' ORDER BY pos) AS path
+  FROM prefix GROUP BY user_id, sess
+), counts AS (
+  SELECT path, count(*) AS n_sessions FROM paths GROUP BY path
+)
+SELECT CAST(row_number() OVER (ORDER BY n_sessions DESC, path) AS INT) AS rank,
+       path, n_sessions
+FROM counts
+QUALIFY rank <= {_PATH_TOPK}
+"""
+
+
 # --------------------------------------------------------------------------
 # SCD2 dimension versioning: fold a deterministic update feed into
 # validity-interval rows (the warehouse slowly-changing-dimension type 2
@@ -1244,6 +1319,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "funnel_conversion": (q_funnel, SQL_FUNNEL),
     "rate_anomaly": (q_rate_anomaly, SQL_RATE_ANOMALY),
     "scd2_customers": (q_scd2, SQL_SCD2),
+    "session_paths": (q_session_paths, SQL_SESSION_PATHS),
     "topk_orders": (q_topk_orders, SQL_TOPK_ORDERS),
     "union_segments": (q_union_segments, SQL_UNION_SEGMENTS),
     "intersect_custkeys": (q_intersect_custkeys, SQL_INTERSECT_CUSTKEYS),

@@ -163,3 +163,41 @@ def test_scd2_interval_invariants(spark):
         assert len(vs) == exp_versions, k
         if exp_versions == 2:
             assert vs[-1]["segment"] == "UPGRADED"
+
+
+def test_session_paths_matches_python(spark):
+    """Session path mining vs a from-scratch sessionize + prefix + count."""
+    from collections import Counter, defaultdict
+
+    from linkgraph.relational import (
+        _PATH_LEN,
+        _PATH_TOPK,
+        _SESSION_GAP_S,
+        q_session_paths,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet").toPandas()
+    by_user = defaultdict(list)
+    for r in ev.itertuples():
+        by_user[r.user_id].append((int(r.ts.timestamp() * 1_000_000), r.event_id, r.event_type))
+    paths: Counter = Counter()
+    for rows in by_user.values():
+        rows.sort()
+        sess = []
+        prev = None
+        for us, _eid, et in rows:
+            if prev is None or us - prev > _SESSION_GAP_S * 1_000_000:
+                if sess:
+                    paths[">".join(sess[:_PATH_LEN])] += 1
+                sess = []
+            sess.append(et)
+            prev = us
+        if sess:
+            paths[">".join(sess[:_PATH_LEN])] += 1
+    exp = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:_PATH_TOPK]
+    got = [
+        (r["path"], r["n_sessions"])
+        for r in q_session_paths(spark, sf).orderBy("rank").collect()
+    ]
+    assert got == exp
