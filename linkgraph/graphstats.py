@@ -899,6 +899,184 @@ def q_engine_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# synchronous Louvain local-move rounds (Blondel et al. 2008 move phase,
+# distributed PARITY-ALTERNATING form — the Grappolo-style coloring fix):
+# on round r only vertices whose md5 parity equals r mod 2 may move, to
+# the neighboring community maximizing the modularity gain
+# w_ic − k_i·K_c/2m (community degree excluding the mover when staying),
+# ties to the smaller community label.  Fully-synchronous moves over-merge
+# on hub-dense graphs (every vertex simultaneously chases the same hub
+# community before its K_c can grow to repel them); alternating halves
+# lets K_c update between waves, which is the standard distributed
+# mitigation.  All edge weights here are integer adjacency counts, so
+# every sum is exact in double and the single division per gain is
+# computed from identical operands on both engines — which is what makes
+# the fixed-round unrolled-CTE oracle bit-exact.
+# --------------------------------------------------------------------------
+
+_LOUVAIN_ROUNDS = 4  # two waves per parity class
+
+
+def q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round synchronous Louvain over the undirected simple events
+    graph.  Per round: one community-degree aggregate, one edge⋈label
+    join + per-(vertex, community) count, one gain argmax window — three
+    combinable shuffles, no collect; the candidate set of a vertex is its
+    neighboring communities plus its own, so message volume is O(|E|).
+    Deterministic: integer weights make gains bit-identical across
+    engines, ties break to the smaller community key.  Output
+    (vkey, comm_key) after ``_LOUVAIN_ROUNDS`` rounds."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    turn = (
+        ev.select(
+            F.col("event_type").alias("s"),
+            F.lead("event_type").over(w).alias("t"),
+        )
+        .where(F.col("t").isNotNull())
+    )
+    tool = ev.select(
+        F.concat(F.lit("user:"), F.col("user_id").cast("string")).alias("s"),
+        F.col("event_type").alias("t"),
+    )
+    ek = turn.unionByName(tool)
+    verts = (
+        ek.select(F.col("s").alias("vkey"))
+        .unionByName(ek.select(F.col("t").alias("vkey")))
+        .distinct()
+    )
+    ns = ek.where(F.col("s") != F.col("t"))
+    und = (
+        ns.select(F.col("s").alias("a"), F.col("t").alias("b"))
+        .unionByName(ns.select(F.col("t").alias("a"), F.col("s").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = und.groupBy(F.col("a").alias("vkey")).agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    m2 = und.agg(F.count(F.lit(1)).cast("double").alias("m2"))
+    from .datapipe import _md5_int
+
+    lab = verts.select("vkey", F.col("vkey").alias("c"))
+    for r in range(_LOUVAIN_ROUNDS):
+        kc = (
+            lab.join(deg, "vkey", "left")
+            .groupBy("c")
+            .agg(F.sum(F.coalesce("k", F.lit(0))).alias("kc"))
+        )
+        wic = (
+            und.join(
+                lab.select(F.col("vkey").alias("b"), F.col("c").alias("cb")), "b"
+            )
+            .groupBy(F.col("a").alias("vkey"), F.col("cb").alias("c"))
+            .agg(F.count(F.lit(1)).alias("w"))
+        )
+        cand = (
+            lab.select("vkey", "c", F.lit(0).cast("long").alias("w"))
+            .unionByName(wic)
+            .groupBy("vkey", "c")
+            .agg(F.sum("w").alias("w"))
+        )
+        own = lab.select("vkey", F.col("c").alias("own"))
+        scored = (
+            cand.join(own, "vkey")
+            .join(kc, "c")
+            .join(deg, "vkey", "left")
+            .crossJoin(F.broadcast(m2))
+            .select(
+                "vkey",
+                "c",
+                (
+                    F.col("w")
+                    - F.coalesce("k", F.lit(0))
+                    * F.when(
+                        F.col("c") == F.col("own"),
+                        F.col("kc") - F.coalesce("k", F.lit(0)),
+                    ).otherwise(F.col("kc"))
+                    / F.col("m2")
+                ).alias("gain"),
+            )
+        )
+        pw = Window.partitionBy("vkey").orderBy(F.desc("gain"), F.asc("c"))
+        picked = (
+            scored.withColumn("rn", F.row_number().over(pw))
+            .where(F.col("rn") == 1)
+            .select("vkey", F.col("c").alias("pick"))
+        )
+        may_move = F.pmod(_md5_int(F.col("vkey")), F.lit(2)) == (r % 2)
+        lab = (
+            lab.join(picked, "vkey")
+            .select(
+                "vkey",
+                F.when(may_move, F.col("pick")).otherwise(F.col("c")).alias("c"),
+            )
+            .localCheckpoint()
+        )
+    return lab.select("vkey", F.col("c").alias("comm_key"))
+
+
+def _louvain_sql(rounds: int) -> str:
+    ctes = [
+        _GRAPH_CTES,
+        "und AS (SELECT DISTINCT a, b FROM ("
+        "SELECT s AS a, t AS b FROM ek WHERE s <> t "
+        "UNION ALL SELECT t AS a, s AS b FROM ek WHERE s <> t))",
+        "kk AS (SELECT a AS vkey, count(*) AS k FROM und GROUP BY a)",
+        "m2 AS (SELECT CAST(count(*) AS DOUBLE) AS m2 FROM und)",
+        "lv0 AS (SELECT vkey, vkey AS c FROM v)",
+    ]
+    for r in range(1, rounds + 1):
+        p = f"lv{r - 1}"
+        ctes.append(
+            f"kc{r} AS (SELECT l.c, CAST(sum(coalesce(kk.k, 0)) AS BIGINT) AS kc "
+            f"FROM {p} l LEFT JOIN kk USING (vkey) GROUP BY l.c)"
+        )
+        ctes.append(
+            f"wic{r} AS (SELECT u.a AS vkey, lb.c, count(*) AS w "
+            f"FROM und u JOIN {p} lb ON lb.vkey = u.b GROUP BY u.a, lb.c)"
+        )
+        ctes.append(
+            f"cand{r} AS (SELECT vkey, c, CAST(sum(w) AS BIGINT) AS w FROM ("
+            f"SELECT vkey, c, 0 AS w FROM {p} "
+            f"UNION ALL SELECT vkey, c, w FROM wic{r}) GROUP BY vkey, c)"
+        )
+        ctes.append(
+            f"""sc{r} AS (
+  SELECT cd.vkey, cd.c,
+         cd.w - coalesce(kk.k, 0)
+              * (CASE WHEN cd.c = own.c
+                 THEN kc.kc - coalesce(kk.k, 0) ELSE kc.kc END)
+              / m2.m2 AS gain
+  FROM cand{r} cd
+  JOIN {p} own ON own.vkey = cd.vkey
+  JOIN kc{r} kc ON kc.c = cd.c
+  LEFT JOIN kk ON kk.vkey = cd.vkey, m2
+)"""
+        )
+        ctes.append(
+            f"pk{r} AS (SELECT vkey, c AS pick FROM ("
+            f"SELECT vkey, c, row_number() OVER "
+            f"(PARTITION BY vkey ORDER BY gain DESC, c) AS rn FROM sc{r}"
+            f") WHERE rn = 1)"
+        )
+        ctes.append(
+            f"lv{r} AS (SELECT l.vkey, "
+            f"CASE WHEN CAST(('0x' || substr(md5(l.vkey), 1, 15)) AS BIGINT) % 2 "
+            f"= {(r - 1) % 2} THEN p.pick ELSE l.c END AS c "
+            f"FROM {p} l JOIN pk{r} p ON p.vkey = l.vkey)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT vkey, c AS comm_key FROM lv{rounds}"
+    )
+
+
+SQL_LOUVAIN = _louvain_sql(_LOUVAIN_ROUNDS)
+
+
+# --------------------------------------------------------------------------
 # partition-quality audit: edge-cut fraction and destination balance of
 # the engine's residue-class CSR partitioning (vid % P) — the number a
 # partitioning strategy is judged by at 100 TB (cut edges = shuffled
@@ -1156,4 +1334,5 @@ def registry():
         "engine_msf": (q_engine_msf, SQL_ENGINE_MSF),
         "feature_prop": (q_feature_prop, SQL_FEATURE_PROP),
         "partition_cut": (q_partition_cut, SQL_PARTITION_CUT),
+        "louvain_sync": (q_louvain, SQL_LOUVAIN),
     }

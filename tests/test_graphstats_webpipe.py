@@ -672,3 +672,69 @@ def test_partition_cut_matches_python(spark):
             round(max(shares) / sum(shares), 6),
         )
         assert got[et] == exp, (et, got[et], exp)
+
+
+def test_louvain_sync_matches_python(spark, dk_edges):
+    """Fixed-round synchronous Louvain vs a from-scratch replication of
+    the gain argmax (integer-exact sums, one float division); the rounds
+    must actually merge communities and beat the singleton partition's
+    modularity."""
+    from collections import defaultdict
+
+    from linkgraph.graphstats import _LOUVAIN_ROUNDS, q_louvain
+
+    und = set()
+    for s, t in dk_edges:
+        if s != t:
+            und.add((s, t))
+            und.add((t, s))
+    verts = {r["vkey"] for r in []} or (
+        {s for s, _ in dk_edges} | {t for _, t in dk_edges}
+    )
+    k: Counter = Counter(a for a, _ in und)
+    m2 = float(len(und))
+    nbrs = defaultdict(list)
+    for a, b in und:
+        nbrs[a].append(b)
+    import hashlib
+
+    def parity(v: str) -> int:
+        return int(hashlib.md5(v.encode()).hexdigest()[:15], 16) % 2
+
+    lab = {v: v for v in verts}
+    for r in range(_LOUVAIN_ROUNDS):
+        kc: Counter = Counter()
+        for v in verts:
+            kc[lab[v]] += k[v]
+        new = {}
+        for v in verts:
+            if parity(v) != r % 2:
+                new[v] = lab[v]
+                continue
+            wic: Counter = Counter()
+            for u in nbrs[v]:
+                wic[lab[u]] += 1
+            wic.setdefault(lab[v], 0)
+            best = None
+            for c, wv in wic.items():
+                kp = kc[c] - k[v] if c == lab[v] else kc[c]
+                gain = wv - k[v] * kp / m2
+                key = (-gain, c)
+                if best is None or key < best[0]:
+                    best = (key, c)
+            new[v] = best[1]
+        lab = new
+    got = {r["vkey"]: r["comm_key"] for r in q_louvain(spark, SF_DIR).collect()}
+    assert got == lab
+    # the move phase must do real work: fewer communities than vertices
+    n_comms = len(set(lab.values()))
+    assert n_comms < len(verts)
+    # and beat the singleton partition's modularity
+    def modularity(labels):
+        intra = sum(1 for a, b in und if labels[a] == labels[b]) / m2
+        degsum: Counter = Counter()
+        for v in verts:
+            degsum[labels[v]] += k[v]
+        return intra - sum((d / m2) ** 2 for d in degsum.values())
+
+    assert modularity(lab) > modularity({v: v for v in verts})
