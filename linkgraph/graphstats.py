@@ -1077,6 +1077,111 @@ SQL_LOUVAIN = _louvain_sql(_LOUVAIN_ROUNDS)
 
 
 # --------------------------------------------------------------------------
+# seeded label spreading (semi-supervised node classification): the five
+# event-type vertices are the labeled classes; votes propagate k hops as
+# UNNORMALIZED integer counts (v_t = A·v_{t-1} with seeds clamped), and
+# each vertex classifies as its argmax label.  Keeping the iteration in
+# integers (counts, not degree-normalized fractions) is what makes the
+# unrolled oracle bit-exact — normalization would stack division rounding
+# across engines; argmax is invariant to the per-vertex scale anyway at
+# fixed depth from single-class seeds... (it is not in general, but the
+# CLASSIFIER here is defined as argmax of raw k-hop path counts, a
+# standard seeded-voting rule in its own right).
+# --------------------------------------------------------------------------
+
+_SPREAD_ROUNDS = 3
+
+
+def q_label_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded k-hop label voting over the undirected simple events graph:
+    seeds = the non-``user:`` vertices (event types), each its own class;
+    per round one edge⋈votes equi-join + one combinable (vertex, label)
+    sum; seeds stay clamped to their own class.  Message volume is
+    O(|E| · live labels) per round — the seeded-classification shape that
+    scales where per-vertex softmax normalization would not.  Output
+    (vkey, label, votes) for classified non-seed vertices (argmax, ties
+    to the smaller label)."""
+    e = _directed_simple(spark, sf_dir)
+    und = (
+        e.select(F.col("s").alias("a"), F.col("t").alias("b"))
+        .unionByName(e.select(F.col("t").alias("a"), F.col("s").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    seeds = (
+        und.select(F.col("a").alias("vkey"))
+        .distinct()
+        .where(~F.col("vkey").startswith("user:"))
+        .select("vkey", F.col("vkey").alias("lbl"), F.lit(1).cast("long").alias("n"))
+    )
+    votes = seeds
+    for _ in range(_SPREAD_ROUNDS):
+        prop = (
+            und.join(
+                votes.select(
+                    F.col("vkey").alias("b"), "lbl", F.col("n").alias("nb")
+                ),
+                "b",
+            )
+            .groupBy(F.col("a").alias("vkey"), "lbl")
+            .agg(F.sum("nb").alias("n"))
+        )
+        # clamp: seeds always vote (only) for themselves
+        votes = (
+            prop.join(
+                seeds.select(F.col("vkey").alias("seed_v")).distinct(),
+                prop.vkey == F.col("seed_v"),
+                "left_anti",
+            )
+            .unionByName(seeds)
+            .localCheckpoint()
+        )
+    w = Window.partitionBy("vkey").orderBy(F.desc("n"), F.asc("lbl"))
+    return (
+        votes.where(F.col("vkey").startswith("user:"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vkey", F.col("lbl").alias("label"), F.col("n").alias("votes"))
+    )
+
+
+def _label_spread_sql(rounds: int) -> str:
+    ctes = [
+        _GRAPH_CTES,
+        "und AS (SELECT DISTINCT a, b FROM ("
+        "SELECT s AS a, t AS b FROM ek WHERE s <> t "
+        "UNION ALL SELECT t AS a, s AS b FROM ek WHERE s <> t))",
+        "seeds AS (SELECT DISTINCT a AS vkey, a AS lbl, CAST(1 AS BIGINT) AS n "
+        "FROM und WHERE a NOT LIKE 'user:%')",
+        "vt0 AS (SELECT * FROM seeds)",
+    ]
+    for r in range(1, rounds + 1):
+        p = f"vt{r - 1}"
+        ctes.append(
+            f"pr{r} AS (SELECT u.a AS vkey, v.lbl, CAST(sum(v.n) AS BIGINT) AS n "
+            f"FROM und u JOIN {p} v ON v.vkey = u.b GROUP BY u.a, v.lbl)"
+        )
+        ctes.append(
+            f"vt{r} AS (SELECT * FROM pr{r} WHERE vkey LIKE 'user:%' "
+            f"UNION ALL SELECT * FROM seeds)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT vkey, lbl AS label, n AS votes FROM (
+  SELECT vkey, lbl, n,
+         row_number() OVER (PARTITION BY vkey ORDER BY n DESC, lbl) AS rn
+  FROM vt{rounds} WHERE vkey LIKE 'user:%'
+) WHERE rn = 1
+"""
+    )
+
+
+SQL_LABEL_SPREAD = _label_spread_sql(_SPREAD_ROUNDS)
+
+
+# --------------------------------------------------------------------------
 # partition-quality audit: edge-cut fraction and destination balance of
 # the engine's residue-class CSR partitioning (vid % P) — the number a
 # partitioning strategy is judged by at 100 TB (cut edges = shuffled
@@ -1335,4 +1440,5 @@ def registry():
         "feature_prop": (q_feature_prop, SQL_FEATURE_PROP),
         "partition_cut": (q_partition_cut, SQL_PARTITION_CUT),
         "louvain_sync": (q_louvain, SQL_LOUVAIN),
+        "label_spread": (q_label_spread, SQL_LABEL_SPREAD),
     }

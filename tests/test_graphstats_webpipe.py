@@ -738,3 +738,46 @@ def test_louvain_sync_matches_python(spark, dk_edges):
         return intra - sum((d / m2) ** 2 for d in degsum.values())
 
     assert modularity(lab) > modularity({v: v for v in verts})
+
+
+def test_label_spread_matches_python(spark, dk_edges):
+    """Seeded k-hop label voting vs a from-scratch integer replication;
+    every user vertex must classify, and seeds must stay clamped."""
+    from collections import defaultdict
+
+    from linkgraph.graphstats import _SPREAD_ROUNDS, q_label_spread
+
+    und = set()
+    for s, t in dk_edges:
+        if s != t:
+            und.add((s, t))
+            und.add((t, s))
+    nbrs = defaultdict(list)
+    for a, b in und:
+        nbrs[a].append(b)
+    verts = {a for a, _ in und}
+    seeds = {v for v in verts if not v.startswith("user:")}
+    votes = {(v, v): 1 for v in seeds}
+    for _ in range(_SPREAD_ROUNDS):
+        new: defaultdict = defaultdict(int)
+        for (u, lbl), n in votes.items():
+            for a in nbrs[u]:
+                new[(a, lbl)] += n
+        votes = {
+            (v, l): n for (v, l), n in new.items() if v.startswith("user:")
+        }
+        votes.update({(v, v): 1 for v in seeds})
+    best = {}
+    for (v, l), n in votes.items():
+        if not v.startswith("user:"):
+            continue
+        cur = best.get(v)
+        if cur is None or (-n, l) < (-cur[1], cur[0]):
+            best[v] = (l, n)
+    got = {
+        r["vkey"]: (r["label"], r["votes"])
+        for r in q_label_spread(spark, SF_DIR).collect()
+    }
+    assert got == best
+    users = {v for v in verts if v.startswith("user:")}
+    assert set(got) == users  # every user with an edge classifies in 3 hops
