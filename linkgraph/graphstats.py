@@ -1077,6 +1077,112 @@ SQL_LOUVAIN = _louvain_sql(_LOUVAIN_ROUNDS)
 
 
 # --------------------------------------------------------------------------
+# distributed greedy graph coloring (Jones–Plassmann / Luby family): per
+# round, every uncolored vertex that is the (md5-priority, vkey) local
+# maximum among its UNCOLORED neighbors takes the round index as its
+# color — each round's colored set is an independent set (Luby MIS on the
+# residual graph), so the coloring is proper by construction.  The
+# scheduling primitive behind conflict-free parallel updates.
+# --------------------------------------------------------------------------
+
+_COLOR_ROUNDS = 16  # >= the 11 the gate graph needs; extra rounds no-op
+
+
+def q_engine_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy distributed coloring of the undirected simple events graph.
+    Per round: one uncolored-frontier self-join on the edge list finds
+    vertices dominated by a higher-priority uncolored neighbor; an
+    anti-join yields the round's independent set, which takes the round
+    index as its color.  Priorities are the cross-engine md5 of the key
+    (vkey tiebreak), so the schedule — and therefore every color — is
+    bit-identical across engines and runs.  Message volume tracks the
+    RESIDUAL edge set, which shrinks every round.  Output (vkey, color);
+    raises if ``_COLOR_ROUNDS`` rounds leave anything uncolored."""
+    from .datapipe import _md5_int
+
+    e = _directed_simple(spark, sf_dir)
+    und = (
+        e.select(F.col("s").alias("a"), F.col("t").alias("b"))
+        .unionByName(e.select(F.col("t").alias("a"), F.col("s").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    un = (
+        und.select(F.col("a").alias("vkey"))
+        .distinct()
+        .withColumn("p", _md5_int(F.col("vkey")))
+        .localCheckpoint()
+    )
+    colored: DataFrame | None = None
+    for r in range(1, _COLOR_ROUNDS + 1):
+        ua = un.select(F.col("vkey").alias("a"), F.col("p").alias("pa"))
+        ub = un.select(F.col("vkey").alias("b"), F.col("p").alias("pb"))
+        dominated = (
+            und.join(ua, "a")
+            .join(ub, "b")
+            .where(
+                (F.col("pb") > F.col("pa"))
+                | ((F.col("pb") == F.col("pa")) & (F.col("b") > F.col("a")))
+            )
+            .select(F.col("a").alias("vkey"))
+            .distinct()
+        )
+        newly = un.join(dominated, "vkey", "left_anti").select(
+            "vkey", F.lit(r).cast("int").alias("color")
+        )
+        colored = newly if colored is None else colored.unionByName(newly)
+        un = un.join(newly.select("vkey"), "vkey", "left_anti").localCheckpoint()
+        if un.isEmpty():
+            break
+    else:
+        raise RuntimeError(
+            f"coloring did not finish in {_COLOR_ROUNDS} rounds — raise "
+            "_COLOR_ROUNDS for this graph"
+        )
+    assert colored is not None
+    return colored
+
+
+def _coloring_sql(rounds: int) -> str:
+    ctes = [
+        _GRAPH_CTES,
+        "undc AS (SELECT DISTINCT a, b FROM ("
+        "SELECT s AS a, t AS b FROM ek WHERE s <> t "
+        "UNION ALL SELECT t AS a, s AS b FROM ek WHERE s <> t))",
+        "un0 AS (SELECT DISTINCT a AS vkey, "
+        "CAST(('0x' || substr(md5(a), 1, 15)) AS BIGINT) AS p FROM undc)",
+    ]
+    for r in range(1, rounds + 1):
+        p = f"un{r - 1}"
+        # MATERIALIZED is load-bearing: each level is referenced twice, so
+        # DuckDB's default CTE inlining would expand the chain exponentially
+        # (2^rounds scans — "too many open files" long before wrong answers)
+        ctes.append(
+            f"""nc{r} AS MATERIALIZED (
+  SELECT u.vkey, {r} AS color FROM {p} u
+  WHERE NOT EXISTS (
+    SELECT 1 FROM undc e
+    JOIN {p} w ON w.vkey = e.b
+    WHERE e.a = u.vkey
+      AND (w.p > u.p OR (w.p = u.p AND w.vkey > u.vkey))
+  )
+)"""
+        )
+        ctes.append(
+            f"un{r} AS MATERIALIZED (SELECT u.* FROM {p} u "
+            f"WHERE u.vkey NOT IN (SELECT vkey FROM nc{r}))"
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT vkey, CAST(color AS INT) AS color FROM nc{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
+SQL_ENGINE_COLORING = _coloring_sql(_COLOR_ROUNDS)
+
+
+# --------------------------------------------------------------------------
 # seeded label spreading (semi-supervised node classification): the five
 # event-type vertices are the labeled classes; votes propagate k hops as
 # UNNORMALIZED integer counts (v_t = A·v_{t-1} with seeds clamped), and
@@ -1441,4 +1547,5 @@ def registry():
         "partition_cut": (q_partition_cut, SQL_PARTITION_CUT),
         "louvain_sync": (q_louvain, SQL_LOUVAIN),
         "label_spread": (q_label_spread, SQL_LABEL_SPREAD),
+        "engine_coloring": (q_engine_coloring, SQL_ENGINE_COLORING),
     }

@@ -781,3 +781,48 @@ def test_label_spread_matches_python(spark, dk_edges):
     assert got == best
     users = {v for v in verts if v.startswith("user:")}
     assert set(got) == users  # every user with an edge classifies in 3 hops
+
+
+def test_engine_coloring_proper_and_matches_python(spark, dk_edges):
+    """Jones-Plassmann coloring: proper (no edge shares a color), every
+    vertex colored, and the round schedule matches a from-scratch
+    replication of the priority rule."""
+    import hashlib
+    from collections import defaultdict
+
+    from linkgraph.graphstats import q_engine_coloring
+
+    und = set()
+    for s, t in dk_edges:
+        if s != t:
+            und.add((s, t))
+            und.add((t, s))
+    nbrs = defaultdict(set)
+    for a, b in und:
+        nbrs[a].add(b)
+
+    def p(v):
+        return (int(hashlib.md5(v.encode()).hexdigest()[:15], 16), v)
+
+    uncolored = set(nbrs)
+    exp = {}
+    r = 0
+    while uncolored:
+        r += 1
+        assert r <= 32
+        newly = [
+            v
+            for v in uncolored
+            if all(p(v) > p(u) for u in nbrs[v] if u in uncolored)
+        ]
+        for v in newly:
+            exp[v] = r
+        uncolored -= set(newly)
+
+    got = {
+        row["vkey"]: row["color"]
+        for row in q_engine_coloring(spark, SF_DIR).collect()
+    }
+    assert got == exp
+    for a, b in und:
+        assert got[a] != got[b], (a, b)
