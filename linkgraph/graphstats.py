@@ -1532,6 +1532,168 @@ WHERE NOT EXISTS (
 )
 
 
+# --------------------------------------------------------------------------
+# Weisfeiler-Leman color refinement (graph-isomorphism vertex signatures)
+# --------------------------------------------------------------------------
+# WL refinement is the standard structural-role / graph-fingerprint pass
+# (and the theoretical ceiling of message-passing GNN expressiveness): start
+# from degree colors and repeatedly hash each vertex's (own color, neighbor
+# color multiset).  The neighbor multiset is combined ORDER-INDEPENDENTLY as
+# sum(md5(color) % M) — a commutative, map-side-combinable aggregate — so a
+# round is one narrow equi-join + one hash groupBy, never a collect_list
+# (hub vertices would otherwise build unbounded arrays).  Colors are
+# md5->int64 (datapipe._md5_int), bit-identical in DuckDB, so the oracle is
+# the same chain unrolled as MATERIALIZED CTEs.
+
+_WL_ROUNDS = 3
+_WL_MOD = 2147483647  # sum of V hashes < V * 2^31 << 2^63: no overflow
+
+
+def q_wl_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex WL color after _WL_ROUNDS refinement rounds over the
+    undirected simple events graph; output (vkey, wl_color).
+
+    Scale shape: per round ONE (edge ⨝ color) narrow join and ONE
+    combinable sum groupBy — identical cost profile to a GNN feature-prop
+    layer (feature_prop above); state is one int64 per vertex.  Two
+    vertices get equal colors iff WL cannot distinguish their r-hop
+    neighborhoods (modulo md5 collisions, ~2^-60 per pair)."""
+    from .datapipe import _md5_int
+
+    dk = _directed_simple(spark, sf_dir)
+    und = dk.select(
+        F.least("s", "t").alias("u"), F.greatest("s", "t").alias("v")
+    ).distinct()
+    adj = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    c = adj.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("c")).select(
+        F.col("u").alias("x"), "c"
+    )
+    for _ in range(_WL_ROUNDS):
+        h = c.select(
+            F.col("x").alias("nb"),
+            (_md5_int(F.col("c").cast("string")) % _WL_MOD).alias("hc"),
+        )
+        msg = (
+            adj.join(h, adj.v == h.nb)
+            .groupBy("u")
+            .agg(F.sum("hc").alias("s"))
+        )
+        c = (
+            c.join(msg, c.x == msg.u, "left")
+            .select(
+                "x",
+                _md5_int(
+                    F.concat(
+                        F.col("c").cast("string"),
+                        F.lit(":"),
+                        F.coalesce(F.col("s"), F.lit(0)).cast("string"),
+                    )
+                ).alias("c"),
+            )
+        )
+    return c.select(F.col("x").alias("vkey"), F.col("c").alias("wl_color"))
+
+
+def _wl_refine_sql(rounds: int) -> str:
+    from .datapipe import _sql_md5_int
+
+    ctes = [
+        _GRAPH_CTES,
+        "wl_und AS (SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS v "
+        "FROM ek WHERE s <> t)",
+        "wl_adj AS MATERIALIZED (SELECT u, v FROM wl_und "
+        "UNION ALL SELECT v AS u, u AS v FROM wl_und)",
+        "wlc0 AS MATERIALIZED (SELECT u AS x, CAST(count(*) AS BIGINT) AS c "
+        "FROM wl_adj GROUP BY u)",
+    ]
+    for t in range(rounds):
+        ctes.append(
+            f"wlh{t} AS MATERIALIZED (SELECT x, "
+            f"{_sql_md5_int('CAST(c AS VARCHAR)')} % {_WL_MOD} AS hc "
+            f"FROM wlc{t})"
+        )
+        ctes.append(
+            f"wlm{t} AS (SELECT a.u AS x, sum(h.hc) AS s "
+            f"FROM wl_adj a JOIN wlh{t} h ON h.x = a.v GROUP BY a.u)"
+        )
+        expr = _sql_md5_int(
+            "CAST(c.c AS VARCHAR) || ':' || CAST(coalesce(m.s, 0) AS VARCHAR)"
+        )
+        ctes.append(
+            f"wlc{t + 1} AS MATERIALIZED (SELECT c.x, {expr} AS c "
+            f"FROM wlc{t} c LEFT JOIN wlm{t} m USING (x))"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT x AS vkey, c AS wl_color FROM wlc{rounds}"
+    )
+
+
+SQL_WL_REFINE = _wl_refine_sql(_WL_ROUNDS)
+
+
+# --------------------------------------------------------------------------
+# 4-cycle (rectangle) census via the wedge co-neighbor join
+# --------------------------------------------------------------------------
+# Every 4-cycle u-x-w-y-u is generated twice, once by each opposite pair
+# ({u,w} and {x,y}): a pair with cw common neighbors contributes
+# C(cw, 2) cycles, so |C4| = sum(cw*(cw-1)) / 4 exactly (integer: each term
+# is even, the total is divisible by 4).  The wedge join is O(sum deg^2) —
+# the minimum any exact co-neighbor method pays; at web scale the standard
+# mitigation is to route wedges through the LOWER-degree endpoint and cap
+# pathological hubs (linkpred.jaccard_pairs' max_deg knob), which bounds the
+# blow-up without changing exact counts below the cap.
+
+def q_rectangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global 4-cycle census over the undirected simple events graph; one
+    row (copairs, max_codeg, rectangles): #vertex pairs with >=2 common
+    neighbors, the max co-degree, and the exact number of 4-cycles."""
+    dk = _directed_simple(spark, sf_dir)
+    und = dk.select(
+        F.least("s", "t").alias("u"), F.greatest("s", "t").alias("v")
+    ).distinct()
+    adj = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    e1 = adj.select(F.col("u").alias("ctr"), F.col("v").alias("a"))
+    e2 = adj.select(F.col("u").alias("ctr"), F.col("v").alias("b"))
+    wed = (
+        e1.join(e2, "ctr")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    return wed.agg(
+        F.sum((F.col("cw") >= 2).cast("long")).alias("copairs"),
+        F.max("cw").alias("max_codeg"),
+        F.expr("sum(cw * (cw - 1)) div 4").alias("rectangles"),
+    )
+
+
+SQL_RECTANGLES = (
+    "WITH "
+    + _GRAPH_CTES
+    + """,
+r_und AS (
+  SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS v FROM ek WHERE s <> t
+), r_adj AS MATERIALIZED (
+  SELECT u, v FROM r_und UNION ALL SELECT v AS u, u AS v FROM r_und
+), wed AS (
+  SELECT e1.v AS a, e2.v AS b, count(*) AS cw
+  FROM r_adj e1 JOIN r_adj e2 ON e2.u = e1.u AND e1.v < e2.v
+  GROUP BY 1, 2
+)
+SELECT CAST(sum(CASE WHEN cw >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS copairs,
+       max(cw) AS max_codeg,
+       CAST(sum(cw * (cw - 1)) // 4 AS BIGINT) AS rectangles
+FROM wed
+"""
+)
+
+
 def registry():
     return {
         "graph_reciprocity": (q_graph_reciprocity, SQL_GRAPH_RECIPROCITY),
@@ -1548,4 +1710,6 @@ def registry():
         "louvain_sync": (q_louvain, SQL_LOUVAIN),
         "label_spread": (q_label_spread, SQL_LABEL_SPREAD),
         "engine_coloring": (q_engine_coloring, SQL_ENGINE_COLORING),
+        "wl_refine": (q_wl_refine, SQL_WL_REFINE),
+        "rectangles": (q_rectangles, SQL_RECTANGLES),
     }

@@ -826,3 +826,71 @@ def test_engine_coloring_proper_and_matches_python(spark, dk_edges):
     assert got == exp
     for a, b in und:
         assert got[a] != got[b], (a, b)
+
+
+def test_wl_refine_partition_matches_exact_multiset(spark, dk_edges):
+    """Engine WL colors (hash-sum neighbor combine) must induce the SAME
+    vertex partition as exact-multiset WL refinement — the hash combine is
+    a multiset invariant, so any divergence is a bug (or a 2^-60 md5
+    collision, which the fixed fixture either has or hasn't)."""
+    from linkgraph.graphstats import _WL_ROUNDS, q_wl_refine
+
+    got = {
+        r["vkey"]: r["wl_color"] for r in q_wl_refine(spark, SF_DIR).collect()
+    }
+
+    und = {(min(s, t), max(s, t)) for s, t in dk_edges if s != t}
+    adj: dict[str, set] = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+
+    c = {v: len(adj[v]) for v in adj}
+    for _ in range(_WL_ROUNDS):
+        sig = {
+            v: (c[v], tuple(sorted(Counter(c[u] for u in adj[v]).items())))
+            for v in adj
+        }
+        canon = {s: i for i, s in enumerate(sorted(set(sig.values())))}
+        c = {v: canon[sig[v]] for v in adj}
+
+    assert set(got) == set(adj)
+    ref_part = {}
+    for v, col in c.items():
+        ref_part.setdefault(col, set()).add(v)
+    eng_part = {}
+    for v, col in got.items():
+        eng_part.setdefault(col, set()).add(v)
+    assert {frozenset(s) for s in ref_part.values()} == {
+        frozenset(s) for s in eng_part.values()
+    }
+    assert len(ref_part) > 1  # fixture actually distinguishes roles
+
+
+def test_rectangles_matches_numpy(spark, dk_edges):
+    """4-cycle census vs the dense co-degree formula sum_{u<w} C((A^2)_uw, 2)/2
+    on the same undirected simple graph."""
+    import numpy as np
+
+    from linkgraph.graphstats import q_rectangles
+
+    und = {(min(s, t), max(s, t)) for s, t in dk_edges if s != t}
+    verts = sorted({x for e in und for x in e})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    A = np.zeros((n, n), dtype=np.int64)
+    for u, v in und:
+        A[idx[u], idx[v]] = 1
+        A[idx[v], idx[u]] = 1
+    C = A @ A
+    iu = np.triu_indices(n, k=1)
+    cw = C[iu]
+    rect = int((cw * (cw - 1)).sum() // 4)
+    copairs = int((cw >= 2).sum())
+    max_codeg = int(cw.max())
+
+    row = q_rectangles(spark, SF_DIR).first()
+    assert row["rectangles"] == rect
+    assert row["copairs"] == copairs
+    assert row["max_codeg"] == max_codeg
+    assert rect > 0  # fixture actually contains 4-cycles
