@@ -1479,6 +1479,102 @@ FROM scored WHERE containment >= {CONTAIN_TAU}
 """
 
 
+# --------------------------------------------------------------------------
+# DSIR-style importance resampling (data selection for language models)
+# --------------------------------------------------------------------------
+# Select raw-pool documents that RESEMBLE a small target domain: score every
+# doc by the average per-token log-likelihood ratio between an add-one
+# unigram LM fit on the target slice and one fit on the whole corpus, then
+# keep the top-K.  This is the DSIR recipe (Xie et al., "Data Selection for
+# Language Models via Importance Resampling") with word unigrams standing in
+# for hashed n-grams.  Target slice here: lang='de' docs (small, distinct).
+
+_DSIR_TARGET_LANG = "de"
+_DSIR_TOPK = 50
+
+
+def doc_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-_DSIR_TOPK docs by avg per-token log p_target(w) − log p_corpus(w)
+    (add-one smoothing over the JOINT vocab); output (doc_id, lang,
+    n_tokens, logratio) ordered by (logratio desc, doc_id).
+
+    Scale shape: the token stream partial-aggregates into two combinable
+    word-count models; totals and vocab size are a 1-row broadcast; scoring
+    is ONE narrow word equi-join back onto the token stream followed by a
+    per-doc avg — the exact shape DSIR runs at pretraining scale (the models
+    are |vocab|-sized, never per-doc state).  Ties at the top-K boundary
+    break on doc_id after 6-decimal rounding, so the cut is deterministic
+    and identical cross-engine."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(_words(F.col("text"))).alias("word")
+    )
+    tgt = (
+        toks.where(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    bg = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cb"))
+    model = bg.join(tgt, "word", "left").select(
+        "word", F.coalesce("ct", F.lit(0)).alias("ct"), "cb"
+    )
+    tot = model.agg(
+        F.sum("ct").cast("double").alias("_tt"),
+        F.sum("cb").cast("double").alias("_tb"),
+        F.count(F.lit(1)).cast("double").alias("_v"),
+    )
+    lr = model.crossJoin(F.broadcast(tot)).select(
+        "word",
+        (
+            F.log((F.col("ct") + 1.0) / (F.col("_tt") + F.col("_v")))
+            - F.log((F.col("cb") + 1.0) / (F.col("_tb") + F.col("_v")))
+        ).alias("lr"),
+    )
+    scored = (
+        toks.join(lr, "word")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("lr"), 6).alias("logratio"),
+        )
+    )
+    return scored.orderBy(
+        F.col("logratio").desc(), F.col("doc_id")
+    ).limit(_DSIR_TOPK)
+
+
+SQL_DOC_DSIR = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(string_split(lower(trim(text)), ' ')) AS word
+  FROM documents
+), tgt AS (
+  SELECT word, count(*) AS ct FROM toks
+  WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY word
+), bg AS (
+  SELECT word, count(*) AS cb FROM toks GROUP BY word
+), model AS (
+  SELECT bg.word, coalesce(tgt.ct, 0) AS ct, bg.cb
+  FROM bg LEFT JOIN tgt USING (word)
+), tot AS (
+  SELECT CAST(sum(ct) AS DOUBLE) AS tt, CAST(sum(cb) AS DOUBLE) AS tb,
+         CAST(count(*) AS DOUBLE) AS v
+  FROM model
+), lr AS (
+  SELECT word,
+         ln((ct + 1.0) / (tt + v)) - ln((cb + 1.0) / (tb + v)) AS lr
+  FROM model, tot
+), scored AS (
+  SELECT t.doc_id, t.lang, count(*) AS n_tokens,
+         round(avg(l.lr), 6) AS logratio
+  FROM toks t JOIN lr l USING (word)
+  GROUP BY t.doc_id, t.lang
+)
+SELECT doc_id, lang, n_tokens, logratio
+FROM scored ORDER BY logratio DESC, doc_id LIMIT {_DSIR_TOPK}
+"""
+
+
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
     return {
         "doc_split": (doc_split, SQL_DOC_SPLIT),
@@ -1505,4 +1601,5 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "doc_weighted_sample": (doc_weighted_sample, SQL_DOC_WEIGHTED_SAMPLE),
         "doc_mixture_sample": (doc_mixture_sample, SQL_DOC_MIXTURE_SAMPLE),
         "doc_containment_pairs": (doc_containment, SQL_DOC_CONTAINMENT),
+        "doc_dsir_select": (doc_dsir_select, SQL_DOC_DSIR),
     }

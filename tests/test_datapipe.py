@@ -252,6 +252,7 @@ def test_weighted_sample_matches_python_and_biases_long_docs(spark):
     token-weighted sample must skew longer than the corpus."""
     import hashlib
     import math
+    from collections import Counter
 
     from linkgraph.datapipe import _WS_K, _WS_SCALE, doc_weighted_sample
 
@@ -413,3 +414,60 @@ def test_doc_containment_finds_planted_quotes(spark):
     planted = [(s, b) for (s, b) in got if s >= _QUOTE_OFFSET and b == s - _QUOTE_OFFSET]
     assert len(planted) > 0
     assert all(got[p] == 1.0 for p in planted)
+
+
+def test_doc_dsir_select_matches_python(spark):
+    """DSIR importance resampling vs a from-scratch Counter replication:
+    identical top-K set, scores, and deterministic (score, doc_id) cut —
+    and the selected set must be enriched in the target language."""
+    import math
+    from collections import Counter
+
+    from linkgraph.datapipe import (
+        _DSIR_TARGET_LANG,
+        _DSIR_TOPK,
+        doc_dsir_select,
+    )
+    from linkgraph.io import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = [
+        (r["doc_id"], r["lang"], r["text"])
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .collect()
+    ]
+    toks = {d: str(t).lower().strip().split(" ") for d, _l, t in docs}
+    lang = {d: l for d, l, _t in docs}
+
+    ct: Counter = Counter()
+    cb: Counter = Counter()
+    for d, ws in toks.items():
+        cb.update(ws)
+        if lang[d] == _DSIR_TARGET_LANG:
+            ct.update(ws)
+    tt, tb, v = sum(ct.values()), sum(cb.values()), len(cb)
+    lr = {
+        w: math.log((ct.get(w, 0) + 1.0) / (tt + v))
+        - math.log((cb[w] + 1.0) / (tb + v))
+        for w in cb
+    }
+    scored = sorted(
+        (
+            (round(sum(lr[w] for w in ws) / len(ws), 6), d)
+            for d, ws in toks.items()
+        ),
+        key=lambda x: (-x[0], x[1]),
+    )
+    exp = {(d, lang[d], len(toks[d]), s) for s, d in scored[:_DSIR_TOPK]}
+
+    got = {
+        (r["doc_id"], r["lang"], r["n_tokens"], r["logratio"])
+        for r in doc_dsir_select(spark, sf_dir).collect()
+    }
+    assert got == exp
+
+    # semantics: the selected set is enriched in the target language
+    base_rate = sum(1 for d in lang.values() if d == _DSIR_TARGET_LANG) / len(lang)
+    sel_rate = sum(1 for _d, l, _n, _s in got if l == _DSIR_TARGET_LANG) / len(got)
+    assert sel_rate > base_rate
