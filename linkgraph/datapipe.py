@@ -1575,6 +1575,126 @@ FROM scored ORDER BY logratio DESC, doc_id LIMIT {_DSIR_TOPK}
 """
 
 
+# --------------------------------------------------------------------------
+# distributed BPE merge training (tokenizer induction over the corpus)
+# --------------------------------------------------------------------------
+# Classic byte-pair-encoding training (Sennrich et al. 2016), the way a
+# distributed tokenizer trainer runs it: state is the WORD-COUNT table (one
+# row per distinct word — corpus-size-independent), each word held as a
+# separator-joined symbol string.  Per merge round: explode adjacent symbol
+# pairs weighted by word freq (combinable sum), take the global argmax pair
+# (1-row broadcast, tie -> lexicographic), and apply the merge to every word
+# via a single literal replace() — leftmost non-overlapping replacement IS
+# BPE's left-to-right merge pass, identically in the JVM and DuckDB.  No
+# driver loop over data, no collect: k merges = k (pair-count shuffle +
+# 1-row broadcast) rounds over the vocab table.
+
+_BPE_MERGES = 8
+_BPE_SEP = ","  # corpus is lowercase a-z + space; ',' cannot collide
+
+
+def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First _BPE_MERGES BPE merges learned from the corpus; output one row
+    per round (merge_round, sym_a, sym_b, pair_count)."""
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(_words(F.col("text"))).alias("word"))
+        .where((F.col("word") != "") & ~F.col("word").contains(_BPE_SEP))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    state = wc.select(
+        F.regexp_replace("word", "(.)", _BPE_SEP + "$1").alias("w"), "freq"
+    )
+    merges = None
+    for t in range(_BPE_MERGES):
+        syms = state.select(
+            F.split(F.substring(F.col("w"), 2, 1 << 30), _BPE_SEP).alias("s"),
+            "freq",
+        )
+        pairs = syms.select(
+            F.explode(
+                F.transform(
+                    _gram_starts(F.col("s"), 2),
+                    lambda i: F.struct(
+                        F.element_at(F.col("s"), i).alias("a"),
+                        F.element_at(F.col("s"), i + 1).alias("b"),
+                    ),
+                )
+            ).alias("p"),
+            "freq",
+        )
+        best = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), "a", "b")
+            .limit(1)
+        )
+        tagged = best.select(
+            F.lit(t + 1).alias("merge_round"),
+            F.col("a").alias("sym_a"),
+            F.col("b").alias("sym_b"),
+            "pair_count",
+        )
+        merges = tagged if merges is None else merges.unionByName(tagged)
+        state = state.crossJoin(
+            F.broadcast(
+                best.select(F.col("a").alias("_a"), F.col("b").alias("_b"))
+            )
+        ).select(
+            F.replace(
+                F.col("w"),
+                F.concat(F.lit(_BPE_SEP), F.col("_a"), F.lit(_BPE_SEP), F.col("_b")),
+                F.concat(F.lit(_BPE_SEP), F.col("_a"), F.col("_b")),
+            ).alias("w"),
+            "freq",
+        )
+    return merges
+
+
+def _bpe_sql(k: int) -> str:
+    sep = _BPE_SEP
+    ctes = [
+        f"""bpe_wc AS (
+  SELECT word, count(*) AS freq
+  FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS word
+        FROM documents)
+  WHERE word <> '' AND word NOT LIKE '%{sep}%'
+  GROUP BY word
+)""",
+        f"bpe_st0 AS MATERIALIZED (SELECT regexp_replace(word, '(.)', "
+        f"'{sep}\\1', 'g') AS w, freq FROM bpe_wc)",
+    ]
+    for t in range(k):
+        ctes.append(
+            f"""bpe_sy{t} AS (
+  SELECT string_split(substr(w, 2), '{sep}') AS s, freq FROM bpe_st{t}
+)"""
+        )
+        ctes.append(
+            f"""bpe_b{t} AS MATERIALIZED (
+  SELECT s[CAST(i AS INT)] AS a, s[CAST(i AS INT) + 1] AS b,
+         CAST(sum(freq) AS BIGINT) AS pair_count
+  FROM bpe_sy{t}, unnest(generate_series(1, greatest(len(s) - 1, 0))) AS t(i)
+  GROUP BY 1, 2 ORDER BY pair_count DESC, a, b LIMIT 1
+)"""
+        )
+        ctes.append(
+            f"bpe_st{t + 1} AS MATERIALIZED (SELECT replace(st.w, "
+            f"'{sep}' || b.a || '{sep}' || b.b, '{sep}' || b.a || b.b) AS w, "
+            f"st.freq FROM bpe_st{t} st, bpe_b{t} b)"
+        )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {t + 1} AS merge_round, a AS sym_a, b AS sym_b, pair_count "
+        f"FROM bpe_b{t}"
+        for t in range(k)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + sel
+
+
+SQL_DOC_BPE_MERGES = _bpe_sql(_BPE_MERGES)
+
+
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
     return {
         "doc_split": (doc_split, SQL_DOC_SPLIT),
@@ -1602,4 +1722,5 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "doc_mixture_sample": (doc_mixture_sample, SQL_DOC_MIXTURE_SAMPLE),
         "doc_containment_pairs": (doc_containment, SQL_DOC_CONTAINMENT),
         "doc_dsir_select": (doc_dsir_select, SQL_DOC_DSIR),
+        "doc_bpe_merges": (doc_bpe_merges, SQL_DOC_BPE_MERGES),
     }

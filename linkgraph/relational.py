@@ -320,6 +320,36 @@ FROM orders
 """
 
 
+def q_running_distinct(spark, sf_dir):
+    """Windowed DISTINCT aggregate (op 27's distinct sibling): per user,
+    the running number of DISTINCT event types seen so far in stable
+    (ts, event_id) order.  Spark has no count(DISTINCT) OVER — the
+    idiomatic expression is size(collect_set() OVER); set state per frame
+    is bounded by the event-type cardinality (small by construction), so
+    this stays JVM-side and partition-parallel at any row count."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.size(F.collect_set("event_type").over(w)).alias("n_distinct_types"),
+    )
+
+
+SQL_RUNNING_DISTINCT = """
+SELECT user_id, event_id,
+       CAST(count(DISTINCT event_type) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+         AS n_distinct_types
+FROM events
+"""
+
+
 _MOVING_RANGE_S = 3600  # 1 h event-time trailing window
 
 
@@ -1315,6 +1345,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "window_lag_events": (q_window_lag_events, SQL_WINDOW_LAG_EVENTS),
     "dense_rank_parts": (q_dense_rank_parts, SQL_DENSE_RANK_PARTS),
     "running_total": (q_running_total, SQL_RUNNING_TOTAL),
+    "running_distinct": (q_running_distinct, SQL_RUNNING_DISTINCT),
     "moving_window_1h": (q_moving_window, SQL_MOVING_WINDOW),
     "funnel_conversion": (q_funnel, SQL_FUNNEL),
     "rate_anomaly": (q_rate_anomaly, SQL_RATE_ANOMALY),

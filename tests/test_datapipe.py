@@ -471,3 +471,49 @@ def test_doc_dsir_select_matches_python(spark):
     base_rate = sum(1 for d in lang.values() if d == _DSIR_TARGET_LANG) / len(lang)
     sel_rate = sum(1 for _d, l, _n, _s in got if l == _DSIR_TARGET_LANG) / len(got)
     assert sel_rate > base_rate
+
+
+def test_doc_bpe_merges_matches_python(spark):
+    """Distributed BPE trainer vs a from-scratch sequential reference:
+    identical merge sequence (pair + weighted count per round), including
+    the left-to-right non-overlapping merge semantics within a word."""
+    from collections import Counter
+
+    from linkgraph.datapipe import _BPE_MERGES, doc_bpe_merges
+    from linkgraph.io import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    texts = [
+        str(r["text"]).lower().strip()
+        for r in load_table(spark, sf_dir, "documents").select("text").collect()
+    ]
+    wc: Counter = Counter(w for t in texts for w in t.split(" ") if w)
+    state = {w: tuple(w) for w in wc}
+
+    exp = []
+    for t in range(_BPE_MERGES):
+        cnt: Counter = Counter()
+        for w, freq in wc.items():
+            s = state[w]
+            for i in range(len(s) - 1):
+                cnt[(s[i], s[i + 1])] += freq
+        (a, b), c = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        exp.append((t + 1, a, b, c))
+        for w, s in state.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            state[w] = tuple(out)
+
+    got = [
+        (r["merge_round"], r["sym_a"], r["sym_b"], r["pair_count"])
+        for r in doc_bpe_merges(spark, sf_dir).orderBy("merge_round").collect()
+    ]
+    assert got == exp
+    # merged symbols must actually grow past single characters by round k
+    assert any(len(a) + len(b) > 2 for _r, a, b, _c in got)
