@@ -150,12 +150,10 @@ SELECT doc_id, seed, min(h) AS minh FROM hs GROUP BY doc_id, seed
 """
 
 
-def doc_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-banded near-duplicate pairs, verified by exact shingle Jaccard.
-
-    signature -> band keys (rows-per-band minhashes concatenated) ->
-    bucket self-join for candidates -> exact Jaccard >= TAU filter.
-    Candidate generation never touches the O(n^2) pair space."""
+def _lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (doc_a < doc_b): signature -> band keys
+    (rows-per-band minhashes concatenated) -> bucket self-join.  Shared
+    blocking for every rerank flavor; never touches the O(n^2) pair space."""
     sig = doc_minhash(spark, sf_dir)
     bands = (
         sig.withColumn("band", (F.col("seed") / BAND_ROWS).cast("int"))
@@ -172,12 +170,19 @@ def doc_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b1 = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
     b2 = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
-    cand = (
+    return (
         b1.join(b2, ["band", "band_key"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )
+
+
+def doc_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-banded near-duplicate pairs, verified by exact shingle Jaccard.
+
+    Candidates from :func:`_lsh_candidates`, then exact Jaccard >= TAU."""
+    cand = _lsh_candidates(spark, sf_dir)
     sets = _shingles_df(spark, sf_dir).groupBy("doc_id").agg(
         F.collect_set("shingle").alias("s")
     )
@@ -225,6 +230,64 @@ SELECT doc_a, doc_b, round(jacc, 6) AS jaccard FROM (
   JOIN sets sa ON sa.doc_id = cand.doc_a
   JOIN sets sb ON sb.doc_id = cand.doc_b
 ) WHERE jacc >= {JACCARD_TAU}
+"""
+
+
+EDIT_SIM_TAU = 0.5  # normalized edit similarity threshold for dup pairs
+
+
+def doc_edit_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-duplicates: the same MinHash-LSH blocking as
+    doc_near_dups, reranked by exact Levenshtein similarity
+    ``1 - dist/max(len_a, len_b)`` — the character-level dup criterion used
+    when token-set Jaccard is too coarse (reorderings score high on Jaccard
+    but low here).  Levenshtein is O(len_a*len_b) per pair, so at 100 TB it
+    only ever runs on the LSH-blocked candidate list (corpus-size-linear),
+    never the O(n^2) pair space; the distance itself is JVM-side
+    (``F.levenshtein``), no Python in the loop."""
+    cand = _lsh_candidates(spark, sf_dir)
+    t = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.trim("text")).alias("t")
+    )
+    sim = F.lit(1.0) - F.levenshtein("ta", "tb") / F.greatest(
+        F.length("ta"), F.length("tb"), F.lit(1)
+    )
+    return (
+        cand.join(t.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("ta")), "doc_a")
+        .join(t.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("tb")), "doc_b")
+        .select("doc_a", "doc_b", sim.alias("sim"))
+        .where(F.col("sim") >= EDIT_SIM_TAU)
+        .select("doc_a", "doc_b", F.round("sim", 6).alias("edit_sim"))
+    )
+
+
+SQL_DOC_EDIT_DUPS = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+hs AS (
+  SELECT doc_id, seed,
+         {_sql_md5_int("concat_ws(':', seed, shingle)")} AS h
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, {N_HASHES - 1})) AS seed)
+),
+sig AS (SELECT doc_id, seed, min(h) AS minh FROM hs GROUP BY doc_id, seed),
+bands AS (
+  SELECT doc_id, CAST(seed / {BAND_ROWS} AS INT) AS band,
+         string_agg(CAST(minh AS VARCHAR), ',' ORDER BY seed) AS band_key
+  FROM sig GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+  FROM bands b1 JOIN bands b2
+    ON b1.band = b2.band AND b1.band_key = b2.band_key AND b1.doc_id < b2.doc_id
+),
+t AS (SELECT doc_id, lower(trim(text)) AS t FROM documents)
+SELECT doc_a, doc_b, round(sim, 6) AS edit_sim FROM (
+  SELECT doc_a, doc_b,
+         1.0 - CAST(levenshtein(ta.t, tb.t) AS DOUBLE)
+             / greatest(length(ta.t), length(tb.t), 1) AS sim
+  FROM cand
+  JOIN t ta ON ta.doc_id = cand.doc_a
+  JOIN t tb ON tb.doc_id = cand.doc_b
+) WHERE sim >= {EDIT_SIM_TAU}
 """
 
 
@@ -1593,9 +1656,13 @@ _BPE_MERGES = 8
 _BPE_SEP = ","  # corpus is lowercase a-z + space; ',' cannot collide
 
 
-def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First _BPE_MERGES BPE merges learned from the corpus; output one row
-    per round (merge_round, sym_a, sym_b, pair_count)."""
+def _bpe_train(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Run the merge loop; returns ``(merges, state)`` where ``merges`` is one
+    row per round (merge_round, sym_a, sym_b, pair_count) and ``state`` is the
+    vocabulary after all merges: (word, w, freq) with ``w`` the separator-
+    joined symbol string — the table an encoder joins the corpus against."""
     d = load_table(spark, sf_dir, "documents")
     wc = (
         d.select(F.explode(_words(F.col("text"))).alias("word"))
@@ -1604,7 +1671,9 @@ def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
     )
     state = wc.select(
-        F.regexp_replace("word", "(.)", _BPE_SEP + "$1").alias("w"), "freq"
+        "word",
+        F.regexp_replace("word", "(.)", _BPE_SEP + "$1").alias("w"),
+        "freq",
     )
     merges = None
     for t in range(_BPE_MERGES):
@@ -1642,6 +1711,7 @@ def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 best.select(F.col("a").alias("_a"), F.col("b").alias("_b"))
             )
         ).select(
+            "word",
             F.replace(
                 F.col("w"),
                 F.concat(F.lit(_BPE_SEP), F.col("_a"), F.lit(_BPE_SEP), F.col("_b")),
@@ -1649,10 +1719,46 @@ def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w"),
             "freq",
         )
+    return merges, state
+
+
+def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First _BPE_MERGES BPE merges learned from the corpus; output one row
+    per round (merge_round, sym_a, sym_b, pair_count)."""
+    merges, _state = _bpe_train(spark, sf_dir)
     return merges
 
 
-def _bpe_sql(k: int) -> str:
+def doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE vocabulary corpus-wide: per document, the
+    whitespace word count and the token count under the merged vocabulary
+    (doc_id, n_words, n_tokens).  The encode itself is one equi-join of the
+    exploded corpus against the distinct-word vocabulary table — the
+    vocabulary is corpus-size-independent (distinct words), so at 100 TB
+    this is a standard skew-safe shuffle join plus one combinable groupBy;
+    the merge replay never touches per-occurrence rows."""
+    d = load_table(spark, sf_dir, "documents")
+    _merges, state = _bpe_train(spark, sf_dir)
+    vocab = state.select(
+        "word",
+        F.size(
+            F.split(F.substring(F.col("w"), 2, 1 << 30), _BPE_SEP)
+        ).alias("n_syms"),
+    )
+    dw = d.select("doc_id", F.explode(_words(F.col("text"))).alias("word"))
+    # inner join against the trained vocabulary drops the same words the
+    # trainer dropped ('' and separator-bearing), keeping both engines exact.
+    return (
+        dw.join(vocab, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_syms").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def _bpe_sql_ctes(k: int) -> str:
     sep = _BPE_SEP
     ctes = [
         f"""bpe_wc AS (
@@ -1662,7 +1768,7 @@ def _bpe_sql(k: int) -> str:
   WHERE word <> '' AND word NOT LIKE '%{sep}%'
   GROUP BY word
 )""",
-        f"bpe_st0 AS MATERIALIZED (SELECT regexp_replace(word, '(.)', "
+        f"bpe_st0 AS MATERIALIZED (SELECT word, regexp_replace(word, '(.)', "
         f"'{sep}\\1', 'g') AS w, freq FROM bpe_wc)",
     ]
     for t in range(k):
@@ -1680,19 +1786,29 @@ def _bpe_sql(k: int) -> str:
 )"""
         )
         ctes.append(
-            f"bpe_st{t + 1} AS MATERIALIZED (SELECT replace(st.w, "
+            f"bpe_st{t + 1} AS MATERIALIZED (SELECT st.word, replace(st.w, "
             f"'{sep}' || b.a || '{sep}' || b.b, '{sep}' || b.a || b.b) AS w, "
             f"st.freq FROM bpe_st{t} st, bpe_b{t} b)"
         )
-    sel = "\nUNION ALL\n".join(
-        f"SELECT {t + 1} AS merge_round, a AS sym_a, b AS sym_b, pair_count "
-        f"FROM bpe_b{t}"
-        for t in range(k)
-    )
-    return "WITH " + ",\n".join(ctes) + "\n" + sel
+    return "WITH " + ",\n".join(ctes) + "\n"
 
 
-SQL_DOC_BPE_MERGES = _bpe_sql(_BPE_MERGES)
+SQL_DOC_BPE_MERGES = _bpe_sql_ctes(_BPE_MERGES) + "\nUNION ALL\n".join(
+    f"SELECT {t + 1} AS merge_round, a AS sym_a, b AS sym_b, pair_count "
+    f"FROM bpe_b{t}"
+    for t in range(_BPE_MERGES)
+)
+
+SQL_DOC_BPE_ENCODE = _bpe_sql_ctes(_BPE_MERGES) + f"""
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(len(string_split(substr(st.w, 2), '{_BPE_SEP}'))) AS BIGINT)
+         AS n_tokens
+FROM (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word
+      FROM documents) dw
+JOIN bpe_st{_BPE_MERGES} st USING (word)
+GROUP BY doc_id
+"""
 
 
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
@@ -1723,4 +1839,6 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "doc_containment_pairs": (doc_containment, SQL_DOC_CONTAINMENT),
         "doc_dsir_select": (doc_dsir_select, SQL_DOC_DSIR),
         "doc_bpe_merges": (doc_bpe_merges, SQL_DOC_BPE_MERGES),
+        "doc_bpe_encode": (doc_bpe_encode, SQL_DOC_BPE_ENCODE),
+        "doc_edit_dups": (doc_edit_dups, SQL_DOC_EDIT_DUPS),
     }

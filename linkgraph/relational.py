@@ -350,6 +350,26 @@ FROM events
 """
 
 
+def q_unpivot_lineitem(spark, sf_dir):
+    """Unpivot/melt (the inverse of the pivot row): four lineitem measures
+    into long-format (measure, value) rows.  Catalyst compiles unpivot to a
+    single Expand over ONE scan — four output rows per input row with no
+    union of four scans and no shuffle, which is the only shape that holds
+    at 100 TB (a 4-way self-union re-reads the table four times)."""
+    li = _t(spark, sf_dir, "lineitem")
+    measures = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    return li.select("l_orderkey", "l_linenumber", *measures).unpivot(
+        ["l_orderkey", "l_linenumber"], measures, "measure", "value"
+    )
+
+
+SQL_UNPIVOT_LINEITEM = "\nUNION ALL\n".join(
+    f"SELECT l_orderkey, l_linenumber, '{m}' AS measure, "
+    f"CAST({m} AS DOUBLE) AS value FROM lineitem"
+    for m in ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+)
+
+
 _MOVING_RANGE_S = 3600  # 1 h event-time trailing window
 
 
@@ -1346,6 +1366,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dense_rank_parts": (q_dense_rank_parts, SQL_DENSE_RANK_PARTS),
     "running_total": (q_running_total, SQL_RUNNING_TOTAL),
     "running_distinct": (q_running_distinct, SQL_RUNNING_DISTINCT),
+    "unpivot_lineitem": (q_unpivot_lineitem, SQL_UNPIVOT_LINEITEM),
     "moving_window_1h": (q_moving_window, SQL_MOVING_WINDOW),
     "funnel_conversion": (q_funnel, SQL_FUNNEL),
     "rate_anomaly": (q_rate_anomaly, SQL_RATE_ANOMALY),

@@ -517,3 +517,105 @@ def test_doc_bpe_merges_matches_python(spark):
     assert got == exp
     # merged symbols must actually grow past single characters by round k
     assert any(len(a) + len(b) > 2 for _r, a, b, _c in got)
+
+
+def test_doc_bpe_encode_matches_python(spark):
+    """Corpus-wide BPE application vs the sequential reference: per-doc
+    whitespace word counts and token counts under the merged vocabulary."""
+    from collections import Counter
+
+    from linkgraph.datapipe import _BPE_MERGES, doc_bpe_encode
+    from linkgraph.io import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = {
+        r["doc_id"]: str(r["text"]).lower().strip()
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    wc: Counter = Counter(w for t in docs.values() for w in t.split(" ") if w)
+    state = {w: tuple(w) for w in wc}
+    for _t in range(_BPE_MERGES):
+        cnt: Counter = Counter()
+        for w, freq in wc.items():
+            s = state[w]
+            for i in range(len(s) - 1):
+                cnt[(s[i], s[i + 1])] += freq
+        (a, b), _c = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        for w, s in state.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            state[w] = tuple(out)
+
+    exp = {}
+    for doc_id, t in docs.items():
+        words = [w for w in t.split(" ") if w]
+        if words:
+            exp[doc_id] = (len(words), sum(len(state[w]) for w in words))
+
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"])
+        for r in doc_bpe_encode(spark, sf_dir).collect()
+    }
+    assert got == exp
+    # BPE must actually compress: fewer tokens than characters, more than words
+    n_words = sum(v[0] for v in exp.values())
+    n_tokens = sum(v[1] for v in exp.values())
+    n_chars = sum(len(w) * f for w, f in wc.items())
+    assert n_words < n_tokens < n_chars
+
+
+def test_doc_edit_dups_matches_python(spark):
+    """Levenshtein rerank vs a from-scratch DP implementation over the same
+    LSH candidate list: identical surviving pairs and similarities, and the
+    rerank must actually reject most candidates (discrimination)."""
+    from linkgraph.datapipe import EDIT_SIM_TAU, _lsh_candidates, doc_edit_dups
+    from linkgraph.io import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    texts = {
+        r["doc_id"]: str(r["text"]).lower().strip()
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    cand = [
+        (r["doc_a"], r["doc_b"])
+        for r in _lsh_candidates(spark, sf_dir).collect()
+    ]
+    assert cand, "fixture must produce LSH candidates"
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[len(b)]
+
+    exp = {}
+    for a, b in cand:
+        ta, tb = texts[a], texts[b]
+        sim = 1.0 - lev(ta, tb) / max(len(ta), len(tb), 1)
+        if sim >= EDIT_SIM_TAU:
+            exp[(a, b)] = round(sim, 6)
+
+    got = {
+        (r["doc_a"], r["doc_b"]): r["edit_sim"]
+        for r in doc_edit_dups(spark, sf_dir).collect()
+    }
+    assert set(got) == set(exp)
+    for k in exp:
+        assert abs(got[k] - exp[k]) < 1e-9
+    # the rerank must discriminate, not rubber-stamp the candidate list
+    assert 0 < len(got) < len(cand)
