@@ -1694,8 +1694,123 @@ FROM wed
 )
 
 
+# --------------------------------------------------------------------------
+# densest subgraph via greedy (1+eps) peeling (Bahmani/Kumar/Vassilvitskii
+# 2012 — the canonical MapReduce densest-subgraph algorithm).  Per round,
+# every vertex whose degree is <= 2(1+eps) * density(S) leaves S; the round
+# with the best density is a 2(1+eps)-approximation of the densest subgraph.
+# With eps = 1 the rule is deg * |S| <= 4 * |E(S)| — ALL-INTEGER arithmetic,
+# so the peel schedule (and thus every trace row) is bit-identical between
+# Spark and DuckDB; survivors shrink by > 2x per round, so _DSG_ROUNDS = 16
+# empties any graph under 2^16 vertices (raises if not).  Per round: two
+# vertex-membership equi-joins + one combinable degree count + a 1-row
+# stats broadcast — no collect, message volume tracks the SHRINKING
+# subgraph, the right 100 TB shape (rounds are O(log V) total).
+# --------------------------------------------------------------------------
+
+_DSG_ROUNDS = 16
+_DSG_THRESH = 4  # 2*(1+eps) with eps=1: remove iff deg*n_s <= 4*m_s
+
+
+def q_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy peel trace over the undirected simple events graph: one row
+    per round (peel_round, n_s, m_s) until S empties.  max(m_s/n_s) over
+    the trace is the 4-approximate densest-subgraph density; the full trace
+    (not just the argmax) is returned so the gate checks the entire
+    schedule."""
+    e = _directed_simple(spark, sf_dir)
+    pairs = (
+        e.select(F.least("s", "t").alias("u"), F.greatest("s", "t").alias("w"))
+        .distinct()
+        .localCheckpoint()
+    )
+    verts = (
+        pairs.select(F.col("u").alias("vkey"))
+        .unionByName(pairs.select(F.col("w").alias("vkey")))
+        .distinct()
+        .localCheckpoint()
+    )
+    trace: DataFrame | None = None
+    for r in range(_DSG_ROUNDS):
+        er = pairs.join(verts.select(F.col("vkey").alias("u")), "u").join(
+            verts.select(F.col("vkey").alias("w")), "w"
+        )
+        stats = verts.agg(F.count(F.lit(1)).alias("n_s")).crossJoin(
+            er.agg(F.count(F.lit(1)).alias("m_s"))
+        )
+        row = stats.select(
+            F.lit(r).cast("int").alias("peel_round"), "n_s", "m_s"
+        )
+        trace = row if trace is None else trace.unionByName(row)
+        deg = (
+            er.select(F.col("u").alias("vkey"))
+            .unionByName(er.select(F.col("w").alias("vkey")))
+            .groupBy("vkey")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        verts = (
+            verts.join(deg, "vkey", "left")
+            .crossJoin(F.broadcast(stats))
+            .where(
+                F.coalesce("deg", F.lit(0)) * F.col("n_s")
+                > F.lit(_DSG_THRESH) * F.col("m_s")
+            )
+            .select("vkey")
+            .localCheckpoint()
+        )
+    if not verts.isEmpty():
+        raise RuntimeError(
+            f"peel did not empty in {_DSG_ROUNDS} rounds — raise _DSG_ROUNDS"
+        )
+    assert trace is not None
+    return trace
+
+
+def _densest_sql(rounds: int) -> str:
+    ctes = [
+        _GRAPH_CTES,
+        "dsp AS MATERIALIZED (SELECT DISTINCT least(s, t) AS u, "
+        "greatest(s, t) AS w FROM ek WHERE s <> t)",
+        "dsv0 AS MATERIALIZED (SELECT DISTINCT vkey FROM "
+        "(SELECT u AS vkey FROM dsp UNION ALL SELECT w AS vkey FROM dsp))",
+    ]
+    for r in range(rounds):
+        # MATERIALIZED per level: each set is referenced by two joins and
+        # the stats row — default inlining would expand exponentially (same
+        # reasoning as the coloring oracle).
+        ctes.append(
+            f"dse{r} AS MATERIALIZED (SELECT p.u, p.w FROM dsp p "
+            f"JOIN dsv{r} a ON a.vkey = p.u JOIN dsv{r} b ON b.vkey = p.w)"
+        )
+        ctes.append(
+            f"dst{r} AS MATERIALIZED (SELECT "
+            f"(SELECT count(*) FROM dsv{r}) AS n_s, "
+            f"(SELECT count(*) FROM dse{r}) AS m_s)"
+        )
+        ctes.append(
+            f"dsd{r} AS (SELECT vkey, count(*) AS deg FROM "
+            f"(SELECT u AS vkey FROM dse{r} UNION ALL "
+            f"SELECT w AS vkey FROM dse{r}) GROUP BY vkey)"
+        )
+        ctes.append(
+            f"dsv{r + 1} AS MATERIALIZED (SELECT v.vkey FROM dsv{r} v "
+            f"LEFT JOIN dsd{r} d USING (vkey), dst{r} s "
+            f"WHERE coalesce(d.deg, 0) * s.n_s > {_DSG_THRESH} * s.m_s)"
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT {r} AS peel_round, CAST(n_s AS BIGINT) AS n_s, "
+        f"CAST(m_s AS BIGINT) AS m_s FROM dst{r}"
+        for r in range(rounds)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
+SQL_DENSEST_SUBGRAPH = _densest_sql(_DSG_ROUNDS)
+
+
 def registry():
     return {
+        "densest_subgraph": (q_densest_subgraph, SQL_DENSEST_SUBGRAPH),
         "graph_reciprocity": (q_graph_reciprocity, SQL_GRAPH_RECIPROCITY),
         "betweenness_pivots": (q_betweenness, SQL_BETWEENNESS),
         "bridge_edges": (q_bridge_edges, SQL_BRIDGE_EDGES),

@@ -894,3 +894,44 @@ def test_rectangles_matches_numpy(spark, dk_edges):
     assert row["copairs"] == copairs
     assert row["max_codeg"] == max_codeg
     assert rect > 0  # fixture actually contains 4-cycles
+
+
+def test_densest_subgraph_matches_python(spark, dk_edges):
+    """Greedy (1+eps) peel vs a from-scratch sequential replication:
+    identical (n_s, m_s) trace per round, and the best trace density must
+    beat the whole-graph density (the fixture graph has a dense core)."""
+    from linkgraph.graphstats import _DSG_THRESH, q_densest_subgraph
+
+    pairs = {tuple(sorted(e)) for e in dk_edges if e[0] != e[1]}
+    verts = {v for e in pairs for v in e}
+
+    exp, r = [], 0
+    while True:
+        es = {e for e in pairs if e[0] in verts and e[1] in verts}
+        exp.append((r, len(verts), len(es)))
+        deg: dict = {}
+        for a, b in es:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        n, m = len(verts), len(es)
+        verts = {v for v in verts if deg.get(v, 0) * n > _DSG_THRESH * m}
+        r += 1
+        if not verts:
+            break
+
+    got = sorted(
+        (r["peel_round"], r["n_s"], r["m_s"])
+        for r in q_densest_subgraph(spark, SF_DIR).collect()
+    )
+    # engine emits the fixed-round trace; rounds past emptiness are (r,0,0)
+    assert got[: len(exp)] == exp
+    assert all(n == 0 and m == 0 for _r, n, m in got[len(exp) :])
+    # best trace density is the 4-approx answer; it can never lose to the
+    # whole graph (round 0 is in the trace), and the peel must make real
+    # progress: multiple rounds, survivors strictly shrinking
+    best = max(m / n for _r, n, m in exp if n)
+    whole = exp[0][2] / exp[0][1]
+    assert best >= whole
+    assert len(exp) >= 2
+    sizes = [n for _r, n, _m in exp]
+    assert all(a > b for a, b in zip(sizes, sizes[1:]))
