@@ -512,6 +512,99 @@ SELECT q_id, vec_id, cos_sim, rk FROM (
 """
 
 
+_TRUNC_DIM = 16  # Matryoshka prefix length audited against full-dim retrieval
+
+
+def ann_trunc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncated-dimension retrieval audit: per query, how
+    many of the full-dim exact cosine top-k survive when retrieval uses only
+    the first ``_TRUNC_DIM`` of the embedding's dims (the MRL deployment
+    trade: a prefix slice is a free 4x index shrink IF recall holds — this
+    row measures exactly that, bit-identically in both engines).  Same
+    brute-force shape as ann_topk_cosine (JVM-side zip_with/aggregate); the
+    100 TB path swaps the exact scan for the IVF/LSH variants, the audit
+    logic is unchanged."""
+    em = load_table(spark, sf_dir, "embeddings")
+    v = em.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+
+    def topk(vecs: DataFrame) -> DataFrame:
+        vv = vecs.withColumn(
+            "nrm", F.sqrt(F.aggregate("e", F.lit(0.0), lambda a, x: a + x * x))
+        )
+        q = vv.where(F.col("vec_id") < ANN_QUERIES).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("e").alias("qe"),
+            F.col("nrm").alias("qn"),
+        )
+        dot = F.aggregate(
+            F.zip_with("qe", "e", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+        )
+        sims = (
+            q.crossJoin(vv)
+            .where(F.col("vec_id") != F.col("q_id"))
+            .select("q_id", "vec_id", (dot / (F.col("qn") * F.col("nrm"))).alias("cs"))
+        )
+        w = Window.partitionBy("q_id").orderBy(F.desc("cs"), "vec_id")
+        return (
+            sims.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= ANN_K)
+            .select("q_id", "vec_id")
+        )
+
+    full = topk(v)
+    trunc = topk(v.select("vec_id", F.slice("e", 1, _TRUNC_DIM).alias("e")))
+    hits = full.join(trunc, ["q_id", "vec_id"]).groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    qids = v.where(F.col("vec_id") < ANN_QUERIES).select(
+        F.col("vec_id").alias("q_id")
+    )
+    return qids.join(hits, "q_id", "left").select(
+        "q_id",
+        F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+        F.round(F.coalesce("n_overlap", F.lit(0)) / F.lit(ANN_K), 6).alias("recall"),
+    )
+
+
+SQL_ANN_TRUNC_RECALL = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+fullk AS (
+  SELECT q_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id) AS rk
+    FROM (SELECT q.vec_id AS q_id, v.vec_id AS vec_id,
+                 list_cosine_similarity(q.e, v.e) AS cs
+          FROM v q JOIN v ON v.vec_id <> q.vec_id
+          WHERE q.vec_id < {ANN_QUERIES})
+  ) WHERE rk <= {ANN_K}
+),
+trunck AS (
+  SELECT q_id, vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id) AS rk
+    FROM (SELECT q.vec_id AS q_id, v.vec_id AS vec_id,
+                 list_cosine_similarity(q.e[1:{_TRUNC_DIM}], v.e[1:{_TRUNC_DIM}]) AS cs
+          FROM v q JOIN v ON v.vec_id <> q.vec_id
+          WHERE q.vec_id < {ANN_QUERIES})
+  ) WHERE rk <= {ANN_K}
+),
+hits AS (
+  SELECT f.q_id, count(*) AS n_overlap
+  FROM fullk f JOIN trunck t ON t.q_id = f.q_id AND t.vec_id = f.vec_id
+  GROUP BY f.q_id
+)
+SELECT v.vec_id AS q_id,
+       CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+       round(coalesce(h.n_overlap, 0) / CAST({ANN_K} AS DOUBLE), 6) AS recall
+FROM v LEFT JOIN hits h ON h.q_id = v.vec_id
+WHERE v.vec_id < {ANN_QUERIES}
+"""
+
+
 # --------------------------------------------------------------------------
 # deterministic split / sampling
 # --------------------------------------------------------------------------
@@ -1841,4 +1934,5 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "doc_bpe_merges": (doc_bpe_merges, SQL_DOC_BPE_MERGES),
         "doc_bpe_encode": (doc_bpe_encode, SQL_DOC_BPE_ENCODE),
         "doc_edit_dups": (doc_edit_dups, SQL_DOC_EDIT_DUPS),
+        "ann_trunc_recall": (ann_trunc_recall, SQL_ANN_TRUNC_RECALL),
     }

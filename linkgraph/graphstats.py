@@ -1808,9 +1808,89 @@ def _densest_sql(rounds: int) -> str:
 SQL_DENSEST_SUBGRAPH = _densest_sql(_DSG_ROUNDS)
 
 
+_RC_KS = (1, 2, 4, 8, 16)  # rich-club degree thresholds
+
+
+def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient phi(k) = 2·E_k / (N_k·(N_k−1)) over the
+    undirected simple events graph (Colizza et al. 2006): do high-degree
+    vertices preferentially link to each other?  One degree aggregate + one
+    degree-annotated edge pass, fanned across the fixed threshold list by a
+    5-row broadcast — two combinable shuffles total regardless of |E|."""
+    e = _directed_simple(spark, sf_dir)
+    pairs = e.select(
+        F.least("s", "t").alias("u"), F.greatest("s", "t").alias("w")
+    ).distinct()
+    deg = (
+        pairs.select(F.col("u").alias("vkey"))
+        .unionByName(pairs.select(F.col("w").alias("vkey")))
+        .groupBy("vkey")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ks = spark.createDataFrame([(k,) for k in _RC_KS], "k int")
+    n_k = (
+        deg.crossJoin(F.broadcast(ks))
+        .where(F.col("deg") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_k"))
+    )
+    e_k = (
+        pairs.join(deg.select(F.col("vkey").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("vkey").alias("w"), F.col("deg").alias("dw")), "w")
+        .crossJoin(F.broadcast(ks))
+        .where((F.col("du") > F.col("k")) & (F.col("dw") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("e_k"))
+    )
+    return (
+        ks.join(n_k, "k", "left")
+        .join(e_k, "k", "left")
+        .select(
+            "k",
+            F.coalesce("n_k", F.lit(0)).cast("long").alias("n_k"),
+            F.coalesce("e_k", F.lit(0)).cast("long").alias("e_k"),
+            F.when(
+                F.coalesce("n_k", F.lit(0)) >= 2,
+                F.round(
+                    2.0 * F.coalesce("e_k", F.lit(0))
+                    / (F.col("n_k") * (F.col("n_k") - 1)),
+                    6,
+                ),
+            ).alias("phi"),
+        )
+    )
+
+
+SQL_RICH_CLUB = "WITH " + _GRAPH_CTES + f""",
+rcp AS (SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS w
+        FROM ek WHERE s <> t),
+rcd AS (SELECT vkey, count(*) AS deg FROM
+        (SELECT u AS vkey FROM rcp UNION ALL SELECT w AS vkey FROM rcp)
+        GROUP BY vkey),
+rck AS (SELECT unnest(ARRAY{list(_RC_KS)}) AS k),
+rcn AS (SELECT k, count(*) AS n_k FROM rcd, rck WHERE deg > k GROUP BY k),
+rce AS (
+  SELECT k, count(*) AS e_k
+  FROM rcp
+  JOIN rcd du ON du.vkey = rcp.u
+  JOIN rcd dw ON dw.vkey = rcp.w, rck
+  WHERE du.deg > k AND dw.deg > k
+  GROUP BY k
+)
+SELECT rck.k,
+       CAST(coalesce(rcn.n_k, 0) AS BIGINT) AS n_k,
+       CAST(coalesce(rce.e_k, 0) AS BIGINT) AS e_k,
+       CASE WHEN coalesce(rcn.n_k, 0) >= 2 THEN
+         round(2.0 * coalesce(rce.e_k, 0)
+               / (rcn.n_k * (rcn.n_k - 1)), 6) END AS phi
+FROM rck LEFT JOIN rcn USING (k) LEFT JOIN rce USING (k)
+"""
+
+
 def registry():
     return {
         "densest_subgraph": (q_densest_subgraph, SQL_DENSEST_SUBGRAPH),
+        "rich_club": (q_rich_club, SQL_RICH_CLUB),
         "graph_reciprocity": (q_graph_reciprocity, SQL_GRAPH_RECIPROCITY),
         "betweenness_pivots": (q_betweenness, SQL_BETWEENNESS),
         "bridge_edges": (q_bridge_edges, SQL_BRIDGE_EDGES),

@@ -619,3 +619,56 @@ def test_doc_edit_dups_matches_python(spark):
         assert abs(got[k] - exp[k]) < 1e-9
     # the rerank must discriminate, not rubber-stamp the candidate list
     assert 0 < len(got) < len(cand)
+
+
+def test_ann_trunc_recall_matches_numpy(spark):
+    """Matryoshka truncation audit vs a numpy replication, plus the MRL
+    monotonicity property: longer prefixes can only help average recall."""
+    import numpy as np
+
+    from linkgraph.datapipe import (
+        ANN_K,
+        ANN_QUERIES,
+        _TRUNC_DIM,
+        ann_trunc_recall,
+    )
+    from linkgraph.io import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    E = np.array(
+        [r["embedding"] for r in sorted(rows, key=lambda r: r["vec_id"])],
+        dtype=np.float64,
+    )
+
+    def topk(M):
+        sims = (M / np.linalg.norm(M, axis=1, keepdims=True)) @ (
+            M / np.linalg.norm(M, axis=1, keepdims=True)
+        ).T
+        out = {}
+        for q in range(ANN_QUERIES):
+            order = sorted(
+                (i for i in range(len(M)) if i != q),
+                key=lambda i: (-sims[q, i], i),
+            )
+            out[q] = set(order[:ANN_K])
+        return out
+
+    full, tr = topk(E), topk(E[:, :_TRUNC_DIM])
+    exp = {q: len(full[q] & tr[q]) for q in range(ANN_QUERIES)}
+
+    got = {
+        r["q_id"]: r["n_overlap"] for r in ann_trunc_recall(spark, sf_dir).collect()
+    }
+    assert got == exp
+    # monotone in prefix length on average (the property MRL relies on)
+    tr8 = topk(E[:, :8])
+    mean8 = sum(len(full[q] & tr8[q]) for q in full) / len(full)
+    mean16 = sum(exp.values()) / len(exp)
+    full_self = topk(E[:, : E.shape[1]])
+    assert mean8 <= mean16 <= ANN_K
+    assert all(len(full[q] & full_self[q]) == ANN_K for q in full)

@@ -935,3 +935,32 @@ def test_densest_subgraph_matches_python(spark, dk_edges):
     assert len(exp) >= 2
     sizes = [n for _r, n, _m in exp]
     assert all(a > b for a, b in zip(sizes, sizes[1:]))
+
+
+def test_rich_club_matches_networkx(spark, dk_edges):
+    import networkx as nx
+
+    from linkgraph.graphstats import _RC_KS, q_rich_club
+
+    G = nx.Graph()
+    G.add_edges_from((a, b) for a, b in dk_edges if a != b)
+    ref = nx.rich_club_coefficient(G, normalized=False)
+
+    got = {
+        r["k"]: (r["n_k"], r["e_k"], r["phi"])
+        for r in q_rich_club(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(_RC_KS)
+    for k in _RC_KS:
+        n_k = sum(1 for _v, d in G.degree() if d > k)
+        e_k = sum(
+            1 for a, b in G.edges() if G.degree(a) > k and G.degree(b) > k
+        )
+        assert got[k][:2] == (n_k, e_k)
+        if n_k >= 2:
+            if k in ref:
+                assert got[k][2] == pytest.approx(ref[k], abs=1e-6)
+        else:
+            assert got[k][2] is None
+    # fixture must exercise a non-trivial club at some threshold
+    assert any(v[2] is not None and v[2] > 0 for v in got.values())
