@@ -1016,7 +1016,7 @@ def q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lab.select("vkey", F.col("c").alias("comm_key"))
 
 
-def _louvain_sql(rounds: int) -> str:
+def _louvain_ctes(rounds: int) -> list[str]:
     ctes = [
         _GRAPH_CTES,
         "und AS (SELECT DISTINCT a, b FROM ("
@@ -1066,14 +1066,95 @@ def _louvain_sql(rounds: int) -> str:
             f"= {(r - 1) % 2} THEN p.pick ELSE l.c END AS c "
             f"FROM {p} l JOIN pk{r} p ON p.vkey = l.vkey)"
         )
+    return ctes
+
+
+SQL_LOUVAIN = (
+    "WITH "
+    + ",\n".join(_louvain_ctes(_LOUVAIN_ROUNDS))
+    + f"\nSELECT vkey, c AS comm_key FROM lv{_LOUVAIN_ROUNDS}"
+)
+
+
+def q_community_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conductance audit of the detected Louvain communities: per community
+    phi(c) = cut(c) / min(vol(c), 2m - vol(c)) — the standard quality score
+    for a community (low = well-separated).  Reuses the louvain labels; the
+    audit itself is one label-annotated edge pass + two combinable
+    aggregates + a 1-row total broadcast, integers until the final
+    division, so the whole composition (detect -> audit) hash-verifies
+    cross-engine."""
+    lab = q_louvain(spark, sf_dir).select(
+        "vkey", F.col("comm_key").alias("c")
+    )
+    e = _directed_simple(spark, sf_dir)
+    und = (
+        e.select(F.col("s").alias("a"), F.col("t").alias("b"))
+        .unionByName(e.select(F.col("t").alias("a"), F.col("s").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = und.groupBy(F.col("a").alias("vkey")).agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    vol = (
+        lab.join(deg, "vkey", "left")
+        .groupBy("c")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.coalesce("k", F.lit(0))).alias("vol"),
+        )
+    )
+    cut = (
+        und.join(lab.select(F.col("vkey").alias("a"), F.col("c").alias("ca")), "a")
+        .join(lab.select(F.col("vkey").alias("b"), F.col("c").alias("cb")), "b")
+        .where(F.col("ca") != F.col("cb"))
+        .groupBy(F.col("ca").alias("c"))
+        .agg(F.count(F.lit(1)).alias("cut"))
+    )
+    m2i = und.agg(F.count(F.lit(1)).alias("m2i"))
+    denom = F.least(F.col("vol"), F.col("m2i") - F.col("vol"))
     return (
-        "WITH "
-        + ",\n".join(ctes)
-        + f"\nSELECT vkey, c AS comm_key FROM lv{rounds}"
+        vol.join(cut, "c", "left")
+        .crossJoin(F.broadcast(m2i))
+        .select(
+            F.col("c").alias("comm_key"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("vol").cast("long").alias("vol"),
+            F.coalesce("cut", F.lit(0)).cast("long").alias("cut"),
+            F.when(
+                denom > 0,
+                F.round(F.coalesce("cut", F.lit(0)) / denom, 6),
+            ).alias("conductance"),
+        )
     )
 
 
-SQL_LOUVAIN = _louvain_sql(_LOUVAIN_ROUNDS)
+SQL_COMMUNITY_CONDUCTANCE = (
+    "WITH "
+    + ",\n".join(
+        _louvain_ctes(_LOUVAIN_ROUNDS)
+        + [
+            f"ccv AS MATERIALIZED (SELECT vkey, c FROM lv{_LOUVAIN_ROUNDS})",
+            "ccvol AS (SELECT l.c, count(*) AS n_members, "
+            "CAST(sum(coalesce(kk.k, 0)) AS BIGINT) AS vol "
+            "FROM ccv l LEFT JOIN kk USING (vkey) GROUP BY l.c)",
+            "cccut AS (SELECT la.c, count(*) AS cut FROM und u "
+            "JOIN ccv la ON la.vkey = u.a JOIN ccv lb ON lb.vkey = u.b "
+            "WHERE la.c <> lb.c GROUP BY la.c)",
+            "cctot AS (SELECT CAST(count(*) AS BIGINT) AS m2i FROM und)",
+        ]
+    )
+    + """
+SELECT v.c AS comm_key,
+       CAST(v.n_members AS BIGINT) AS n_members, v.vol,
+       CAST(coalesce(ct.cut, 0) AS BIGINT) AS cut,
+       CASE WHEN least(v.vol, t.m2i - v.vol) > 0 THEN
+         round(coalesce(ct.cut, 0) / CAST(least(v.vol, t.m2i - v.vol) AS DOUBLE), 6)
+       END AS conductance
+FROM ccvol v LEFT JOIN cccut ct ON ct.c = v.c, cctot t
+"""
+)
 
 
 # --------------------------------------------------------------------------
@@ -1891,6 +1972,10 @@ def registry():
     return {
         "densest_subgraph": (q_densest_subgraph, SQL_DENSEST_SUBGRAPH),
         "rich_club": (q_rich_club, SQL_RICH_CLUB),
+        "community_conductance": (
+            q_community_conductance,
+            SQL_COMMUNITY_CONDUCTANCE,
+        ),
         "graph_reciprocity": (q_graph_reciprocity, SQL_GRAPH_RECIPROCITY),
         "betweenness_pivots": (q_betweenness, SQL_BETWEENNESS),
         "bridge_edges": (q_bridge_edges, SQL_BRIDGE_EDGES),

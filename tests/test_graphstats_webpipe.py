@@ -964,3 +964,52 @@ def test_rich_club_matches_networkx(spark, dk_edges):
             assert got[k][2] is None
     # fixture must exercise a non-trivial club at some threshold
     assert any(v[2] is not None and v[2] > 0 for v in got.values())
+
+
+def test_community_conductance_matches_python(spark, dk_edges):
+    """Conductance audit vs from-scratch set arithmetic on the same labels,
+    cross-checked against networkx.conductance where defined."""
+    import networkx as nx
+
+    from linkgraph.graphstats import q_community_conductance, q_louvain
+
+    labels = {
+        r["vkey"]: r["comm_key"] for r in q_louvain(spark, SF_DIR).collect()
+    }
+    und = {tuple(sorted(e)) for e in dk_edges if e[0] != e[1]}
+    half = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    m2 = len(half)
+    deg: dict = {}
+    for a, _b in half:
+        deg[a] = deg.get(a, 0) + 1
+
+    comms = sorted(set(labels.values()))
+    exp = {}
+    for c in comms:
+        members = {v for v, lc in labels.items() if lc == c}
+        vol = sum(deg.get(v, 0) for v in members)
+        cut = sum(1 for a, b in half if a in members and b not in members)
+        den = min(vol, m2 - vol)
+        phi = round(cut / den, 6) if den > 0 else None
+        exp[c] = (len(members), vol, cut, phi)
+
+    got = {
+        r["comm_key"]: (r["n_members"], r["vol"], r["cut"], r["conductance"])
+        for r in q_community_conductance(spark, SF_DIR).collect()
+    }
+    assert got == exp
+
+    G = nx.Graph()
+    G.add_edges_from(und)
+    for c, (_n, vol, _cut, phi) in exp.items():
+        members = {v for v, lc in labels.items() if lc == c} & set(G.nodes)
+        if phi is not None and 0 < vol < m2 and members:
+            assert phi == pytest.approx(
+                nx.conductance(G, members), abs=1e-6
+            )
+    # sanity: every vertex audited exactly once; defined phis are in (0, 1]
+    assert sum(n for n, *_x in exp.values()) == len(labels)
+    assert all(
+        p is None or 0.0 < p <= 1.0 for *_x, p in exp.values()
+    )
+    assert len(exp) >= 2
