@@ -1904,6 +1904,48 @@ GROUP BY doc_id
 """
 
 
+def doc_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language — the multilingual-LM audit of a
+    learned vocabulary: avg BPE tokens per whitespace word per language
+    class (a vocabulary trained on a mixed corpus compresses its dominant
+    language best; fertility quantifies the tax on the others).
+    Composition of doc_bpe_encode with the corpus language column: one
+    doc-id equi-join + one tiny combinable groupBy on top of its plan."""
+    enc = doc_bpe_encode(spark, sf_dir)
+    lang = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        enc.join(lang, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.round(F.sum("n_tokens") / F.sum("n_words"), 6).alias("fertility"),
+        )
+    )
+
+
+SQL_DOC_BPE_FERTILITY = _bpe_sql_ctes(_BPE_MERGES) + f""",
+bpe_enc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(len(string_split(substr(st.w, 2), '{_BPE_SEP}'))) AS BIGINT)
+           AS n_tokens
+  FROM (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word
+        FROM documents) dw
+  JOIN bpe_st{_BPE_MERGES} st USING (word)
+  GROUP BY doc_id
+)
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(e.n_words) AS BIGINT) AS n_words,
+       CAST(sum(e.n_tokens) AS BIGINT) AS n_tokens,
+       round(sum(e.n_tokens) / CAST(sum(e.n_words) AS DOUBLE), 6) AS fertility
+FROM bpe_enc e JOIN documents d USING (doc_id)
+GROUP BY d.lang
+"""
+
+
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
     return {
         "doc_split": (doc_split, SQL_DOC_SPLIT),
@@ -1933,6 +1975,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "doc_dsir_select": (doc_dsir_select, SQL_DOC_DSIR),
         "doc_bpe_merges": (doc_bpe_merges, SQL_DOC_BPE_MERGES),
         "doc_bpe_encode": (doc_bpe_encode, SQL_DOC_BPE_ENCODE),
+        "doc_bpe_fertility": (doc_bpe_fertility, SQL_DOC_BPE_FERTILITY),
         "doc_edit_dups": (doc_edit_dups, SQL_DOC_EDIT_DUPS),
         "ann_trunc_recall": (ann_trunc_recall, SQL_ANN_TRUNC_RECALL),
     }

@@ -1968,9 +1968,130 @@ FROM rck LEFT JOIN rcn USING (k) LEFT JOIN rce USING (k)
 """
 
 
+# --------------------------------------------------------------------------
+# time-decayed PageRank: recency-weighted authority.  Edge OCCURRENCES keep
+# their event time; each contributes 0.5^(age_days vs the corpus max DATE).
+# Day-granular integer ages + powers of 1/2 make every occurrence weight an
+# exact dyadic rational (magnitude 2^-age, age bounded), so weight SUMS are
+# exact in binary floating point regardless of aggregation order — the
+# decayed graph is bit-identical between Spark partial aggregation and
+# DuckDB, and the 5-superstep PageRank rides the SAME unrolled-CTE oracle
+# machinery as the flagship (pagerank_unroll_ctes is parameterized by the
+# graph CTE block for exactly this reuse).
+# --------------------------------------------------------------------------
+
+_DECAY_STEPS = 5
+
+
+def _decayed_graph(spark: SparkSession, sf_dir: str):
+    from .derive import GraphTables, build_degrees
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    turn = ev.select(
+        F.col("event_type").alias("s"),
+        F.lead("event_type").over(w).alias("t"),
+        F.lead("ts").over(w).alias("ets"),
+    ).where(F.col("t").isNotNull())
+    tool = ev.select(
+        F.concat(F.lit("user:"), F.col("user_id").cast("string")).alias("s"),
+        F.col("event_type").alias("t"),
+        F.col("ts").alias("ets"),
+    )
+    occ = turn.unionByName(tool)
+    mx = occ.agg(F.max(F.to_date("ets")).alias("mxd"))
+    e = (
+        occ.crossJoin(F.broadcast(mx))
+        .select(
+            "s",
+            "t",
+            F.pow(F.lit(0.5), F.datediff("mxd", F.to_date("ets"))).alias("wo"),
+        )
+        .groupBy("s", "t")
+        .agg(F.sum("wo").alias("w"))
+    )
+    vw = Window.orderBy("vkey")
+    vertices = (
+        e.select(F.col("s").alias("vkey"))
+        .unionByName(e.select(F.col("t").alias("vkey")))
+        .distinct()
+        .select(
+            "vkey",
+            (F.row_number().over(vw) - 1).cast("long").alias("vid"),
+            F.lit("actor").alias("vtype"),
+        )
+    )
+    v = F.broadcast(vertices)
+    edges = (
+        e.join(v.select(F.col("vkey").alias("s"), F.col("vid").alias("src")), "s")
+        .join(v.select(F.col("vkey").alias("t"), F.col("vid").alias("dst")), "t")
+        .select("src", "dst", F.lit("decayed").alias("etype"), "w")
+    )
+    return GraphTables(
+        vertices=vertices, edges=edges, degrees=build_degrees(edges, vertices)
+    )
+
+
+def q_decayed_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted authority: 5 fixed PageRank supersteps over the
+    time-decayed events graph, top-10 actors by rounded rank."""
+    from .pagerank import pagerank_naive
+
+    g = _decayed_graph(spark, sf_dir)
+    res = pagerank_naive(g, tol=0.0, max_iter=_DECAY_STEPS)
+    return (
+        res.ranks.join(g.vertices, "vid")
+        .select(F.col("vkey").alias("actor"), F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), "actor")
+        .limit(10)
+    )
+
+
+_DECAYED_GRAPH_CTES = """
+base AS (SELECT user_id, event_type, ts, event_id FROM events),
+turn AS (
+  SELECT event_type AS s,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ets
+  FROM base
+), occ AS (
+  SELECT s, t, ets FROM turn WHERE t IS NOT NULL
+  UNION ALL
+  SELECT 'user:' || CAST(user_id AS VARCHAR) AS s, event_type AS t, ts AS ets
+  FROM base
+), mx AS (SELECT max(CAST(ets AS DATE)) AS mxd FROM occ),
+e AS (
+  SELECT s, t,
+         sum(power(0.5, date_diff('day', CAST(ets AS DATE), mx.mxd))) AS w
+  FROM occ, mx GROUP BY s, t
+), v AS (
+  SELECT vkey, CAST(row_number() OVER (ORDER BY vkey) - 1 AS BIGINT) AS vid
+  FROM (SELECT DISTINCT vkey
+        FROM (SELECT s AS vkey FROM e UNION ALL SELECT t AS vkey FROM e))
+), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v)"""
+
+
+def _decayed_pagerank_sql(k: int = _DECAY_STEPS, limit: int = 10) -> str:
+    from .graph_oracles import pagerank_unroll_ctes
+
+    ctes = pagerank_unroll_ctes(k, 0.85, _DECAYED_GRAPH_CTES)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT vkey AS actor, round(r, 6) AS rank
+FROM r{k} ORDER BY rank DESC, actor LIMIT {limit}
+"""
+    )
+
+
+SQL_DECAYED_PAGERANK = _decayed_pagerank_sql()
+
+
 def registry():
     return {
         "densest_subgraph": (q_densest_subgraph, SQL_DENSEST_SUBGRAPH),
+        "decayed_pagerank": (q_decayed_pagerank, SQL_DECAYED_PAGERANK),
         "rich_club": (q_rich_club, SQL_RICH_CLUB),
         "community_conductance": (
             q_community_conductance,
