@@ -1946,6 +1946,221 @@ GROUP BY d.lang
 """
 
 
+# --------------------------------------------------------------------------
+# temperature-scaled multilingual sampling (the mBERT/XLM-R/UniMax exponent
+# trick): upsample low-resource languages by replacing the natural token
+# share p_l with q_l ∝ p_l^ALPHA.  One combinable groupBy(lang) over integer
+# word counts + a 1-row normalizer broadcast — nothing here grows with
+# corpus size except the single lang-keyed shuffle.
+# --------------------------------------------------------------------------
+
+_TEMP_ALPHA = 0.3  # XLM-R's sampling exponent (tau = 1/alpha)
+
+
+def lang_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language sampling rates under temperature-scaled mixing:
+    p_l = tokens_l / total, q_l = p_l^0.3 / sum(p^0.3), boost = q_l / p_l.
+    boost > 1 means the language is upsampled relative to its natural
+    share (the low-resource languages), < 1 downsampled (the head)."""
+    d = load_table(spark, sf_dir, "documents")
+    per_lang = (
+        d.select("lang", F.size(_words(F.col("text"))).alias("n_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tokens"),
+        )
+    )
+    tot = per_lang.agg(
+        F.sum("tokens").alias("_tok_total"),
+        F.sum(F.pow(F.col("tokens").cast("double"), F.lit(_TEMP_ALPHA))).alias(
+            "_q_norm_raw"
+        ),
+    )
+    # q_l ∝ p_l^a ∝ tokens_l^a (the total^a factor cancels in the
+    # normalization), so the normalizer can stay in exact-integer-input
+    # space: sum of tokens^a, never of p^a.
+    return (
+        per_lang.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "tokens",
+            F.round(F.col("tokens") / F.col("_tok_total"), 6).alias("p"),
+            F.round(
+                F.pow(F.col("tokens").cast("double"), F.lit(_TEMP_ALPHA))
+                / F.col("_q_norm_raw"),
+                6,
+            ).alias("q"),
+            F.round(
+                F.pow(F.col("tokens").cast("double"), F.lit(_TEMP_ALPHA))
+                / F.col("_q_norm_raw")
+                / (F.col("tokens") / F.col("_tok_total")),
+                6,
+            ).alias("boost"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_LANG_TEMPERATURE_MIX = f"""
+WITH per_lang AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(lower(trim(text)), ' '))) AS BIGINT)
+           AS tokens
+  FROM documents GROUP BY lang
+), tot AS (
+  SELECT CAST(sum(tokens) AS DOUBLE) AS tok_total,
+         sum(power(CAST(tokens AS DOUBLE), {_TEMP_ALPHA})) AS q_norm_raw
+  FROM per_lang
+)
+SELECT lang, n_docs, tokens,
+       round(tokens / tok_total, 6) AS p,
+       round(power(CAST(tokens AS DOUBLE), {_TEMP_ALPHA}) / q_norm_raw, 6) AS q,
+       round(power(CAST(tokens AS DOUBLE), {_TEMP_ALPHA}) / q_norm_raw
+             / (tokens / tok_total), 6) AS boost
+FROM per_lang, tot
+ORDER BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# duplicated-span detection — the corpus-linear approximation of Lee et
+# al. 2022's suffix-array exact-substring dedup ("Deduplicating Training
+# Data Makes Language Models Better"): hash every word-k-gram WITH its
+# position, keep grams seen in >= 2 distinct docs, and merge each doc's
+# hit positions into maximal islands (gaps-and-islands over a window).
+# At 100 TB the gram explode is the same shape as the MinHash shingle
+# pass, the gram groupBy is ONE combinable shuffle (swap count(distinct)
+# for a 2-cap partial at scale), the marker semi-join is hash-keyed, and
+# the island merge is one doc-partitioned window — everything linear in
+# corpus size, never pairwise.
+# --------------------------------------------------------------------------
+
+_SPAN_K = 5  # word-gram width; spans shorter than K words are invisible
+
+
+def _span_grams(spark: SparkSession, sf_dir: str):
+    """(doc_id, n_words, p, h): md5-int64 of each word-K-gram at 1-based
+    start position p (empty for docs shorter than K words)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", _words(F.col("text")).alias("w")
+    ).withColumn("n_words", F.size("w"))
+    g = w.select(
+        "doc_id",
+        "n_words",
+        F.explode(
+            F.transform(
+                _gram_starts(F.col("w"), _SPAN_K),
+                lambda i: F.struct(
+                    i.alias("p"),
+                    _md5_int(
+                        F.concat_ws(" ", F.slice(F.col("w"), i, _SPAN_K))
+                    ).alias("h"),
+                ),
+            )
+        ).alias("g"),
+    )
+    return g.select("doc_id", "n_words", F.col("g.p").alias("p"), F.col("g.h").alias("h"))
+
+
+def doc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-span accounting: positions whose K-gram occurs
+    in >= 2 distinct docs, merged into maximal token islands.  Returns one
+    row per doc that contains at least one cross-doc duplicated span:
+    (doc_id, n_words, n_spans, dup_tokens, dup_frac)."""
+    g = _span_grams(spark, sf_dir)
+    shared = (
+        g.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    hits = g.join(shared, "h").select("doc_id", "n_words", "p")
+    wp = Window.partitionBy("doc_id").orderBy("p")
+    prev_end = F.max(F.col("p") + _SPAN_K - 1).over(
+        wp.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = hits.withColumn(
+        "new_isl",
+        F.when(
+            prev_end.isNull() | (F.col("p") > prev_end + 1), F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "isl",
+        F.sum("new_isl").over(wp.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = isl.groupBy("doc_id", "n_words", "isl").agg(
+        (F.max("p") + _SPAN_K - 1 - F.min("p") + 1).alias("span_len")
+    )
+    return (
+        spans.groupBy("doc_id", "n_words")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("span_len").alias("dup_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_spans",
+            "dup_tokens",
+            F.round(
+                F.col("dup_tokens") / F.col("n_words").cast("double"), 6
+            ).alias("dup_frac"),
+        )
+    )
+
+
+SQL_DOC_SPAN_DEDUP = f"""
+WITH g AS (
+  SELECT doc_id, n_words, s.p AS p, s.h AS h
+  FROM (
+    SELECT doc_id, len(w) AS n_words,
+           unnest(list_transform(
+             generate_series(1, greatest(len(w) - {_SPAN_K - 1}, 0)),
+             i -> struct_pack(
+               p := i,
+               h := {_sql_md5_int(f"concat_ws(' ', list_slice(w, i, i + {_SPAN_K - 1}))")}
+             )
+           )) AS s
+    FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+          FROM documents)
+  )
+), shared AS (
+  SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+), hits AS (
+  SELECT doc_id, n_words, p FROM g JOIN shared USING (h)
+), isl AS (
+  SELECT doc_id, n_words, p,
+         sum(new_isl) OVER (PARTITION BY doc_id ORDER BY p
+                            ROWS UNBOUNDED PRECEDING) AS isl
+  FROM (
+    SELECT doc_id, n_words, p,
+           CASE WHEN prev_end IS NULL OR p > prev_end + 1 THEN 1 ELSE 0 END
+             AS new_isl
+    FROM (
+      SELECT doc_id, n_words, p,
+             max(p + {_SPAN_K} - 1) OVER (
+               PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM hits
+    )
+  )
+), spans AS (
+  SELECT doc_id, n_words, isl,
+         max(p) + {_SPAN_K} - 1 - min(p) + 1 AS span_len
+  FROM isl GROUP BY doc_id, n_words, isl
+)
+SELECT doc_id, n_words,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(span_len) AS BIGINT) AS dup_tokens,
+       round(sum(span_len) / CAST(n_words AS DOUBLE), 6) AS dup_frac
+FROM spans GROUP BY doc_id, n_words
+"""
+
+
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
     return {
         "doc_split": (doc_split, SQL_DOC_SPLIT),
@@ -1976,6 +2191,8 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "doc_bpe_merges": (doc_bpe_merges, SQL_DOC_BPE_MERGES),
         "doc_bpe_encode": (doc_bpe_encode, SQL_DOC_BPE_ENCODE),
         "doc_bpe_fertility": (doc_bpe_fertility, SQL_DOC_BPE_FERTILITY),
+        "lang_temperature_mix": (lang_temperature_mix, SQL_LANG_TEMPERATURE_MIX),
+        "doc_span_dedup": (doc_span_dedup, SQL_DOC_SPAN_DEDUP),
         "doc_edit_dups": (doc_edit_dups, SQL_DOC_EDIT_DUPS),
         "ann_trunc_recall": (ann_trunc_recall, SQL_ANN_TRUNC_RECALL),
     }

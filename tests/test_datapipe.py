@@ -672,3 +672,90 @@ def test_ann_trunc_recall_matches_numpy(spark):
     full_self = topk(E[:, : E.shape[1]])
     assert mean8 <= mean16 <= ANN_K
     assert all(len(full[q] & full_self[q]) == ANN_K for q in full)
+
+
+def test_lang_temperature_mix_matches_numpy(spark):
+    from linkgraph.datapipe import _TEMP_ALPHA, lang_temperature_mix
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    toks = (
+        docs.assign(n=docs["text"].map(lambda t: len(t.strip().lower().split(" "))))
+        .groupby("lang")["n"]
+        .sum()
+    )
+    p = toks / toks.sum()
+    q_raw = np.power(toks.to_numpy(dtype=np.float64), _TEMP_ALPHA)
+    q = q_raw / q_raw.sum()
+
+    out = lang_temperature_mix(spark, SF).toPandas().set_index("lang")
+    assert list(out.index) == sorted(toks.index)
+    for lang in toks.index:
+        assert out.loc[lang, "tokens"] == toks[lang]
+        assert out.loc[lang, "p"] == pytest.approx(p[lang], abs=1e-6)
+        assert out.loc[lang, "q"] == pytest.approx(
+            q[list(toks.index).index(lang)], abs=1e-6
+        )
+    # temperature flattening: every language's q is strictly between its
+    # natural share and the uniform share (the whole point of the exponent)
+    uni = 1.0 / len(toks)
+    for lang in toks.index:
+        lo, hi = sorted((p[lang], uni))
+        assert lo - 1e-9 <= out.loc[lang, "q"] <= hi + 1e-9
+    assert out["q"].sum() == pytest.approx(1.0, abs=1e-5)
+    # boost > 1 exactly for the below-uniform (low-resource) languages
+    for lang in toks.index:
+        assert (out.loc[lang, "boost"] > 1) == (p[lang] < uni)
+
+
+def test_doc_span_dedup_matches_python(spark):
+    import hashlib
+
+    from linkgraph.datapipe import _SPAN_K, doc_span_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+
+    def md5i(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    # from-scratch: positional gram table -> shared hashes -> island merge
+    grams = {}  # h -> set(doc_id)
+    pos = {}  # doc_id -> (n_words, [(p, h)])
+    for _, row in docs.iterrows():
+        w = row["text"].strip().lower().split(" ")
+        ps = []
+        for i in range(len(w) - _SPAN_K + 1):
+            h = md5i(" ".join(w[i : i + _SPAN_K]))
+            ps.append((i + 1, h))
+            grams.setdefault(h, set()).add(row["doc_id"])
+        pos[row["doc_id"]] = (len(w), ps)
+    shared = {h for h, d in grams.items() if len(d) >= 2}
+
+    expected = {}
+    for doc_id, (n_words, ps) in pos.items():
+        hit = sorted(p for p, h in ps if h in shared)
+        if not hit:
+            continue
+        islands = []
+        for p in hit:
+            if islands and p <= islands[-1][1] + 1:
+                islands[-1][1] = max(islands[-1][1], p + _SPAN_K - 1)
+            else:
+                islands.append([p, p + _SPAN_K - 1])
+        dup = sum(e - s + 1 for s, e in islands)
+        expected[doc_id] = (n_words, len(islands), dup)
+
+    out = doc_span_dedup(spark, SF).toPandas().set_index("doc_id")
+    assert set(out.index) == set(expected)
+    for doc_id, (n_words, n_spans, dup) in expected.items():
+        assert out.loc[doc_id, "n_words"] == n_words
+        assert out.loc[doc_id, "n_spans"] == n_spans
+        assert out.loc[doc_id, "dup_tokens"] == dup
+        assert out.loc[doc_id, "dup_frac"] == pytest.approx(
+            round(dup / n_words, 6), abs=1e-9
+        )
+    # exact duplicate docs must be fully covered by one span
+    dup_texts = docs[docs.duplicated("text", keep=False)]
+    for doc_id in dup_texts["doc_id"]:
+        n_words = expected.get(doc_id, (0, 0, 0))[0]
+        if doc_id in expected and n_words >= _SPAN_K:
+            assert expected[doc_id][2] == n_words
