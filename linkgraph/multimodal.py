@@ -569,6 +569,123 @@ FROM sized WHERE r IN (0, 3)
 """
 
 
+# --------------------------------------------------------------------------
+# image perceptual hash (difference hash) — the image-dedup primitive at
+# corpus scale: decode -> downsample the pixel row into _PH_BUCKETS mean
+# buckets -> one bit per adjacent-bucket gradient.  Bucket means are
+# compared by exact integer cross-multiplication (sum_a*cnt_b > sum_b*cnt_a)
+# so the hash is bit-identical between the numpy path and the oracle's
+# byte-level reconstruction.  Docs narrower than _PH_BUCKETS px are skipped
+# (no stable gradient signature exists) — same rule in both engines.
+# --------------------------------------------------------------------------
+
+_PH_BUCKETS = 33  # 33 buckets -> 32 gradient bits
+
+
+def _dhash_row(pixels: bytes) -> int | None:
+    """32-bit dHash of a 1×W grayscale pixel row (None if W < buckets)."""
+    import numpy as np
+
+    w = len(pixels)
+    if w < _PH_BUCKETS:
+        return None
+    v = np.frombuffer(pixels, dtype=np.uint8).astype(np.int64)
+    bkt = np.arange(w, dtype=np.int64) * _PH_BUCKETS // w
+    sums = np.bincount(bkt, weights=v, minlength=_PH_BUCKETS).astype(np.int64)
+    cnts = np.bincount(bkt, minlength=_PH_BUCKETS).astype(np.int64)
+    bits = sums[:-1] * cnts[1:] > sums[1:] * cnts[:-1]
+    return int((bits.astype(np.int64) << np.arange(_PH_BUCKETS - 1)).sum())
+
+
+def _image_pixels(payload: bytes, mime: str) -> bytes:
+    """Pixel row of a decoded 1-row image container (REAL byte decode)."""
+    if mime == "image/bmp":
+        (pixel_off,) = struct.unpack_from("<I", bytes(payload), 10)
+        (width,) = struct.unpack_from("<i", bytes(payload), 18)
+        return bytes(payload)[pixel_off : pixel_off + width]
+    if mime == "image/png":
+        _w, _h, pixels = _png_read(bytes(payload))
+        return pixels
+    raise ValueError(f"not an image mime {mime!r}")
+
+
+def media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup detection via perceptual difference-hash: decode the
+    image payloads, dHash each pixel row, and count how many images share
+    each signature.  Exact duplicates and brightness-preserving re-encodes
+    (BMP vs PNG of the same pixels) collide; the groupBy(phash) is the ONE
+    corpus-wide shuffle — at 100 TB this is the standard shuffle-on-64-bit
+    -signature image dedup shape, never pairwise."""
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "mime": [], "width": [], "phash": []}
+            for doc_id, mime, payload in zip(
+                pdf["doc_id"], pdf["mime"], pdf["payload"]
+            ):
+                if mime not in ("image/bmp", "image/png"):
+                    continue
+                px = _image_pixels(payload, mime)
+                h = _dhash_row(px)
+                if h is None:
+                    continue
+                rows["doc_id"].append(int(doc_id))
+                rows["mime"].append(mime)
+                rows["width"].append(len(px))
+                rows["phash"].append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "mime": pd.Series(rows["mime"], dtype="object"),
+                    "width": pd.Series(rows["width"], dtype="int32"),
+                    "phash": pd.Series(rows["phash"], dtype="int64"),
+                }
+            )
+
+    hashed = media_table(spark, sf_dir).mapInPandas(
+        hash_batch, "doc_id long, mime string, width int, phash long"
+    )
+    from pyspark.sql import Window
+
+    n_same = F.count(F.lit(1)).over(Window.partitionBy("phash"))
+    return hashed.select(
+        "doc_id", "mime", "width", "phash", n_same.alias("n_same")
+    )
+
+
+SQL_MEDIA_PHASH = f"""
+WITH px AS (
+  SELECT doc_id,
+         CASE doc_id % 4 WHEN 0 THEN 'image/bmp' ELSE 'image/png' END AS mime,
+         hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS w
+  FROM documents
+  WHERE doc_id % 4 IN (0, 3) AND octet_length(encode(text)) >= {_PH_BUCKETS}
+), bytes AS (
+  SELECT doc_id, mime, w, unnest(generate_series(0, w - 1)) AS i, hx
+  FROM px
+), bkts AS (
+  SELECT doc_id, mime, w,
+         (i * {_PH_BUCKETS}) // w AS bkt,
+         CAST(sum(CAST(('0x' || substr(hx, 2 * i + 1, 2)) AS INT)) AS BIGINT)
+           AS s,
+         CAST(count(*) AS BIGINT) AS c
+  FROM bytes GROUP BY doc_id, mime, w, (i * {_PH_BUCKETS}) // w
+), hashed AS (
+  SELECT a.doc_id, a.mime, a.w AS width,
+         CAST(sum(CASE WHEN a.s * b.c > b.s * a.c
+                       THEN CAST(1 AS BIGINT) << a.bkt ELSE 0 END) AS BIGINT)
+           AS phash
+  FROM bkts a JOIN bkts b
+    ON a.doc_id = b.doc_id AND b.bkt = a.bkt + 1
+  GROUP BY a.doc_id, a.mime, a.w
+)
+SELECT doc_id, mime, CAST(width AS INTEGER) AS width, phash,
+       CAST(count(*) OVER (PARTITION BY phash) AS BIGINT) AS n_same
+FROM hashed
+"""
+
+
 def registry():
     """name -> (spark_fn, duckdb_oracle_sql) for the driver contract."""
     return {
@@ -576,4 +693,5 @@ def registry():
         "media_decode": (media_decode, SQL_MEDIA_DECODE),
         "media_frames": (media_frames, SQL_MEDIA_FRAMES),
         "media_resize": (media_resize_meta, SQL_MEDIA_RESIZE),
+        "media_phash": (media_phash, SQL_MEDIA_PHASH),
     }

@@ -181,3 +181,53 @@ def test_media_resize_bytes_roundtrip(spark):
         assert fp == r.new_fp == hashlib.md5(want_row).hexdigest()
         assert r.new_n_bytes == len(bytes(r.payload))
     assert mimes_seen == {0, 3}
+
+
+def test_media_phash_matches_python_and_groups_dups(spark):
+    from linkgraph.multimodal import _PH_BUCKETS, media_phash
+
+    sf = "/root/testdata/sf0.001"
+    out = media_phash(spark, sf).toPandas()
+    docs = {
+        int(r["doc_id"]): r["text"]
+        for r in spark.read.parquet(f"{sf}/documents.parquet").collect()
+        if int(r["doc_id"]) % 4 in (0, 3)
+    }
+
+    # from-scratch dHash over the raw pixel row (== utf-8 bytes of text)
+    def ref_hash(b: bytes) -> int | None:
+        w = len(b)
+        if w < _PH_BUCKETS:
+            return None
+        s = [0] * _PH_BUCKETS
+        c = [0] * _PH_BUCKETS
+        for i, v in enumerate(b):
+            s[i * _PH_BUCKETS // w] += v
+            c[i * _PH_BUCKETS // w] += 1
+        return sum(
+            1 << j
+            for j in range(_PH_BUCKETS - 1)
+            if s[j] * c[j + 1] > s[j + 1] * c[j]
+        )
+
+    expected = {
+        d: ref_hash(t.encode("utf-8"))
+        for d, t in docs.items()
+        if ref_hash(t.encode("utf-8")) is not None
+    }
+    got = dict(zip(out["doc_id"].astype(int), out["phash"].astype(int)))
+    assert got == expected
+
+    # identical texts (the planted exact dups) must share a signature,
+    # and n_same must equal the corpus-wide signature frequency
+    from collections import Counter
+
+    freq = Counter(expected.values())
+    for r in out.itertuples():
+        assert int(r.n_same) == freq[int(r.phash)]
+    texts = {}
+    for d, t in docs.items():
+        texts.setdefault(t, []).append(d)
+    for t, ids in texts.items():
+        if len(ids) > 1 and len(t.encode()) >= _PH_BUCKETS:
+            assert len({expected[d] for d in ids}) == 1
