@@ -39,6 +39,7 @@ from .io import load_table
 from .pregel import (
     BFS_INF,
     BFSProgram,
+    BipartiteProgram,
     ComponentsProgram,
     EigenvectorProgram,
     GraphContext,
@@ -127,6 +128,90 @@ FROM (
   FROM ({SQL_ENGINE_COMPONENTS}) GROUP BY comp_key
 )
 GROUP BY size
+"""
+
+
+def engine_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-colorability / odd-cycle audit per component: hash-min CC picks
+    each component's root, then BipartiteProgram propagates the 2-bit
+    parity-reachability mask from the roots over the undirected simple
+    graph; a component is bipartite iff no vertex sees both parities
+    (mask == 3).  This is the standard pre-check before bipartite-only
+    algorithms (two-sided projections, bipartite matching) on e.g.
+    user↔tool interaction graphs.  Output one row per component:
+    (comp_key, n_vertices, n_conflicts, is_bipartite)."""
+    g, ctx = _events_ctx(spark, sf_dir)
+    try:
+        cc = run_program(ctx, ComponentsProgram(), max_iter=100)
+        if not cc.converged:
+            raise RuntimeError("engine_bipartite: CC did not converge")
+        roots = cc.state.where(F.col("vid") == F.col("comp")).select("vid")
+        bp = run_program(ctx, BipartiteProgram(roots), max_iter=400)
+        if not bp.converged:
+            raise RuntimeError("engine_bipartite: parity mask did not converge")
+        v = g.vertices.select("vkey", "vid")
+        comp_key = v.select(F.col("vid").alias("comp"), F.col("vkey").alias("comp_key"))
+        joined = (
+            cc.state.select("vid", "comp")
+            .join(bp.state.select("vid", "mask"), "vid")
+            .join(comp_key, "comp")
+        )
+        conflicts = F.sum((F.col("mask") == 3).cast("long"))
+        return joined.groupBy("comp_key").agg(
+            F.count(F.lit(1)).alias("n_vertices"),
+            conflicts.alias("n_conflicts"),
+            (conflicts == 0).alias("is_bipartite"),
+        )
+    finally:
+        ctx.unpersist()
+
+
+# parity closure: (v, par) states are bounded by 2·V, so the recursive
+# UNION terminates exactly — no fixed-k unrolling needed (unlike BFS dist).
+# und is the same self-loop-free simple view the engine's CSR uses.
+SQL_ENGINE_BIPARTITE = """
+WITH base AS (
+  SELECT user_id, event_type, ts, event_id FROM events
+), turn AS (
+  SELECT event_type AS a,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b
+  FROM base
+), pairs AS (
+  SELECT a, b FROM turn WHERE b IS NOT NULL
+  UNION ALL
+  SELECT 'user:' || CAST(user_id AS VARCHAR) AS a, event_type AS b FROM base
+), und AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT a, b FROM pairs WHERE a <> b
+    UNION ALL
+    SELECT b AS a, a AS b FROM pairs WHERE a <> b
+  )
+), nodes AS (
+  SELECT DISTINCT a AS v FROM (SELECT a FROM pairs UNION ALL SELECT b FROM pairs)
+), reach AS (
+  WITH RECURSIVE r(v, root) AS (
+    SELECT v, v FROM nodes
+    UNION
+    SELECT und.b, r.root FROM r JOIN und ON und.a = r.v
+  )
+  SELECT * FROM r
+), comp AS (
+  SELECT v, min(root) AS comp_key FROM reach GROUP BY v
+), par AS (
+  WITH RECURSIVE p(v, par) AS (
+    SELECT DISTINCT comp_key, 0 FROM comp
+    UNION
+    SELECT und.b, 1 - p.par FROM p JOIN und ON und.a = p.v
+  )
+  SELECT v, count(*) AS n_par FROM p GROUP BY v
+)
+SELECT c.comp_key,
+       CAST(count(*) AS BIGINT) AS n_vertices,
+       CAST(sum(CASE WHEN m.n_par = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_conflicts,
+       sum(CASE WHEN m.n_par = 2 THEN 1 ELSE 0 END) = 0 AS is_bipartite
+FROM comp c JOIN par m ON m.v = c.v
+GROUP BY c.comp_key
 """
 
 
@@ -535,6 +620,7 @@ def registry():
     return {
         "engine_components": (engine_components, SQL_ENGINE_COMPONENTS),
         "component_sizes": (engine_component_sizes, SQL_ENGINE_COMPONENT_SIZES),
+        "engine_bipartite": (engine_bipartite, SQL_ENGINE_BIPARTITE),
         "engine_triangles": (engine_triangles, SQL_TRIANGLE_COUNT),
         "engine_pagerank": (engine_pagerank, SQL_ENGINE_PAGERANK),
         "engine_labelprop": (engine_labelprop, SQL_ENGINE_LABELPROP),

@@ -686,6 +686,105 @@ FROM hashed
 """
 
 
+# --------------------------------------------------------------------------
+# Windowed audio energy (WAV analog of media_phash): the voice-activity /
+# silence-trim primitive of audio corpus pipelines.
+# --------------------------------------------------------------------------
+
+_EN_WIN = 64  # PCM samples per energy window
+
+
+def _wav_samples(payload: bytes) -> tuple[int, bytes]:
+    """(sample_rate, raw 8-bit PCM data) from a REAL RIFF/WAVE byte walk."""
+    b = bytes(payload)
+    tag, body = next(_riff_walk(b))
+    if tag != b"RIFF" or body[:4] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    rate, data = None, None
+    for ctag, cbody in _riff_walk(body[4:]):
+        if ctag == b"fmt ":
+            (rate,) = struct.unpack_from("<I", cbody, 4)
+        elif ctag == b"data":
+            data = cbody
+    if rate is None or data is None:
+        raise ValueError("WAVE missing fmt /data chunk")
+    return rate, data
+
+
+def media_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window audio energy over REAL-decoded WAV payloads: walk the
+    RIFF chunk list for fmt /data, then emit one row per 64-sample window
+    with the integer sum of squared deviations from the 8-bit midpoint
+    (128) — the exact-integer analog of windowed RMS loudness used for
+    silence trimming / voice-activity gating.  100 TB posture: the payload
+    never shuffles — decode + window reduction happen in one Arrow pass
+    where the bytes live, and only the tiny (doc_id, win_idx, energy)
+    rows ever move."""
+    import numpy as np
+
+    def energy_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "sample_rate": [], "win_idx": [],
+                   "n_samples": [], "energy": []}
+            for doc_id, mime, payload in zip(
+                pdf["doc_id"], pdf["mime"], pdf["payload"]
+            ):
+                if mime != "audio/wav":
+                    continue
+                rate, data = _wav_samples(payload)
+                if not data:
+                    continue
+                d = np.frombuffer(data, dtype=np.uint8).astype(np.int64) - 128
+                win = np.arange(len(d), dtype=np.int64) // _EN_WIN
+                nwin = int(win[-1]) + 1
+                e = np.bincount(win, weights=d * d, minlength=nwin).astype(np.int64)
+                c = np.bincount(win, minlength=nwin).astype(np.int64)
+                out["doc_id"].extend([int(doc_id)] * nwin)
+                out["sample_rate"].extend([int(rate)] * nwin)
+                out["win_idx"].extend(range(nwin))
+                out["n_samples"].extend(c.tolist())
+                out["energy"].extend(e.tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "sample_rate": pd.Series(out["sample_rate"], dtype="int32"),
+                    "win_idx": pd.Series(out["win_idx"], dtype="int64"),
+                    "n_samples": pd.Series(out["n_samples"], dtype="int64"),
+                    "energy": pd.Series(out["energy"], dtype="int64"),
+                }
+            )
+
+    return media_table(spark, sf_dir).mapInPandas(
+        energy_batch,
+        "doc_id long, sample_rate int, win_idx long, n_samples long, energy long",
+    )
+
+
+# synth mirror: WAV payloads are doc_id % 4 == 1; PCM data = the UTF-8 text
+# bytes; sample_rate = 8000 + 1000 * (doc_id % 8) — see _synth_payload.
+SQL_MEDIA_ENERGY = f"""
+WITH wav AS (
+  SELECT doc_id,
+         CAST(8000 + 1000 * (doc_id % 8) AS INTEGER) AS sample_rate,
+         hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+  WHERE doc_id % 4 = 1 AND octet_length(encode(text)) > 0
+), bytes AS (
+  SELECT doc_id, sample_rate, unnest(generate_series(0, n - 1)) AS i, hx
+  FROM wav
+)
+SELECT doc_id, sample_rate,
+       i // {_EN_WIN} AS win_idx,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum((CAST(('0x' || substr(hx, 2 * i + 1, 2)) AS BIGINT) - 128)
+                * (CAST(('0x' || substr(hx, 2 * i + 1, 2)) AS BIGINT) - 128))
+            AS BIGINT) AS energy
+FROM bytes
+GROUP BY doc_id, sample_rate, i // {_EN_WIN}
+"""
+
+
 def registry():
     """name -> (spark_fn, duckdb_oracle_sql) for the driver contract."""
     return {
@@ -694,4 +793,5 @@ def registry():
         "media_frames": (media_frames, SQL_MEDIA_FRAMES),
         "media_resize": (media_resize_meta, SQL_MEDIA_RESIZE),
         "media_phash": (media_phash, SQL_MEDIA_PHASH),
+        "media_energy": (media_energy, SQL_MEDIA_ENERGY),
     }

@@ -993,6 +993,144 @@ class BFSProgram:
         return stats["changes"] == 0
 
 
+class BipartiteProgram:
+    """Two-colorability (odd-cycle) check over the undirected simple graph.
+
+    Propagates a 2-bit parity-reachability mask from each component root
+    (bit 0: some even-length walk from the root reaches v; bit 1: odd).
+    The per-edge message is the sender's mask with the two bits swapped
+    (one more hop flips every walk's parity) and the aggregation is
+    bitwise OR — idempotent and monotone, so the fixed point is reached in
+    at most 2·ecc(root)+1 supersteps and duplicate/hub-path message rows
+    are harmless.  A vertex with mask == 3 lies on closed walks of both
+    parities through its root, i.e. its component contains an odd cycle
+    (standard BFS 2-coloring argument); a component is bipartite iff no
+    vertex reaches mask 3.  Self-loops are out of scope by construction:
+    like every undirected engine op, this runs on csr.symmetrize's simple
+    view.  Frontier-sparse like BFSProgram — only vertices with a nonzero
+    mask message out, so message volume tracks the reached set."""
+
+    name = "bipartite"
+    state_cols = ["vid", "part_id", "mask"]
+    uses_undirected = True
+
+    def __init__(self, root_vids: DataFrame):
+        """``root_vids``: one-column (vid) DataFrame of component roots
+        (even-parity seeds), e.g. ComponentsProgram fixed-point roots."""
+        self.root_vids = root_vids
+
+    def init_state(self, ctx: GraphContext) -> DataFrame:
+        roots = self.root_vids.select("vid").distinct().withColumn("_s", F.lit(True))
+        return (
+            ctx.vertex_base.join(F.broadcast(roots), "vid", "left")
+            .select(
+                "vid",
+                "part_id",
+                F.when(F.col("_s"), F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("mask"),
+            )
+        )
+
+    def make_scatter(self, P: int):
+        def scatter(key, left: pa.Table, right: pa.Table) -> pa.Table:
+            empty = _empty_packed({"mor": pa.int64()})
+            if left.num_rows == 0 or right.num_rows == 0:
+                return empty
+            p = left["part_id"][0].as_py()
+            indptr = _block_np(left, "indptr")
+            udst = _block_np(left, "udst")
+            e2u = _block_np(left, "e2u")
+            mask, _ = _dense_state(right, "mask", p, P)
+            flip = ((mask & 1) << 1) | ((mask >> 1) & 1)
+            flip_rep = np.repeat(flip, np.diff(indptr))
+            partial = np.zeros(len(udst), dtype=np.int64)
+            np.bitwise_or.at(partial, e2u, flip_rep)
+            frontier = partial > 0  # only reached senders contribute
+            if not frontier.any():
+                return empty
+            return _packed_msgs(P, udst[frontier], {"mor": partial[frontier]})
+
+        return scatter
+
+    @staticmethod
+    def make_apply(P: int):
+        def apply(key, msgs: pa.Table, state: pa.Table) -> pa.Table:
+            p, nloc = key[0].as_py(), state.num_rows
+            if nloc == 0:
+                return pa.table(
+                    {
+                        "vid": pa.array([], pa.int64()),
+                        "part_id": pa.array([], pa.int32()),
+                        "mask": pa.array([], pa.int64()),
+                        "_changed": pa.array([], pa.int64()),
+                    }
+                )
+            mask_old, _ = _dense_state(state, "mask", p, P)
+            mor = np.zeros(nloc, np.int64)
+            if msgs.num_rows:
+                mloc = (_pa_flat(msgs, "dst") - p) // P
+                np.bitwise_or.at(mor, mloc, _pa_flat(msgs, "mor"))
+            mask_new = mask_old | mor
+            return pa.table(
+                {
+                    "vid": pa.array(p + np.arange(nloc, dtype=np.int64) * P),
+                    "part_id": pa.array(np.full(nloc, p, np.int32)),
+                    "mask": pa.array(mask_new),
+                    "_changed": pa.array((mask_new != mask_old).astype(np.int64)),
+                }
+            )
+
+        return apply
+
+    def superstep(self, ctx: GraphContext, state: DataFrame, carry: dict | None = None) -> DataFrame:
+        packed_schema = "part_id int, dst array<long>, mor array<long>"
+        msgs = (
+            ctx.ublocks.groupby("part_id")
+            .cogroup(state.groupby("part_id"))
+            .applyInArrow(self.make_scatter(ctx.P), packed_schema)
+        )
+        if ctx.uhub_edges is not None:
+            # op 47 on the undirected side, frontier-filtered like BFS: a
+            # hub vertex's message is its bit-swapped mask; OR-aggregation
+            # in apply absorbs the extra rows.
+            hub_state = (
+                state.where(F.col("mask") > 0)
+                .join(F.broadcast(ctx.uhub_vids), "vid")
+                .select(F.col("vid").alias("src"), "mask")
+            )
+            swapped = F.shiftleft(F.col("mask").bitwiseAND(F.lit(1)), 1).bitwiseOR(
+                F.shiftright(F.col("mask"), 1).bitwiseAND(F.lit(1))
+            )
+            hub_rows = ctx.uhub_edges.join(F.broadcast(hub_state), "src").select(
+                F.pmod(F.col("dst"), F.lit(ctx.P)).cast("int").alias("part_id"),
+                "dst",
+                swapped.cast("long").alias("mor"),
+            )
+            hub_msgs = _pack_hub_jvm(hub_rows, ("mor",))
+            msgs = msgs.unionByName(hub_msgs)
+        return (
+            msgs.groupby("part_id")
+            .cogroup(state.groupby("part_id"))
+            .applyInArrow(
+                self.make_apply(ctx.P),
+                "vid long, part_id int, mask long, _changed long",
+            )
+        )
+
+    def stat_exprs(self):
+        return [
+            F.sum("_changed").alias("changes"),
+            F.sum((F.col("mask") == 3).cast("long")).alias("conflicts"),
+        ]
+
+    stat_reducers = {"changes": sum, "conflicts": sum}
+
+    def done(self, stats: dict) -> bool:
+        return stats["changes"] == 0
+
+
 class SSSPProgram:
     """Single-source shortest paths over the DIRECTED weighted graph —
     Bellman-Ford relaxation as gather-scatter supersteps.

@@ -231,3 +231,31 @@ def test_media_phash_matches_python_and_groups_dups(spark):
     for t, ids in texts.items():
         if len(ids) > 1 and len(t.encode()) >= _PH_BUCKETS:
             assert len({expected[d] for d in ids}) == 1
+
+
+def test_media_energy_matches_python(spark):
+    """Windowed WAV energy: engine rows == a per-doc pure-Python recompute
+    from the documents text (the synthesis ground truth), including window
+    partials and the real fmt-chunk sample rate."""
+    from linkgraph.multimodal import _EN_WIN, media_energy
+
+    docs = {
+        int(r["doc_id"]): r["text"]
+        for r in load_table(spark, SF, "documents").collect()
+        if int(r["doc_id"]) % 4 == 1
+    }
+    out = media_energy(spark, SF).toPandas()
+    assert set(out["doc_id"]) == {d for d, t in docs.items() if len(t.encode()) > 0}
+    for doc_id, grp in out.groupby("doc_id"):
+        data = docs[int(doc_id)].encode()
+        assert (grp["sample_rate"] == 8000 + 1000 * (doc_id % 8)).all()
+        want = {}
+        for i, b in enumerate(data):
+            w = i // _EN_WIN
+            cnt, en = want.get(w, (0, 0))
+            want[w] = (cnt + 1, en + (b - 128) ** 2)
+        got = {
+            int(r.win_idx): (int(r.n_samples), int(r.energy))
+            for r in grp.itertuples()
+        }
+        assert got == want

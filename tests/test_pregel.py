@@ -179,3 +179,86 @@ def test_katz_hub_split_equals_unsplit(spark):
     finally:
         ctx_plain.unpersist()
         ctx_split.unpersist()
+
+
+def _graph_from_pairs(spark, pairs, n):
+    from linkgraph.derive import GraphTables, build_degrees
+
+    vertices = spark.createDataFrame(
+        [(f"v{i:03d}", i, "actor") for i in range(n)],
+        "vkey string, vid long, vtype string",
+    )
+    edges = spark.createDataFrame(
+        [(int(s), int(d), "turn", 1.0) for s, d in pairs],
+        "src long, dst long, etype string, w double",
+    )
+    return GraphTables(vertices, edges, build_degrees(edges, vertices))
+
+
+def _bipartite_masks(ctx, n):
+    from linkgraph.pregel import BipartiteProgram
+
+    cc = run_program(ctx, ComponentsProgram(), max_iter=100)
+    assert cc.converged
+    roots = cc.state.where("vid = comp").select("vid")
+    bp = run_program(ctx, BipartiteProgram(roots), max_iter=400)
+    assert bp.converged
+    return _col(cc.state, "comp", n), _col(bp.state, "mask", n)
+
+
+def test_bipartite_planted_cycles(spark):
+    """Even 6-cycle (bipartite), odd 5-cycle (odd cycle), and a pendant
+    path: per-component verdicts and per-vertex parity masks are exact."""
+    even = [(i, (i + 1) % 6) for i in range(6)]            # vids 0..5
+    odd = [(6 + i, 6 + (i + 1) % 5) for i in range(5)]      # vids 6..10
+    path = [(11, 12), (12, 13)]                              # vids 11..13
+    n = 14
+    g = _graph_from_pairs(spark, even + odd + path, n)
+    ctx = GraphContext.build(g, 4)
+    try:
+        comp, mask = _bipartite_masks(ctx, n)
+    finally:
+        ctx.unpersist()
+    assert (mask > 0).all()  # every vertex reached from its root
+    # even cycle: each vertex reachable at exactly one parity
+    assert (mask[:6] != 3).all()
+    # odd cycle: every vertex eventually sees both parities
+    assert (mask[6:11] == 3).all()
+    assert (mask[11:] != 3).all()
+    # parity of the unique color on the bipartite components matches BFS
+    # depth parity from the min-vid root
+    assert mask[0] == 1 and mask[1] == 2 and mask[2] == 1
+    assert list(mask[11:]) == [1, 2, 1]
+
+
+def test_bipartite_vs_networkx(synth_ctx):
+    import networkx as nx
+
+    g, ctx = synth_ctx
+    src, dst, _w, n = edges_numpy(g)
+    comp, mask = _bipartite_masks(ctx, n)
+    G = nx.Graph()
+    G.add_nodes_from(range(n))
+    G.add_edges_from((s, d) for s, d in zip(src, dst) if s != d)
+    for cset in nx.connected_components(G):
+        engine_bip = not any(mask[v] == 3 for v in cset)
+        assert engine_bip == nx.is_bipartite(G.subgraph(cset))
+        assert all(mask[v] > 0 for v in cset)
+
+
+def test_bipartite_hub_split_equals_unsplit(spark):
+    """Forced undirected hub split on star_hub: identical parity masks."""
+    from linkgraph.pregel import BipartiteProgram
+
+    g = build_graph(micro_transcripts(spark, "star_hub"), distributed_ids=False)
+    _src, _dst, _w, n = edges_numpy(g)
+    ctx_plain = GraphContext.build(g, 4)
+    ctx_split = GraphContext.build(g, 4, hub_theta=0, hub_floor=0)
+    try:
+        assert ctx_split.uhub_edges is not None
+        _, m1 = _bipartite_masks(ctx_plain, n)
+        _, m2 = _bipartite_masks(ctx_split, n)
+        assert (m1 == m2).all()
+    finally:
+        ctx_plain.unpersist()
+        ctx_split.unpersist()
