@@ -146,14 +146,21 @@ def unpack_blocks(blocks: DataFrame, P: int) -> DataFrame:
 
     def unpack(it):
         for pdf in it:
-            for _, b in pdf.iterrows():
-                indptr = np.asarray(b["indptr"], dtype=np.int64)
-                indices = np.asarray(b["indices"], dtype=np.int64)
-                weights = np.asarray(b["weights"], dtype=np.float64)
-                nloc = int(b["n_local"])
-                p = int(b["part_id"])
-                reps = np.diff(indptr)
-                src = np.repeat(p + np.arange(nloc, dtype=np.int64) * P, reps)
-                yield pd.DataFrame({"src": src, "dst": indices, "w": weights})
+            # one block row per (part_id); per-row work is O(nnz) numpy
+            for p, nloc, indptr, indices, weights in zip(
+                pdf["part_id"], pdf["n_local"], pdf["indptr"],
+                pdf["indices"], pdf["weights"],
+            ):
+                reps = np.diff(np.asarray(indptr, dtype=np.int64))
+                src = np.repeat(
+                    int(p) + np.arange(int(nloc), dtype=np.int64) * P, reps
+                )
+                yield pd.DataFrame(
+                    {
+                        "src": src,
+                        "dst": np.asarray(indices, dtype=np.int64),
+                        "w": np.asarray(weights, dtype=np.float64),
+                    }
+                )
 
     return blocks.mapInPandas(unpack, "src long, dst long, w double")

@@ -405,6 +405,124 @@ def host_pagerank_sql(k: int = _PR_STEPS, limit: int = 10, d: float = 0.85) -> s
 
 
 # --------------------------------------------------------------------------
+# TrustRank + spam mass (Gyöngyi et al. 2004/2006): THE web-spam detection
+# composition — PageRank and seed-personalized PageRank over the same host
+# graph, spam mass = the rank fraction NOT attributable to trusted seeds.
+# --------------------------------------------------------------------------
+
+_TRUST_SEEDS = 3  # "curated whitelist" stand-in: top-k hosts by co-citation
+                  # out-weight, ties broken by host name (deterministic)
+
+
+def q_host_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spam-mass audit over the host co-citation graph: run the CSR
+    gather-scatter engine twice on ONE shared GraphContext (blocks built
+    once) — plain PageRank and TrustRank (personalized PageRank whose
+    teleport + dangling mass flow to the trusted seed set) — both FIXED 5
+    supersteps, then spam_mass = (pr - trust)/pr per host from the rounded
+    scores.  Hosts a trusted-seed surfer rarely reaches keep almost all of
+    their rank as spam mass.  100 TB posture: two engine runs amortize one
+    CSR build; the seed pick is a combinable degree agg + top-k, never a
+    crawl-scale shuffle.  Output (host, rank, trust, spam_mass)."""
+    from .pregel import (
+        GraphContext,
+        PageRankProgram,
+        PersonalizedPageRankProgram,
+        run_program,
+    )
+
+    g = _host_graph(spark, sf_dir)
+    ctx = GraphContext.build(g, 8)
+    try:
+        outw = g.edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+        sw = Window.orderBy(F.desc("out_w"), "vkey")
+        seeds = (
+            outw.join(g.vertices.select(F.col("vid").alias("src"), "vkey"), "src")
+            .select(F.col("src").alias("vid"), "out_w", "vkey")
+            .withColumn("_rn", F.row_number().over(sw))
+            .where(F.col("_rn") <= _TRUST_SEEDS)
+            .select("vid")
+        )
+        pr = run_program(ctx, PageRankProgram(tol=0.0), fixed_iters=_PR_STEPS)
+        tr = run_program(
+            ctx, PersonalizedPageRankProgram(seeds, tol=0.0), fixed_iters=_PR_STEPS
+        )
+        both = (
+            pr.state.select("vid", F.round("rank", 6).alias("rank"))
+            .join(tr.state.select("vid", F.round("rank", 6).alias("trust")), "vid")
+            .join(g.vertices.select("vid", F.col("vkey").alias("host")), "vid")
+        )
+        return both.select(
+            "host",
+            "rank",
+            "trust",
+            F.round((F.col("rank") - F.col("trust")) / F.col("rank"), 6).alias(
+                "spam_mass"
+            ),
+        )
+    finally:
+        ctx.unpersist()
+
+
+def host_spam_mass_sql(k: int = _PR_STEPS, d: float = 0.85) -> str:
+    """Two unrolled fixed-k chains (prefixed p*/t*) over the shared host
+    graph CTEs; spam mass from the rounded scores, like the engine."""
+    dd = f"CAST({d!r} AS DOUBLE)"
+    ctes = [
+        _HOST_GRAPH_CTES,
+        "outw AS (SELECT s, sum(w) AS out_w FROM e GROUP BY s)",
+        "coeff AS (SELECT e.s, e.t, e.w / o.out_w AS c FROM e JOIN outw o USING (s))",
+        "dang AS (SELECT v.vkey FROM v LEFT JOIN outw o ON o.s = v.vkey WHERE o.s IS NULL)",
+        # trusted seeds: top-k hosts by out-weight, host-name tiebreak
+        f"seeds AS (SELECT s AS vkey FROM ("
+        f"SELECT s, row_number() OVER (ORDER BY out_w DESC, s) AS rn FROM outw"
+        f") WHERE rn <= {_TRUST_SEEDS})",
+        "ns AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM seeds)",
+        "sw AS (SELECT v.vkey, CASE WHEN seeds.vkey IS NOT NULL "
+        "THEN CAST(1.0 AS DOUBLE) / (SELECT k FROM ns) ELSE CAST(0.0 AS DOUBLE) END AS s "
+        "FROM v LEFT JOIN seeds USING (vkey))",
+        "p0 AS (SELECT vkey, 1.0 / (SELECT n FROM nn) AS r FROM v)",
+        "t0 AS (SELECT vkey, s AS r FROM sw)",
+    ]
+    for i in range(1, k + 1):
+        pp, tp = f"p{i - 1}", f"t{i - 1}"
+        ctes.append(
+            f"pd{i} AS (SELECT coalesce(sum(r.r), 0.0) AS dm FROM {pp} r JOIN dang USING (vkey))"
+        )
+        ctes.append(
+            f"pm{i} AS (SELECT c.t AS vkey, sum(p.r * c.c) AS ms "
+            f"FROM coeff c JOIN {pp} p ON p.vkey = c.s GROUP BY c.t)"
+        )
+        ctes.append(
+            f"p{i} AS (SELECT v.vkey, (CAST(1.0 AS DOUBLE) - {dd}) / (SELECT n FROM nn) "
+            f"+ {dd} * (coalesce(m.ms, 0.0) + (SELECT dm FROM pd{i}) / (SELECT n FROM nn)) AS r "
+            f"FROM v LEFT JOIN pm{i} m USING (vkey))"
+        )
+        ctes.append(
+            f"td{i} AS (SELECT coalesce(sum(r.r), 0.0) AS dm FROM {tp} r JOIN dang USING (vkey))"
+        )
+        ctes.append(
+            f"tm{i} AS (SELECT c.t AS vkey, sum(p.r * c.c) AS ms "
+            f"FROM coeff c JOIN {tp} p ON p.vkey = c.s GROUP BY c.t)"
+        )
+        ctes.append(
+            f"t{i} AS (SELECT v.vkey, (CAST(1.0 AS DOUBLE) - {dd}) * sw.s "
+            f"+ {dd} * (coalesce(m.ms, 0.0) + (SELECT dm FROM td{i}) * sw.s) AS r "
+            f"FROM v JOIN sw USING (vkey) LEFT JOIN tm{i} m USING (vkey))"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT v.vkey AS host,
+       round(p.r, 6) AS rank,
+       round(t.r, 6) AS trust,
+       round((round(p.r, 6) - round(t.r, 6)) / round(p.r, 6), 6) AS spam_mass
+FROM v JOIN p{k} p USING (vkey) JOIN t{k} t USING (vkey)
+"""
+    )
+
+
+# --------------------------------------------------------------------------
 # CCNet-style line-level dedup (boilerplate removal): drop every "line"
 # whose exact form recurs across >= LINE_DF_MAX distinct documents.
 # --------------------------------------------------------------------------
@@ -721,6 +839,7 @@ def registry():
         "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
         "token_zipf": (q_token_zipf, SQL_TOKEN_ZIPF),
         "host_pagerank": (q_host_pagerank, host_pagerank_sql()),
+        "host_spam_mass": (q_host_spam_mass, host_spam_mass_sql()),
         "doc_entropy": (q_doc_entropy, SQL_DOC_ENTROPY),
         "url_dedup": (q_url_dedup, SQL_URL_DEDUP),
         "doc_line_dedup": (q_doc_line_dedup, SQL_DOC_LINE_DEDUP),

@@ -1013,3 +1013,54 @@ def test_community_conductance_matches_python(spark, dk_edges):
         p is None or 0.0 < p <= 1.0 for *_x, p in exp.values()
     )
     assert len(exp) >= 2
+
+
+def test_host_spam_mass_matches_python(spark, docs):
+    """PageRank + TrustRank + spam mass vs a from-scratch fixed-k
+    replication on the co-citation weights; seeds (top out-weight hosts)
+    must carry near-zero spam mass, and spam mass must vary."""
+    from collections import defaultdict
+
+    from linkgraph.webpipe import _PR_STEPS, _TRUST_SEEDS, q_host_spam_mass
+
+    got = {
+        r["host"]: (r["rank"], r["trust"], r["spam_mass"])
+        for r in q_host_spam_mass(spark, SF_DIR).collect()
+    }
+
+    w: Counter = Counter()
+    for doc_id, text in docs.items():
+        text2 = (
+            f"{text} see http://h{doc_id % 23}.example/a"
+            f" and https://h{(doc_id * 7 + 3) % 23}.example/b"
+        )
+        hosts = sorted(set(re.findall(_URL_RE, text2)))
+        for i, a in enumerate(hosts):
+            for b in hosts[i + 1 :]:
+                w[(a, b)] += 1
+                w[(b, a)] += 1
+    nodes = sorted({a for a, _ in w})
+    outw = defaultdict(float)
+    for (a, _b), c in w.items():
+        outw[a] += c
+    n, d = len(nodes), 0.85
+    seeds = sorted(nodes, key=lambda v: (-outw[v], v))[:_TRUST_SEEDS]
+    sw = {v: (1.0 / len(seeds) if v in seeds else 0.0) for v in nodes}
+    pr = {v: 1.0 / n for v in nodes}
+    tr = dict(sw)
+    for _ in range(_PR_STEPS):
+        pm, tm = defaultdict(float), defaultdict(float)
+        for (a, b), c in w.items():
+            pm[b] += pr[a] * c / outw[a]
+            tm[b] += tr[a] * c / outw[a]
+        pr = {v: (1 - d) / n + d * pm[v] for v in nodes}  # symmetric: no dangling
+        tr = {v: (1 - d) * sw[v] + d * tm[v] for v in nodes}
+    ref = {}
+    for v in nodes:
+        p6, t6 = round(pr[v], 6), round(tr[v], 6)
+        ref[v] = (p6, t6, round((p6 - t6) / p6, 6))
+    assert got == ref
+    # seeds absorb the teleport: their trust >= their plain rank share
+    for s in seeds:
+        assert got[s][2] <= 0.0
+    assert len({sm for _, _, sm in got.values()}) > 1
