@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from .flagship import events_graph
 from .graph_oracles import (
     bfs_fixed_sql,
+    bowtie_fixed_sql,
     eigenvector_fixed_sql,
     harmonic_fixed_sql,
     katz_fixed_sql,
@@ -421,6 +422,76 @@ def engine_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_ENGINE_SCC = scc_pivot_fixed_sql(_BFS_STEPS)
 
+
+def q_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder-et-al. bowtie profile of the directed events graph around the
+    min-vkey pivot — THE web-graph macro-structure summary: CORE (pivot's
+    bounded SCC), IN (reaches pivot), OUT (pivot reaches), TENDRIL (pivot's
+    weak component, neither direction), DISCONNECTED (other weak
+    components).  Composes three engine runs: two bounded unit-weight SSSP
+    passes (forward + reversed edge table, as in engine_scc) and one exact
+    hash-min CC pass for the weak component; the pivot's component label is
+    a 1-row broadcast, never a collect.  Output (region, n_vertices)."""
+    from .derive import GraphTables, build_degrees
+
+    g = events_graph(load_table(spark, sf_dir, "events"))
+    uniq = g.edges.select("src", "dst").distinct()
+    e_fwd = uniq.select(
+        "src", "dst", F.lit("x").alias("etype"), F.lit(1.0).alias("w")
+    )
+    e_bwd = e_fwd.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "etype", "w"
+    )
+    src = spark.createDataFrame([(0,)], "vid long")
+    reached = []
+    for e in (e_fwd, e_bwd):
+        gg = GraphTables(
+            vertices=g.vertices, edges=e, degrees=build_degrees(e, g.vertices)
+        )
+        ctx = GraphContext.build(gg, _P)
+        try:
+            res = run_program(ctx, SSSPProgram(src), fixed_iters=_BFS_STEPS)
+            reached.append(
+                res.state.where(F.col("dist") != F.lit(float("inf")))
+                .select("vid")
+                .withColumn("_r", F.lit(True))
+            )
+        finally:
+            ctx.unpersist()
+    fwd, bwd = reached
+    ctx = GraphContext.build(g, _P)
+    try:
+        cc = run_program(ctx, ComponentsProgram(), max_iter=100)
+        if not cc.converged:
+            raise RuntimeError("q_bowtie: CC did not converge")
+        pc = cc.state.where(F.col("vid") == 0).select(F.col("comp").alias("_pc"))
+        wcc = (
+            cc.state.join(F.broadcast(pc), F.col("comp") == F.col("_pc"))
+            .select("vid")
+            .withColumn("_w", F.lit(True))
+        )
+        region = (
+            F.when(F.col("_f") & F.col("_b"), F.lit("core"))
+            .when(F.col("_b"), F.lit("in"))
+            .when(F.col("_f"), F.lit("out"))
+            .when(F.col("_w"), F.lit("tendril"))
+            .otherwise(F.lit("disconnected"))
+        )
+        return (
+            g.vertices.select("vid")
+            .join(fwd.withColumnRenamed("_r", "_f"), "vid", "left")
+            .join(bwd.withColumnRenamed("_r", "_b"), "vid", "left")
+            .join(wcc, "vid", "left")
+            .select(region.alias("region"))
+            .groupBy("region")
+            .agg(F.count(F.lit(1)).alias("n_vertices"))
+        )
+    finally:
+        ctx.unpersist()
+
+
+SQL_BOWTIE = None  # bound in registry() via graph_oracles.bowtie_fixed_sql
+
 _KATZ_ALPHA, _KATZ_BETA, _KATZ_STEPS = 0.01, 1.0, 5
 
 
@@ -628,6 +699,7 @@ def registry():
         "engine_bfs": (engine_bfs, SQL_ENGINE_BFS),
         "engine_harmonic": (engine_harmonic, SQL_ENGINE_HARMONIC),
         "engine_scc": (engine_scc, SQL_ENGINE_SCC),
+        "bowtie": (q_bowtie, bowtie_fixed_sql(_BFS_STEPS)),
         "engine_katz": (engine_katz, SQL_ENGINE_KATZ),
         "engine_eigenvector": (engine_eigenvector, SQL_ENGINE_EIGENVECTOR),
         "modularity": (q_modularity, SQL_MODULARITY),

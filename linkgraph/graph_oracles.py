@@ -451,6 +451,63 @@ WHERE f.dist IS NOT NULL AND b.dist IS NOT NULL
     )
 
 
+def bowtie_fixed_sql(k: int) -> str:
+    """Broder-et-al. bowtie profile around the min-vkey pivot: the f/b
+    unrolled k-hop directed chains from scc_pivot_fixed_sql classify CORE
+    (fwd∧bwd) / IN (bwd only) / OUT (fwd only); an EXACT single-source
+    undirected closure from the pivot (bounded (v) states, so plain
+    recursion terminates) separates TENDRIL (pivot's weak component,
+    neither direction within k) from DISCONNECTED.  Mirrors
+    engine_queries.q_bowtie (two bounded SSSP runs + one hash-min CC)."""
+    ctes = [
+        _GRAPH_CTES,
+        "ad AS (SELECT DISTINCT s AS a, t AS b FROM ek)",
+        "f0 AS (SELECT vkey, CASE WHEN vkey = (SELECT min(vkey) FROM v) "
+        "THEN 0 END AS dist FROM v)",
+        "b0 AS (SELECT vkey, CASE WHEN vkey = (SELECT min(vkey) FROM v) "
+        "THEN 0 END AS dist FROM v)",
+    ]
+    for i in range(1, k + 1):
+        for tag, src_col, dst_col in (("f", "a", "b"), ("b", "b", "a")):
+            p = f"{tag}{i - 1}"
+            ctes.append(
+                f"{tag}m{i} AS (SELECT e.{dst_col} AS vkey, min(p.dist) + 1 AS nd "
+                f"FROM ad e JOIN {p} p ON p.vkey = e.{src_col} "
+                f"WHERE p.dist IS NOT NULL GROUP BY e.{dst_col})"
+            )
+            ctes.append(
+                f"{tag}{i} AS (SELECT p.vkey, CASE "
+                f"WHEN p.dist IS NULL THEN m.nd "
+                f"WHEN m.nd IS NULL THEN p.dist "
+                f"ELSE least(p.dist, m.nd) END AS dist "
+                f"FROM {p} p LEFT JOIN {tag}m{i} m USING (vkey))"
+            )
+    ctes.append(
+        "und AS (SELECT DISTINCT a, b FROM ("
+        "SELECT a, b FROM ad WHERE a <> b "
+        "UNION ALL SELECT b AS a, a AS b FROM ad WHERE a <> b))"
+    )
+    ctes.append(
+        "wr AS (WITH RECURSIVE w(v) AS ("
+        "SELECT min(vkey) FROM v "
+        "UNION SELECT und.b FROM w JOIN und ON und.a = w.v) "
+        "SELECT DISTINCT v FROM w)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT CASE WHEN f.dist IS NOT NULL AND b.dist IS NOT NULL THEN 'core'
+            WHEN b.dist IS NOT NULL THEN 'in'
+            WHEN f.dist IS NOT NULL THEN 'out'
+            WHEN w.v IS NOT NULL THEN 'tendril'
+            ELSE 'disconnected' END AS region,
+       CAST(count(*) AS BIGINT) AS n_vertices
+FROM v LEFT JOIN f{k} f USING (vkey) LEFT JOIN b{k} b USING (vkey)
+       LEFT JOIN wr w ON w.v = v.vkey
+GROUP BY 1
+"""
+    )
+
+
 def katz_fixed_sql(k: int, limit: int, alpha: float, beta: float) -> str:
     """Unrolled k-iteration Katz power series
     x_{t+1} = beta + alpha * (W^T x_t) over the directed weighted events

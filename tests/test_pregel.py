@@ -262,3 +262,57 @@ def test_bipartite_hub_split_equals_unsplit(spark):
     finally:
         ctx_plain.unpersist()
         ctx_split.unpersist()
+
+
+def test_bowtie_planted_regions(spark):
+    """All five bowtie regions on a planted directed graph: core 2-cycle
+    {0,1}, IN {2->0}, OUT chain {1->3->4}, tendril {2->6: in the weak
+    component, neither direction reaches the pivot}, disconnected {5, 7<->8}."""
+    from linkgraph.pregel import SSSPProgram
+
+    pairs = [(0, 1), (1, 0), (2, 0), (1, 3), (3, 4), (2, 6), (7, 8), (8, 7)]
+    n = 9
+    g = _graph_from_pairs(spark, pairs, n)
+    uniq = g.edges.select("src", "dst").distinct()
+    src = spark.createDataFrame([(0,)], "vid long")
+    reach = {}
+    from linkgraph.derive import GraphTables, build_degrees
+    from pyspark.sql import functions as F
+
+    for tag, e in (
+        ("f", uniq),
+        ("b", uniq.select(F.col("dst").alias("src"), F.col("src").alias("dst"))),
+    ):
+        ee = e.select("src", "dst", F.lit("x").alias("etype"), F.lit(1.0).alias("w"))
+        gg = GraphTables(g.vertices, ee, build_degrees(ee, g.vertices))
+        ctx = GraphContext.build(gg, 4)
+        try:
+            res = run_program(ctx, SSSPProgram(src), fixed_iters=6)
+            dist = _col(res.state, "dist", n)
+            reach[tag] = set(np.where(np.isfinite(dist))[0])
+        finally:
+            ctx.unpersist()
+    ctx = GraphContext.build(g, 4)
+    try:
+        cc = run_program(ctx, ComponentsProgram(), max_iter=50)
+        comp = _col(cc.state, "comp", n)
+    finally:
+        ctx.unpersist()
+    wcc = set(np.where(comp == comp[0])[0])
+    regions = {"core": set(), "in": set(), "out": set(),
+               "tendril": set(), "disconnected": set()}
+    for v in range(n):
+        if v in reach["f"] and v in reach["b"]:
+            regions["core"].add(v)
+        elif v in reach["b"]:
+            regions["in"].add(v)
+        elif v in reach["f"]:
+            regions["out"].add(v)
+        elif v in wcc:
+            regions["tendril"].add(v)
+        else:
+            regions["disconnected"].add(v)
+    assert regions == {
+        "core": {0, 1}, "in": {2}, "out": {3, 4},
+        "tendril": {6}, "disconnected": {5, 7, 8},
+    }
