@@ -434,6 +434,79 @@ FROM documents
 """
 
 
+def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb/CCNet-style per-language quality thresholding: score every
+    document (doc_quality's formula), bucket by predicted language
+    (doc_langid's vote), and keep the top half WITHIN each language via
+    cume_dist over the rounded score — per-language percentiles, not a
+    global cut, so low-resource languages aren't starved by the dominant
+    one.  cume_dist (peers-inclusive) is used instead of percent_rank so
+    single-doc partitions and ties are well-defined identically in both
+    engines.  One window over one shuffle on (lang); the scoring itself is
+    pure narrow column exprs fused into the scan."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = _words(F.col("text"))
+    sw = F.array([F.lit(s) for s in STOPWORDS_EN])
+    stop_cnt = F.size(F.filter(w, lambda x: F.array_contains(sw, x)))
+    ttr = F.size(F.array_distinct(w)) / F.size(w)
+    score = F.round(
+        0.5 * (stop_cnt / F.size(w)) + 0.3 * ttr + 0.2 * (F.size(w) >= 20).cast("int"),
+        6,
+    )
+
+    def _hits(swl: list[str]):
+        arr = F.array([F.lit(s) for s in swl])
+        return F.size(F.filter(w, lambda x: F.array_contains(arr, x)))
+
+    he, hd, hf = (_hits(s) for s in (STOPWORDS_EN, STOPWORDS_DE, STOPWORDS_FR))
+    lang = (
+        F.when((he >= hd) & (he >= hf), F.lit("en"))
+        .when(hd >= hf, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    scored = d.select(
+        "doc_id", lang.alias("lang_pred"), score.alias("quality_score")
+    )
+    win = Window.partitionBy("lang_pred").orderBy("quality_score")
+    cume = F.round(F.cume_dist().over(win), 6)
+    return scored.select(
+        "doc_id",
+        "lang_pred",
+        "quality_score",
+        cume.alias("cume"),
+        (cume >= 0.5).cast("int").alias("keep"),
+    )
+
+
+SQL_DOC_QUALITY_FILTER = f"""
+WITH base AS (
+  SELECT doc_id, text, string_split(lower(trim(text)), ' ') AS w FROM documents
+), scored AS (
+  SELECT doc_id,
+         CASE WHEN {_sql_hits(STOPWORDS_EN)} >= {_sql_hits(STOPWORDS_DE)}
+               AND {_sql_hits(STOPWORDS_EN)} >= {_sql_hits(STOPWORDS_FR)} THEN 'en'
+              WHEN {_sql_hits(STOPWORDS_DE)} >= {_sql_hits(STOPWORDS_FR)} THEN 'de'
+              ELSE 'fr' END AS lang_pred,
+         round(0.5 * (CAST(len(list_filter(w, x -> x IN ({_SQL_SW_EN}))) AS DOUBLE)
+                      / len(w))
+               + 0.3 * (CAST(len(list_distinct(w)) AS DOUBLE) / len(w))
+               + 0.2 * (CASE WHEN len(w) >= 20 THEN 1 ELSE 0 END), 6)
+           AS quality_score
+  FROM base
+), ranked AS (
+  SELECT doc_id, lang_pred, quality_score,
+         round(cume_dist() OVER (PARTITION BY lang_pred ORDER BY quality_score), 6)
+           AS cume
+  FROM scored
+)
+SELECT doc_id, lang_pred, quality_score, cume,
+       CASE WHEN cume >= 0.5 THEN 1 ELSE 0 END AS keep
+FROM ranked
+"""
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint of the normalized text (md5-int64)."""
     d = load_table(spark, sf_dir, "documents")
@@ -2173,6 +2246,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "doc_token_stats": (doc_token_stats, SQL_DOC_TOKEN_STATS),
         "doc_quality": (doc_quality, SQL_DOC_QUALITY),
         "doc_langid": (doc_langid, SQL_DOC_LANGID),
+        "doc_quality_filter": (doc_quality_filter, SQL_DOC_QUALITY_FILTER),
         "doc_fingerprint": (doc_fingerprint, SQL_DOC_FINGERPRINT),
         "ann_topk_cosine": (ann_topk_cosine, SQL_ANN_TOPK),
         "doc_tfidf": (doc_tfidf, SQL_DOC_TFIDF),

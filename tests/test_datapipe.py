@@ -759,3 +759,27 @@ def test_doc_span_dedup_matches_python(spark):
         n_words = expected.get(doc_id, (0, 0, 0))[0]
         if doc_id in expected and n_words >= _SPAN_K:
             assert expected[doc_id][2] == n_words
+
+
+def test_doc_quality_filter_per_language_top_half(spark):
+    """Per-language cume_dist thresholding: within every language the kept
+    set is exactly the docs at-or-above the in-language median score (ties
+    inclusive), and the scores/languages agree with the standalone
+    doc_quality / doc_langid rows."""
+    from linkgraph.datapipe import doc_langid, doc_quality, doc_quality_filter
+
+    out = doc_quality_filter(spark, SF).toPandas()
+    q = {int(r["doc_id"]): r["quality_score"] for r in doc_quality(spark, SF).collect()}
+    lg = {int(r["doc_id"]): r["lang_pred"] for r in doc_langid(spark, SF).collect()}
+    assert {int(d): s for d, s in zip(out["doc_id"], out["quality_score"])} == q
+    assert {int(d): l for d, l in zip(out["doc_id"], out["lang_pred"])} == lg
+    for lang, grp in out.groupby("lang_pred"):
+        scores = sorted(grp["quality_score"])
+        n = len(scores)
+        for r in grp.itertuples():
+            n_le = sum(1 for s in scores if s <= r.quality_score)
+            assert r.keep == (1 if round(n_le / n, 6) >= 0.5 else 0)
+        kept = grp[grp["keep"] == 1]
+        assert len(kept) >= n // 2  # at least the top half survives
+        # the kept multiset is exactly the top-|kept| slice of sorted scores
+        assert sorted(kept["quality_score"]) == scores[n - len(kept):]
