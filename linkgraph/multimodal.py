@@ -785,6 +785,44 @@ GROUP BY doc_id, sample_rate, i // {_EN_WIN}
 """
 
 
+def media_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence-trim / voice-activity summary per audio doc: a window is
+    ACTIVE iff its energy is at least half the doc's mean window energy —
+    all-integer criterion (2·energy·n_windows >= total_energy), so the
+    verdict is bit-identical cross-engine.  Emits the trim bounds
+    (first/last active window) and the active count; the decode happens
+    once in media_energy's Arrow pass, then two combinable doc_id
+    aggregations — no payload shuffle, no second decode."""
+    eng = media_energy(spark, sf_dir)
+    tot = eng.groupBy("doc_id").agg(
+        F.sum("energy").alias("_tot"), F.count(F.lit(1)).alias("n_windows")
+    )
+    act = eng.join(tot, "doc_id").where(
+        2 * F.col("energy") * F.col("n_windows") >= F.col("_tot")
+    )
+    return act.groupBy("doc_id", "n_windows").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.min("win_idx").alias("first_active"),
+        F.max("win_idx").alias("last_active"),
+    )
+
+
+SQL_MEDIA_TRIM = f"""
+WITH eng AS ({SQL_MEDIA_ENERGY}),
+tot AS (
+  SELECT doc_id, sum(energy) AS tot, CAST(count(*) AS BIGINT) AS n_windows
+  FROM eng GROUP BY doc_id
+)
+SELECT e.doc_id, t.n_windows,
+       CAST(count(*) AS BIGINT) AS n_active,
+       min(e.win_idx) AS first_active,
+       max(e.win_idx) AS last_active
+FROM eng e JOIN tot t USING (doc_id)
+WHERE 2 * e.energy * t.n_windows >= t.tot
+GROUP BY e.doc_id, t.n_windows
+"""
+
+
 def registry():
     """name -> (spark_fn, duckdb_oracle_sql) for the driver contract."""
     return {
@@ -794,4 +832,5 @@ def registry():
         "media_resize": (media_resize_meta, SQL_MEDIA_RESIZE),
         "media_phash": (media_phash, SQL_MEDIA_PHASH),
         "media_energy": (media_energy, SQL_MEDIA_ENERGY),
+        "media_trim": (media_trim, SQL_MEDIA_TRIM),
     }

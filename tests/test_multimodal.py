@@ -259,3 +259,27 @@ def test_media_energy_matches_python(spark):
             for r in grp.itertuples()
         }
         assert got == want
+
+
+def test_media_trim_bounds_consistent(spark):
+    """Trim bounds vs a pure-Python recompute of the integer activity
+    criterion from the text bytes."""
+    from linkgraph.multimodal import _EN_WIN, media_trim
+
+    docs = {
+        int(r["doc_id"]): r["text"].encode()
+        for r in load_table(spark, SF, "documents").collect()
+        if int(r["doc_id"]) % 4 == 1 and len(r["text"].encode()) > 0
+    }
+    out = {int(r["doc_id"]): r for r in media_trim(spark, SF).collect()}
+    assert set(out) == set(docs)
+    for doc_id, data in docs.items():
+        wins = {}
+        for i, b in enumerate(data):
+            wins[i // _EN_WIN] = wins.get(i // _EN_WIN, 0) + (b - 128) ** 2
+        tot, nw = sum(wins.values()), len(wins)
+        active = sorted(w for w, e in wins.items() if 2 * e * nw >= tot)
+        r = out[doc_id]
+        assert (r["n_windows"], r["n_active"]) == (nw, len(active))
+        assert (r["first_active"], r["last_active"]) == (active[0], active[-1])
+        assert active  # criterion can never empty the active set
