@@ -507,6 +507,64 @@ FROM ranked
 """
 
 
+_IDX_MIN_DF = 5  # index only terms appearing in >= 5 docs (bounds output)
+
+
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-engine posting-list build: explode the token stream, count
+    per-(term, doc) frequency, and assemble each term's posting list as a
+    doc_id-ordered "doc:tf" string.  Both aggregations are combinable
+    (partial tf maps merge map-side); the posting assembly shuffles only
+    the (term, doc, tf) triples — at 100 TB this is the textbook
+    shard-by-term index build, and per-term posting size (not corpus size)
+    bounds reducer memory.  Terms below ``_IDX_MIN_DF`` docs are dropped.
+    Output (word, df, total_tf, postings)."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(_words(F.col("text"))).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    posting = F.concat_ws(
+        ",",
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("doc_id"), F.col("tf")))
+            ),
+            lambda s: F.concat_ws(":", s["doc_id"].cast("string"), s["tf"].cast("string")),
+        ),
+    )
+    return (
+        tf.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("total_tf"),
+            posting.alias("postings"),
+        )
+        .where(F.col("df") >= _IDX_MIN_DF)
+    )
+
+
+SQL_INVERTED_INDEX = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word
+  FROM documents
+), tf AS (
+  SELECT word, doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE word <> '' GROUP BY word, doc_id
+)
+SELECT word,
+       CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(tf) AS BIGINT) AS total_tf,
+       string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
+                  ',' ORDER BY doc_id) AS postings
+FROM tf
+GROUP BY word
+HAVING count(*) >= {_IDX_MIN_DF}
+"""
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint of the normalized text (md5-int64)."""
     d = load_table(spark, sf_dir, "documents")
@@ -2247,6 +2305,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "doc_quality": (doc_quality, SQL_DOC_QUALITY),
         "doc_langid": (doc_langid, SQL_DOC_LANGID),
         "doc_quality_filter": (doc_quality_filter, SQL_DOC_QUALITY_FILTER),
+        "inverted_index": (inverted_index, SQL_INVERTED_INDEX),
         "doc_fingerprint": (doc_fingerprint, SQL_DOC_FINGERPRINT),
         "ann_topk_cosine": (ann_topk_cosine, SQL_ANN_TOPK),
         "doc_tfidf": (doc_tfidf, SQL_DOC_TFIDF),

@@ -674,6 +674,7 @@ def registry():
         SQL_DEGREE_HIST,
         SQL_JACCARD_PAIRS,
         SQL_NODE2VEC_WALKS,
+        SQL_NEIGHBOR_SAMPLE,
         SQL_RANDOM_WALKS,
         SQL_TEMPORAL_PATHS2,
         SQL_TOOL_COUSAGE,
@@ -682,6 +683,7 @@ def registry():
         q_degree_hist,
         q_jaccard_pairs,
         q_node2vec_walks,
+        q_neighbor_sample,
         q_random_walks,
         q_temporal_paths2,
         q_tool_cousage,
@@ -711,6 +713,7 @@ def registry():
         "adamic_adar": (q_adamic_adar, SQL_ADAMIC_ADAR),
         "degree_hist": (q_degree_hist, SQL_DEGREE_HIST),
         "random_walks": (q_random_walks, SQL_RANDOM_WALKS),
+        "neighbor_sample": (q_neighbor_sample, SQL_NEIGHBOR_SAMPLE),
         "node2vec_walks": (q_node2vec_walks, SQL_NODE2VEC_WALKS),
         "tool_cousage": (q_tool_cousage, SQL_TOOL_COUSAGE),
         "temporal_paths2": (q_temporal_paths2, SQL_TEMPORAL_PATHS2),

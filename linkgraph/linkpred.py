@@ -533,6 +533,73 @@ SQL_RANDOM_WALKS = _walks_sql(_WALK_STEPS)
 
 
 # --------------------------------------------------------------------------
+# deterministic GNN neighbor sampling (GraphSAGE fanout)
+# --------------------------------------------------------------------------
+
+_NS_FANOUT = 4  # neighbors kept per vertex
+
+
+def q_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-style fanout sampling over the distinct directed events
+    edges: every vertex keeps at most ``_NS_FANOUT`` out-neighbors — the
+    ones minimizing the salted hash md5("ns:<src>:<dst>") — so the sample
+    is uniform in distribution yet bit-identical across engines, runs, and
+    partitionings (no RNG state on executors).  ONE window over ONE
+    shuffle on src; this is the standard mini-batch fanout primitive that
+    bounds per-vertex aggregation cost at training time regardless of hub
+    degree.  Output (src_key, dst_key, sample_rank)."""
+    from .datapipe import _md5_int
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    turn = (
+        ev.select(
+            F.col("event_type").alias("s"),
+            F.lead("event_type").over(w).alias("t"),
+        )
+        .where(F.col("t").isNotNull())
+    )
+    tool = ev.select(
+        F.concat(F.lit("user:"), F.col("user_id").cast("string")).alias("s"),
+        F.col("event_type").alias("t"),
+    )
+    ed = turn.unionByName(tool).distinct()
+    h = _md5_int(F.concat_ws(":", F.lit("ns"), F.col("s"), F.col("t")))
+    sw = Window.partitionBy("s").orderBy(h.asc(), F.col("t").asc())
+    return (
+        ed.withColumn("sample_rank", F.row_number().over(sw).cast("long"))
+        .where(F.col("sample_rank") <= _NS_FANOUT)
+        .select(F.col("s").alias("src_key"), F.col("t").alias("dst_key"), "sample_rank")
+    )
+
+
+def _neighbor_sample_sql(fanout: int) -> str:
+    from .datapipe import _sql_md5_int
+
+    h = _sql_md5_int("concat_ws(':', 'ns', s, t)")
+    return f"""
+WITH base AS (SELECT user_id, event_type, ts, event_id FROM events),
+turn AS (SELECT event_type AS s,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
+         FROM base),
+ek AS (SELECT s, t FROM turn WHERE t IS NOT NULL
+       UNION ALL
+       SELECT 'user:' || CAST(user_id AS VARCHAR) AS s, event_type AS t FROM base),
+ed AS (SELECT DISTINCT s, t FROM ek),
+r AS (SELECT s, t,
+             row_number() OVER (PARTITION BY s ORDER BY {h}, t) AS rn
+      FROM ed)
+SELECT s AS src_key, t AS dst_key, CAST(rn AS BIGINT) AS sample_rank
+FROM r WHERE rn <= {fanout}
+"""
+
+
+SQL_NEIGHBOR_SAMPLE = _neighbor_sample_sql(_NS_FANOUT)
+
+
+# --------------------------------------------------------------------------
 # actor co-usage projection (bipartite actor × (tool, hour) -> actor pairs)
 # --------------------------------------------------------------------------
 

@@ -783,3 +783,37 @@ def test_doc_quality_filter_per_language_top_half(spark):
         assert len(kept) >= n // 2  # at least the top half survives
         # the kept multiset is exactly the top-|kept| slice of sorted scores
         assert sorted(kept["quality_score"]) == scores[n - len(kept):]
+
+
+def test_inverted_index_matches_python(spark):
+    """Posting lists == a from-scratch Python index over the same token
+    stream (df cut, doc-ordered doc:tf encoding, totals)."""
+    from collections import Counter, defaultdict
+
+    from linkgraph.datapipe import _IDX_MIN_DF, inverted_index
+    from linkgraph.io import load_table
+
+    docs = {
+        int(r["doc_id"]): r["text"]
+        for r in load_table(spark, SF, "documents").collect()
+    }
+    idx = defaultdict(Counter)
+    for doc_id, text in docs.items():
+        for w in text.lower().strip().split(" "):
+            if w:
+                idx[w][doc_id] += 1
+    want = {
+        w: (
+            len(c),
+            sum(c.values()),
+            ",".join(f"{d}:{c[d]}" for d in sorted(c)),
+        )
+        for w, c in idx.items()
+        if len(c) >= _IDX_MIN_DF
+    }
+    got = {
+        r["word"]: (r["df"], r["total_tf"], r["postings"])
+        for r in inverted_index(spark, SF).collect()
+    }
+    assert got == want
+    assert want  # the df cut must not empty the fixture index

@@ -617,3 +617,45 @@ def test_node2vec_walks_match_python_replication(spark):
     exp = {v: (cur, hops, fp) for v, (_p, cur, hops, fp) in state.items()}
     assert got == exp
     assert biased_differs, "p/q bias never changed a pick — fixture too weak"
+
+
+def test_neighbor_sample_matches_python(spark):
+    """GraphSAGE fanout sample == a pure-Python replication of the salted
+    md5 top-k pick over the distinct edge set: per-src caps, contiguous
+    ranks, exact neighbor choice."""
+    import hashlib
+
+    from linkgraph.io import load_table
+    from linkgraph.linkpred import _NS_FANOUT, q_neighbor_sample
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf_dir, "events").collect()
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(r)
+    edges = set()
+    for uid, rows in by_user.items():
+        rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+        for a, b in zip(rows, rows[1:]):
+            edges.add((a["event_type"], b["event_type"]))
+        for r in rows:
+            edges.add((f"user:{uid}", r["event_type"]))
+
+    def h(s, t):
+        return int(hashlib.md5(f"ns:{s}:{t}".encode()).hexdigest()[:15], 16)
+
+    want = {}
+    outs = {}
+    for s, t in edges:
+        outs.setdefault(s, []).append(t)
+    for s, ts in outs.items():
+        ranked = sorted(ts, key=lambda t: (h(s, t), t))[:_NS_FANOUT]
+        for i, t in enumerate(ranked, 1):
+            want[(s, t)] = i
+
+    got = {
+        (r["src_key"], r["dst_key"]): r["sample_rank"]
+        for r in q_neighbor_sample(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert max(got.values()) <= _NS_FANOUT
