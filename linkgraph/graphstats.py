@@ -2088,9 +2088,120 @@ FROM r{k} ORDER BY rank DESC, actor LIMIT {limit}
 SQL_DECAYED_PAGERANK = _decayed_pagerank_sql()
 
 
+# --------------------------------------------------------------------------
+# distributed greedy maximal matching (Israeli–Itai style proposal rounds)
+# --------------------------------------------------------------------------
+
+_MATCH_ROUNDS = 4
+
+
+def q_engine_matching(
+    spark: SparkSession, sf_dir: str, rounds: int = _MATCH_ROUNDS
+) -> DataFrame:
+    """Greedy maximal matching over the undirected simple events graph —
+    the distributed-matching primitive behind pairwise dedup budgets,
+    coarsening for multilevel partitioners, and b-matching samplers.
+    Each round every still-unmatched vertex proposes to its minimum
+    salted-hash unmatched neighbor (hash is per-EDGE, so both endpoints
+    rank the edge identically and ties break by neighbor key); mutual
+    proposals become matches and both endpoints retire.  The per-edge
+    hash makes the schedule deterministic across engines, runs, and
+    partitionings; a constant fraction of remaining edges retires per
+    round in expectation (Israeli–Itai), so a fixed small round count
+    covers the gate and convergence maximality goes to pytest.  Per
+    round: ONE window shuffle on src + one self-equi-join of the O(V)
+    proposal table + two anti-joins — all data-proportional, no collect.
+    Output (a, b, matched_round)."""
+    from .datapipe import _md5_int
+
+    dk = _directed_simple(spark, sf_dir)
+    und = (
+        dk.unionByName(dk.select(F.col("t").alias("s"), F.col("s").alias("t")))
+        .distinct()
+        .localCheckpoint()
+    )
+    h = _md5_int(
+        F.concat_ws(":", F.lit("match"), F.least("s", "t"), F.greatest("s", "t"))
+    )
+    matched: DataFrame | None = None
+    for i in range(1, rounds + 1):
+        w = Window.partitionBy("s").orderBy(h.asc(), F.col("t").asc())
+        prop = (
+            und.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("s", F.col("t").alias("p"))
+        )
+        pairs = (
+            prop.alias("x")
+            .join(
+                prop.alias("y"),
+                (F.col("x.p") == F.col("y.s")) & (F.col("y.p") == F.col("x.s")),
+            )
+            .where(F.col("x.s") < F.col("x.p"))
+            .select(
+                F.col("x.s").alias("a"),
+                F.col("x.p").alias("b"),
+                F.lit(i).cast("int").alias("matched_round"),
+            )
+            .localCheckpoint()
+        )
+        matched = pairs if matched is None else matched.unionByName(pairs)
+        mv = pairs.select(F.col("a").alias("v")).unionByName(
+            pairs.select(F.col("b").alias("v"))
+        )
+        und = (
+            und.join(mv.withColumnRenamed("v", "s"), "s", "left_anti")
+            .join(mv.withColumnRenamed("v", "t"), "t", "left_anti")
+            .select("s", "t")
+            .localCheckpoint()
+        )
+    return matched
+
+
+def _matching_sql(k: int) -> str:
+    from .datapipe import _sql_md5_int
+
+    h = _sql_md5_int("concat_ws(':', 'match', least(s, t), greatest(s, t))")
+    ctes = [
+        _GRAPH_CTES,
+        "dk AS (SELECT DISTINCT s, t FROM ek WHERE s <> t)",
+        "u0 AS MATERIALIZED (SELECT DISTINCT s, t FROM "
+        "(SELECT s, t FROM dk UNION ALL SELECT t AS s, s AS t FROM dk))",
+    ]
+    for i in range(1, k + 1):
+        p = f"u{i - 1}"
+        ctes.append(
+            f"pr{i} AS MATERIALIZED (SELECT s, t FROM ("
+            f"SELECT s, t, row_number() OVER (PARTITION BY s ORDER BY {h}, t) AS rn "
+            f"FROM {p}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"mt{i} AS MATERIALIZED (SELECT x.s AS a, x.t AS b "
+            f"FROM pr{i} x JOIN pr{i} y ON y.s = x.t AND y.t = x.s "
+            f"WHERE x.s < x.t)"
+        )
+        ctes.append(
+            f"u{i} AS MATERIALIZED (SELECT u.s, u.t FROM {p} u "
+            f"LEFT JOIN (SELECT a AS v FROM mt{i} UNION ALL SELECT b AS v FROM mt{i}) "
+            f"m1 ON m1.v = u.s "
+            f"LEFT JOIN (SELECT a AS v FROM mt{i} UNION ALL SELECT b AS v FROM mt{i}) "
+            f"m2 ON m2.v = u.t "
+            f"WHERE m1.v IS NULL AND m2.v IS NULL)"
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT a, b, CAST({i} AS INTEGER) AS matched_round FROM mt{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
+SQL_ENGINE_MATCHING = _matching_sql(_MATCH_ROUNDS)
+
+
 def registry():
     return {
         "densest_subgraph": (q_densest_subgraph, SQL_DENSEST_SUBGRAPH),
+        "engine_matching": (q_engine_matching, SQL_ENGINE_MATCHING),
         "decayed_pagerank": (q_decayed_pagerank, SQL_DECAYED_PAGERANK),
         "rich_club": (q_rich_club, SQL_RICH_CLUB),
         "community_conductance": (

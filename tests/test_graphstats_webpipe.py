@@ -1064,3 +1064,33 @@ def test_host_spam_mass_matches_python(spark, docs):
     for s in seeds:
         assert got[s][2] <= 0.0
     assert len({sm for _, _, sm in got.values()}) > 1
+
+
+def test_engine_matching_valid_and_maximal(spark, dk_edges):
+    """Run the proposal rounds to convergence: the result must be a VALID
+    matching (edges of the graph, no shared endpoints) and MAXIMAL (no
+    remaining edge has both endpoints unmatched); the fixed-round gate run
+    must be a prefix of the converged schedule (determinism)."""
+    from linkgraph.graphstats import _MATCH_ROUNDS, q_engine_matching
+
+    und = {(a, b) for a, b in dk_edges if a != b}
+    und |= {(b, a) for a, b in und}
+    full = {
+        (r["a"], r["b"]): r["matched_round"]
+        for r in q_engine_matching(spark, SF_DIR, rounds=30).collect()
+    }
+    gate = {
+        (r["a"], r["b"]): r["matched_round"]
+        for r in q_engine_matching(spark, SF_DIR).collect()
+    }
+    assert gate == {k: v for k, v in full.items() if v <= _MATCH_ROUNDS}
+    # valid matching
+    seen = set()
+    for a, b in full:
+        assert (a, b) in und
+        assert a not in seen and b not in seen
+        seen.update((a, b))
+    # maximal: every remaining edge touches a matched vertex
+    for a, b in und:
+        assert a in seen or b in seen
+    assert full  # fixture produces a non-empty matching
