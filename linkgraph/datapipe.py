@@ -507,6 +507,61 @@ FROM ranked
 """
 
 
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier audit: confusion matrix of the stopword-vote language ID
+    against the corpus's labelled ``lang`` column, with per-true-language
+    recall — the standard quality gate before trusting a cheap heuristic
+    to route a 100 TB corpus.  One combinable groupBy; recall is computed
+    from a window sum over the tiny |langs|² matrix, so nothing but the
+    counts ever shuffles.  Output (lang_true, lang_pred, n, recall)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = _words(F.col("text"))
+
+    def _hits(swl: list[str]):
+        arr = F.array([F.lit(s) for s in swl])
+        return F.size(F.filter(w, lambda x: F.array_contains(arr, x)))
+
+    he, hd, hf = (_hits(s) for s in (STOPWORDS_EN, STOPWORDS_DE, STOPWORDS_FR))
+    pred = (
+        F.when((he >= hd) & (he >= hf), F.lit("en"))
+        .when(hd >= hf, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    m = (
+        d.select(F.col("lang").alias("lang_true"), pred.alias("lang_pred"))
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("lang_true")
+    return m.select(
+        "lang_true",
+        "lang_pred",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 6).alias("recall"),
+    )
+
+
+SQL_LANGID_CONFUSION = f"""
+WITH m AS (
+  SELECT lang AS lang_true,
+         CASE WHEN {_sql_hits(STOPWORDS_EN)} >= {_sql_hits(STOPWORDS_DE)}
+               AND {_sql_hits(STOPWORDS_EN)} >= {_sql_hits(STOPWORDS_FR)} THEN 'en'
+              WHEN {_sql_hits(STOPWORDS_DE)} >= {_sql_hits(STOPWORDS_FR)} THEN 'de'
+              ELSE 'fr' END AS lang_pred
+  FROM documents
+), c AS (
+  SELECT lang_true, lang_pred, CAST(count(*) AS BIGINT) AS n
+  FROM m GROUP BY lang_true, lang_pred
+)
+SELECT lang_true, lang_pred, n,
+       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang_true), 6)
+         AS recall
+FROM c
+"""
+
+
 _IDX_MIN_DF = 5  # index only terms appearing in >= 5 docs (bounds output)
 
 
@@ -2306,6 +2361,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "doc_langid": (doc_langid, SQL_DOC_LANGID),
         "doc_quality_filter": (doc_quality_filter, SQL_DOC_QUALITY_FILTER),
         "inverted_index": (inverted_index, SQL_INVERTED_INDEX),
+        "langid_confusion": (langid_confusion, SQL_LANGID_CONFUSION),
         "doc_fingerprint": (doc_fingerprint, SQL_DOC_FINGERPRINT),
         "ann_topk_cosine": (ann_topk_cosine, SQL_ANN_TOPK),
         "doc_tfidf": (doc_tfidf, SQL_DOC_TFIDF),

@@ -2198,10 +2198,133 @@ def _matching_sql(k: int) -> str:
 SQL_ENGINE_MATCHING = _matching_sql(_MATCH_ROUNDS)
 
 
+# --------------------------------------------------------------------------
+# bond-percolation robustness profile (giant component vs edge retention)
+# --------------------------------------------------------------------------
+
+_PERC_PS = (25, 50, 75, 100)
+
+
+def q_percolation_giant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bond-percolation robustness audit: retain each undirected simple
+    edge iff its salted hash bucket < p (deterministic Bernoulli(p) in
+    distribution, bit-identical cross-engine), re-run the hash-min CC
+    engine at each retention level, and report the giant-component size
+    and component count — the standard connectivity-robustness profile
+    ("how much link loss until the web graph shatters").  Four CC engine
+    runs over shrinking edge sets; the hash filter is a pure column
+    predicate fused into the edge scan, vertices are kept at every level
+    so singletons count.  Output (p_pct, n_edges_kept, giant_size,
+    n_components)."""
+    from .datapipe import _md5_int
+    from .derive import GraphTables, build_degrees
+    from .flagship import events_graph
+    from .io import load_table
+    from .pregel import ComponentsProgram, GraphContext, run_program
+
+    g = events_graph(load_table(spark, sf_dir, "events"))
+    v = g.vertices
+    undk = (
+        g.edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("w")
+        )
+        .where(F.col("u") != F.col("w"))
+        .distinct()
+        .join(
+            F.broadcast(v.select(F.col("vid").alias("u"), F.col("vkey").alias("uk"))),
+            "u",
+        )
+        .join(
+            F.broadcast(v.select(F.col("vid").alias("w"), F.col("vkey").alias("wk"))),
+            "w",
+        )
+        .withColumn(
+            "bkt",
+            _md5_int(F.concat_ws(":", F.lit("perc"), F.col("uk"), F.col("wk")))
+            % 100,
+        )
+        .select("u", "w", "bkt")
+        .localCheckpoint()
+    )
+    out: DataFrame | None = None
+    for p in _PERC_PS:
+        ep = undk.where(F.col("bkt") < p)
+        edges = (
+            ep.select(F.col("u").alias("src"), F.col("w").alias("dst"))
+            .unionByName(ep.select(F.col("w").alias("src"), F.col("u").alias("dst")))
+            .select("src", "dst", F.lit("perc").alias("etype"), F.lit(1.0).alias("w"))
+        )
+        gg = GraphTables(v, edges, build_degrees(edges, v))
+        ctx = GraphContext.build(gg, 8)
+        try:
+            res = run_program(ctx, ComponentsProgram(), max_iter=100)
+            if not res.converged:
+                raise RuntimeError("percolation CC did not converge")
+            sizes = res.state.groupBy("comp").agg(F.count(F.lit(1)).alias("sz"))
+            stats = (
+                ep.agg(F.count(F.lit(1)).alias("n_edges_kept"))
+                .crossJoin(
+                    sizes.agg(
+                        F.max("sz").alias("giant_size"),
+                        F.count(F.lit(1)).alias("n_components"),
+                    )
+                )
+                .select(
+                    F.lit(p).cast("int").alias("p_pct"),
+                    "n_edges_kept",
+                    "giant_size",
+                    "n_components",
+                )
+                .localCheckpoint()
+            )
+        finally:
+            ctx.unpersist()
+        out = stats if out is None else out.unionByName(stats)
+    return out
+
+
+def _percolation_sql() -> str:
+    from .datapipe import _sql_md5_int
+
+    h = _sql_md5_int("concat_ws(':', 'perc', uk, wk)")
+    ctes = [
+        _GRAPH_CTES,
+        "cu AS (SELECT DISTINCT least(s, t) AS uk, greatest(s, t) AS wk "
+        "FROM ek WHERE s <> t)",
+        f"cb AS MATERIALIZED (SELECT uk, wk, {h} % 100 AS bkt FROM cu)",
+    ]
+    selects = []
+    for p in _PERC_PS:
+        ctes.append(
+            f"e{p} AS MATERIALIZED (SELECT uk AS a, wk AS b FROM cb WHERE bkt < {p} "
+            f"UNION ALL SELECT wk AS a, uk AS b FROM cb WHERE bkt < {p})"
+        )
+        ctes.append(
+            f"r{p} AS MATERIALIZED (WITH RECURSIVE rr(x, root) AS ("
+            f"SELECT vkey, vkey FROM v "
+            f"UNION SELECT e.b, rr.root FROM rr JOIN e{p} e ON e.a = rr.x) "
+            f"SELECT x, min(root) AS comp FROM rr GROUP BY x)"
+        )
+        ctes.append(
+            f"s{p} AS (SELECT comp, CAST(count(*) AS BIGINT) AS sz FROM r{p} GROUP BY comp)"
+        )
+        selects.append(
+            f"SELECT CAST({p} AS INTEGER) AS p_pct, "
+            f"(SELECT CAST(count(*) AS BIGINT) FROM cb WHERE bkt < {p}) AS n_edges_kept, "
+            f"(SELECT max(sz) FROM s{p}) AS giant_size, "
+            f"(SELECT CAST(count(*) AS BIGINT) FROM s{p}) AS n_components"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+SQL_PERCOLATION_GIANT = _percolation_sql()
+
+
 def registry():
     return {
         "densest_subgraph": (q_densest_subgraph, SQL_DENSEST_SUBGRAPH),
         "engine_matching": (q_engine_matching, SQL_ENGINE_MATCHING),
+        "percolation_giant": (q_percolation_giant, SQL_PERCOLATION_GIANT),
         "decayed_pagerank": (q_decayed_pagerank, SQL_DECAYED_PAGERANK),
         "rich_club": (q_rich_club, SQL_RICH_CLUB),
         "community_conductance": (

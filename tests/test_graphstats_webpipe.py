@@ -1094,3 +1094,36 @@ def test_engine_matching_valid_and_maximal(spark, dk_edges):
     for a, b in und:
         assert a in seen or b in seen
     assert full  # fixture produces a non-empty matching
+
+
+def test_percolation_giant_matches_networkx(spark, dk_edges):
+    """Each retention level == networkx components over the same
+    hash-filtered edge set; giant size must be nondecreasing in p."""
+    import hashlib
+
+    import networkx as nx
+
+    from linkgraph.graphstats import _PERC_PS, q_percolation_giant
+
+    verts = sorted({v for e in dk_edges for v in e})
+    und = sorted({(min(a, b), max(a, b)) for a, b in dk_edges if a != b})
+
+    def bkt(u, w):
+        return int(hashlib.md5(f"perc:{u}:{w}".encode()).hexdigest()[:15], 16) % 100
+
+    got = {
+        r["p_pct"]: (r["n_edges_kept"], r["giant_size"], r["n_components"])
+        for r in q_percolation_giant(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(_PERC_PS)
+    prev_giant = 0
+    for p in sorted(_PERC_PS):
+        kept = [(u, w) for u, w in und if bkt(u, w) < p]
+        G = nx.Graph()
+        G.add_nodes_from(verts)
+        G.add_edges_from(kept)
+        comps = list(nx.connected_components(G))
+        assert got[p] == (len(kept), max(map(len, comps)), len(comps))
+        assert got[p][1] >= prev_giant
+        prev_giant = got[p][1]
+    assert got[100][1] > got[25][1]  # the profile actually varies
