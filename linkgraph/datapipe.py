@@ -354,22 +354,48 @@ FROM documents
 """
 
 
+def _sw_hits_expr(w, swl: list[str]):
+    """Count of tokens in array column ``w`` hitting the stopword list."""
+    arr = F.array([F.lit(x) for x in swl])
+    return F.size(F.filter(w, lambda x: F.array_contains(arr, x)))
+
+
+def _lang_vote_expr(w):
+    """The en/de/fr stopword vote with doc_langid's tie-break order —
+    the ONE definition shared by doc_langid / doc_quality_filter /
+    langid_confusion (and mirrored by _SQL_LANG_VOTE)."""
+    he, hd, hf = (
+        _sw_hits_expr(w, s) for s in (STOPWORDS_EN, STOPWORDS_DE, STOPWORDS_FR)
+    )
+    return (
+        F.when((he >= hd) & (he >= hf), F.lit("en"))
+        .when(hd >= hf, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+
+
+def _quality_score_expr(w):
+    """doc_quality's rounded score — shared with doc_quality_filter."""
+    stop_cnt = _sw_hits_expr(w, STOPWORDS_EN)
+    ttr = F.size(F.array_distinct(w)) / F.size(w)
+    return F.round(
+        0.5 * (stop_cnt / F.size(w)) + 0.3 * ttr + 0.2 * (F.size(w) >= 20).cast("int"),
+        6,
+    )
+
+
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: stopword ratio, type-token ratio, length score."""
     d = load_table(spark, sf_dir, "documents")
     w = _words(F.col("text"))
-    sw = F.array([F.lit(s) for s in STOPWORDS_EN])
-    stop_cnt = F.size(F.filter(w, lambda x: F.array_contains(sw, x)))
+    stop_cnt = _sw_hits_expr(w, STOPWORDS_EN)
     ttr = F.size(F.array_distinct(w)) / F.size(w)
     return d.select(
         "doc_id",
         F.round(stop_cnt / F.size(w), 6).alias("stopword_ratio"),
         F.round(ttr, 6).alias("type_token_ratio"),
         (F.size(w) >= 20).cast("int").alias("len_ok"),
-        F.round(
-            0.5 * (stop_cnt / F.size(w)) + 0.3 * ttr + 0.2 * (F.size(w) >= 20).cast("int"),
-            6,
-        ).alias("quality_score"),
+        _quality_score_expr(w).alias("quality_score"),
     )
 
 
@@ -394,25 +420,12 @@ def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram-free language ID heuristic: stopword hits per language."""
     d = load_table(spark, sf_dir, "documents")
     w = _words(F.col("text"))
-    def _hits(sw: list[str]):
-        arr = F.array([F.lit(s) for s in sw])
-        return F.size(F.filter(w, lambda x: F.array_contains(arr, x)))
-
-    scores = {
-        lang: _hits(sw)
-        for lang, sw in [("en", STOPWORDS_EN), ("de", STOPWORDS_DE), ("fr", STOPWORDS_FR)]
-    }
-    best = (
-        F.when((scores["en"] >= scores["de"]) & (scores["en"] >= scores["fr"]), F.lit("en"))
-        .when(scores["de"] >= scores["fr"], F.lit("de"))
-        .otherwise(F.lit("fr"))
-    )
     return d.select(
         "doc_id",
-        scores["en"].alias("hits_en"),
-        scores["de"].alias("hits_de"),
-        scores["fr"].alias("hits_fr"),
-        best.alias("lang_pred"),
+        _sw_hits_expr(w, STOPWORDS_EN).alias("hits_en"),
+        _sw_hits_expr(w, STOPWORDS_DE).alias("hits_de"),
+        _sw_hits_expr(w, STOPWORDS_FR).alias("hits_fr"),
+        _lang_vote_expr(w).alias("lang_pred"),
     )
 
 
@@ -421,15 +434,18 @@ def _sql_hits(sw: list[str]) -> str:
     return f"len(list_filter(string_split(lower(trim(text)), ' '), x -> x IN ({lst})))"
 
 
+# the ONE SQL mirror of _lang_vote_expr (operates on a `text` column)
+_SQL_LANG_VOTE = f"""CASE WHEN {_sql_hits(STOPWORDS_EN)} >= {_sql_hits(STOPWORDS_DE)}
+             AND {_sql_hits(STOPWORDS_EN)} >= {_sql_hits(STOPWORDS_FR)} THEN 'en'
+            WHEN {_sql_hits(STOPWORDS_DE)} >= {_sql_hits(STOPWORDS_FR)} THEN 'de'
+            ELSE 'fr' END"""
+
 SQL_DOC_LANGID = f"""
 SELECT doc_id,
        {_sql_hits(STOPWORDS_EN)} AS hits_en,
        {_sql_hits(STOPWORDS_DE)} AS hits_de,
        {_sql_hits(STOPWORDS_FR)} AS hits_fr,
-       CASE WHEN {_sql_hits(STOPWORDS_EN)} >= {_sql_hits(STOPWORDS_DE)}
-             AND {_sql_hits(STOPWORDS_EN)} >= {_sql_hits(STOPWORDS_FR)} THEN 'en'
-            WHEN {_sql_hits(STOPWORDS_DE)} >= {_sql_hits(STOPWORDS_FR)} THEN 'de'
-            ELSE 'fr' END AS lang_pred
+       {_SQL_LANG_VOTE} AS lang_pred
 FROM documents
 """
 
@@ -448,26 +464,10 @@ def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     w = _words(F.col("text"))
-    sw = F.array([F.lit(s) for s in STOPWORDS_EN])
-    stop_cnt = F.size(F.filter(w, lambda x: F.array_contains(sw, x)))
-    ttr = F.size(F.array_distinct(w)) / F.size(w)
-    score = F.round(
-        0.5 * (stop_cnt / F.size(w)) + 0.3 * ttr + 0.2 * (F.size(w) >= 20).cast("int"),
-        6,
-    )
-
-    def _hits(swl: list[str]):
-        arr = F.array([F.lit(s) for s in swl])
-        return F.size(F.filter(w, lambda x: F.array_contains(arr, x)))
-
-    he, hd, hf = (_hits(s) for s in (STOPWORDS_EN, STOPWORDS_DE, STOPWORDS_FR))
-    lang = (
-        F.when((he >= hd) & (he >= hf), F.lit("en"))
-        .when(hd >= hf, F.lit("de"))
-        .otherwise(F.lit("fr"))
-    )
     scored = d.select(
-        "doc_id", lang.alias("lang_pred"), score.alias("quality_score")
+        "doc_id",
+        _lang_vote_expr(w).alias("lang_pred"),
+        _quality_score_expr(w).alias("quality_score"),
     )
     win = Window.partitionBy("lang_pred").orderBy("quality_score")
     cume = F.round(F.cume_dist().over(win), 6)
@@ -485,10 +485,7 @@ WITH base AS (
   SELECT doc_id, text, string_split(lower(trim(text)), ' ') AS w FROM documents
 ), scored AS (
   SELECT doc_id,
-         CASE WHEN {_sql_hits(STOPWORDS_EN)} >= {_sql_hits(STOPWORDS_DE)}
-               AND {_sql_hits(STOPWORDS_EN)} >= {_sql_hits(STOPWORDS_FR)} THEN 'en'
-              WHEN {_sql_hits(STOPWORDS_DE)} >= {_sql_hits(STOPWORDS_FR)} THEN 'de'
-              ELSE 'fr' END AS lang_pred,
+         {_SQL_LANG_VOTE} AS lang_pred,
          round(0.5 * (CAST(len(list_filter(w, x -> x IN ({_SQL_SW_EN}))) AS DOUBLE)
                       / len(w))
                + 0.3 * (CAST(len(list_distinct(w)) AS DOUBLE) / len(w))
@@ -518,19 +515,8 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     w = _words(F.col("text"))
-
-    def _hits(swl: list[str]):
-        arr = F.array([F.lit(s) for s in swl])
-        return F.size(F.filter(w, lambda x: F.array_contains(arr, x)))
-
-    he, hd, hf = (_hits(s) for s in (STOPWORDS_EN, STOPWORDS_DE, STOPWORDS_FR))
-    pred = (
-        F.when((he >= hd) & (he >= hf), F.lit("en"))
-        .when(hd >= hf, F.lit("de"))
-        .otherwise(F.lit("fr"))
-    )
     m = (
-        d.select(F.col("lang").alias("lang_true"), pred.alias("lang_pred"))
+        d.select(F.col("lang").alias("lang_true"), _lang_vote_expr(w).alias("lang_pred"))
         .groupBy("lang_true", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -546,10 +532,7 @@ def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_LANGID_CONFUSION = f"""
 WITH m AS (
   SELECT lang AS lang_true,
-         CASE WHEN {_sql_hits(STOPWORDS_EN)} >= {_sql_hits(STOPWORDS_DE)}
-               AND {_sql_hits(STOPWORDS_EN)} >= {_sql_hits(STOPWORDS_FR)} THEN 'en'
-              WHEN {_sql_hits(STOPWORDS_DE)} >= {_sql_hits(STOPWORDS_FR)} THEN 'de'
-              ELSE 'fr' END AS lang_pred
+         {_SQL_LANG_VOTE} AS lang_pred
   FROM documents
 ), c AS (
   SELECT lang_true, lang_pred, CAST(count(*) AS BIGINT) AS n

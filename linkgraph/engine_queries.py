@@ -490,7 +490,6 @@ def q_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
         ctx.unpersist()
 
 
-SQL_BOWTIE = None  # bound in registry() via graph_oracles.bowtie_fixed_sql
 
 _KATZ_ALPHA, _KATZ_BETA, _KATZ_STEPS = 0.01, 1.0, 5
 

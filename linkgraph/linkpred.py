@@ -419,6 +419,29 @@ GROUP BY coalesce(d.out_deg, 0)
 _WALK_STEPS = 3
 
 
+def _events_edge_keys(spark: SparkSession, sf_dir: str):
+    """Distinct directed (s, t) vkey pairs of the events graph (turn +
+    tool edges, self-loops kept) — the key-space twin of
+    flagship.events_graph's edge set, shared by the walk and fanout
+    samplers so a change to the session ordering key reaches both."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    turn = (
+        ev.select(
+            F.col("event_type").alias("s"),
+            F.lead("event_type").over(w).alias("t"),
+        )
+        .where(F.col("t").isNotNull())
+    )
+    tool = ev.select(
+        F.concat(F.lit("user:"), F.col("user_id").cast("string")).alias("s"),
+        F.col("event_type").alias("t"),
+    )
+    return turn.unionByName(tool).distinct()
+
+
 def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic random walks over the full events graph (turn + tool
     edges) — the walk-corpus primitive behind DeepWalk/node2vec-style
@@ -435,22 +458,7 @@ def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard distributed walk-corpus shape."""
     from .datapipe import _md5_int
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    turn = (
-        ev.select(
-            F.col("event_type").alias("s"),
-            F.lead("event_type").over(w).alias("t"),
-        )
-        .where(F.col("t").isNotNull())
-    )
-    tool = ev.select(
-        F.concat(F.lit("user:"), F.col("user_id").cast("string")).alias("s"),
-        F.col("event_type").alias("t"),
-    )
-    ed = turn.unionByName(tool).distinct()
+    ed = _events_edge_keys(spark, sf_dir)
     verts = (
         ed.select(F.col("s").alias("vkey"))
         .unionByName(ed.select(F.col("t").alias("vkey")))
@@ -548,24 +556,11 @@ def q_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on src; this is the standard mini-batch fanout primitive that
     bounds per-vertex aggregation cost at training time regardless of hub
     degree.  Output (src_key, dst_key, sample_rank)."""
-    from .datapipe import _md5_int
-
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     from pyspark.sql import Window
 
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    turn = (
-        ev.select(
-            F.col("event_type").alias("s"),
-            F.lead("event_type").over(w).alias("t"),
-        )
-        .where(F.col("t").isNotNull())
-    )
-    tool = ev.select(
-        F.concat(F.lit("user:"), F.col("user_id").cast("string")).alias("s"),
-        F.col("event_type").alias("t"),
-    )
-    ed = turn.unionByName(tool).distinct()
+    from .datapipe import _md5_int
+
+    ed = _events_edge_keys(spark, sf_dir)
     h = _md5_int(F.concat_ws(":", F.lit("ns"), F.col("s"), F.col("t")))
     sw = Window.partitionBy("s").orderBy(h.asc(), F.col("t").asc())
     return (

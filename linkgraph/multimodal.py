@@ -268,8 +268,9 @@ def _riff_walk(body: bytes) -> Iterator[tuple[bytes, bytes]]:
         i += 8 + size + (size % 2)  # even-pad per spec
 
 
-def _parse_wav(payload: bytes) -> tuple[str, int, int, int, int, int]:
-    tag, body = next(_riff_walk(payload))
+def _wav_samples(payload: bytes) -> tuple[int, bytes]:
+    """(sample_rate, raw 8-bit PCM data) from a REAL RIFF/WAVE byte walk."""
+    tag, body = next(_riff_walk(bytes(payload)))
     if tag != b"RIFF" or body[:4] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     rate, data = None, None
@@ -280,6 +281,11 @@ def _parse_wav(payload: bytes) -> tuple[str, int, int, int, int, int]:
             data = cbody
     if rate is None or data is None:
         raise ValueError("WAVE missing fmt /data chunk")
+    return rate, data
+
+
+def _parse_wav(payload: bytes) -> tuple[str, int, int, int, int, int]:
+    rate, data = _wav_samples(payload)
     duration_ms = len(data) * 1000 // rate  # 8-bit mono: 1 byte per sample
     return hashlib.md5(data).hexdigest(), 0, 0, 0, rate, duration_ms
 
@@ -692,23 +698,6 @@ FROM hashed
 # --------------------------------------------------------------------------
 
 _EN_WIN = 64  # PCM samples per energy window
-
-
-def _wav_samples(payload: bytes) -> tuple[int, bytes]:
-    """(sample_rate, raw 8-bit PCM data) from a REAL RIFF/WAVE byte walk."""
-    b = bytes(payload)
-    tag, body = next(_riff_walk(b))
-    if tag != b"RIFF" or body[:4] != b"WAVE":
-        raise ValueError("not a RIFF/WAVE payload")
-    rate, data = None, None
-    for ctag, cbody in _riff_walk(body[4:]):
-        if ctag == b"fmt ":
-            (rate,) = struct.unpack_from("<I", cbody, 4)
-        elif ctag == b"data":
-            data = cbody
-    if rate is None or data is None:
-        raise ValueError("WAVE missing fmt /data chunk")
-    return rate, data
 
 
 def media_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
