@@ -545,6 +545,91 @@ FROM c
 """
 
 
+_PMI_MIN_PAIR = 5   # report pairs co-occurring in >= 5 docs
+_PMI_MAX_WORDS = 64  # skew control: docs with more distinct tokens are
+#                      excluded from the whole computation (a doc with w
+#                      distinct words emits O(w²) pairs; capping w bounds
+#                      the pair join independent of corpus size — same
+#                      knob as tool_cousage's hub guard)
+
+
+def word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of word pairs by document
+    co-occurrence — the classic distributional-association score
+    (collocation mining, retrieval query expansion).  Over docs with at
+    most ``_PMI_MAX_WORDS`` distinct tokens: pmi(p,q) = ln(n_pair·N /
+    (df_p·df_q)), reported for pairs co-occurring in >= ``_PMI_MIN_PAIR``
+    docs.  All counts stay integer; the single double division happens on
+    exactly-representable products, so the rounded score is bit-identical
+    cross-engine.  The per-doc pair join is the one quadratic step and is
+    bounded by the cap; everything else is combinable groupBys + a 1-row
+    N broadcast.  Output (p, q, n_pair, pmi)."""
+    d = load_table(spark, sf_dir, "documents")
+    dw = (
+        d.select("doc_id", F.explode(F.array_distinct(_words(F.col("text")))).alias("w"))
+        .where(F.col("w") != "")
+    )
+    dn = dw.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_nw")).where(
+        F.col("_nw") <= _PMI_MAX_WORDS
+    )
+    dd = dw.join(dn.select("doc_id"), "doc_id").localCheckpoint()
+    n = dd.select("doc_id").distinct().agg(F.count(F.lit(1)).alias("_n"))
+    cf = dd.groupBy("w").agg(F.count(F.lit(1)).alias("_c"))
+    a = dd.select("doc_id", F.col("w").alias("p"))
+    b = dd.select("doc_id", F.col("w").alias("q"))
+    pairs = (
+        a.join(b, "doc_id")
+        .where(F.col("p") < F.col("q"))
+        .groupBy("p", "q")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= _PMI_MIN_PAIR)
+    )
+    return (
+        pairs.join(cf.select(F.col("w").alias("p"), F.col("_c").alias("_cp")), "p")
+        .join(cf.select(F.col("w").alias("q"), F.col("_c").alias("_cq")), "q")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "p",
+            "q",
+            "n_pair",
+            F.round(
+                F.log(
+                    (F.col("n_pair") * F.col("_n")).cast("double")
+                    / (F.col("_cp") * F.col("_cq")).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+SQL_WORD_PMI = f"""
+WITH dw AS (
+  SELECT DISTINCT doc_id, w
+  FROM (SELECT doc_id, unnest(list_distinct(string_split(lower(trim(text)), ' '))) AS w
+        FROM documents)
+  WHERE w <> ''
+), dn AS (
+  SELECT doc_id FROM dw GROUP BY doc_id HAVING count(*) <= {_PMI_MAX_WORDS}
+), dd AS (
+  SELECT dw.doc_id, dw.w FROM dw JOIN dn USING (doc_id)
+), nn AS (
+  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM dd
+), cf AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c FROM dd GROUP BY w
+), pairs AS (
+  SELECT a.w AS p, b.w AS q, CAST(count(*) AS BIGINT) AS n_pair
+  FROM dd a JOIN dd b ON b.doc_id = a.doc_id AND a.w < b.w
+  GROUP BY a.w, b.w
+  HAVING count(*) >= {_PMI_MIN_PAIR}
+)
+SELECT p, q, n_pair,
+       round(ln(CAST(n_pair * (SELECT n FROM nn) AS DOUBLE)
+                / CAST(ca.c * cb.c AS DOUBLE)), 6) AS pmi
+FROM pairs JOIN cf ca ON ca.w = pairs.p JOIN cf cb ON cb.w = pairs.q
+"""
+
+
 _IDX_MIN_DF = 5  # index only terms appearing in >= 5 docs (bounds output)
 
 
@@ -2345,6 +2430,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "doc_quality_filter": (doc_quality_filter, SQL_DOC_QUALITY_FILTER),
         "inverted_index": (inverted_index, SQL_INVERTED_INDEX),
         "langid_confusion": (langid_confusion, SQL_LANGID_CONFUSION),
+        "word_pmi": (word_pmi, SQL_WORD_PMI),
         "doc_fingerprint": (doc_fingerprint, SQL_DOC_FINGERPRINT),
         "ann_topk_cosine": (ann_topk_cosine, SQL_ANN_TOPK),
         "doc_tfidf": (doc_tfidf, SQL_DOC_TFIDF),

@@ -2198,6 +2198,35 @@ def _matching_sql(k: int) -> str:
 SQL_ENGINE_MATCHING = _matching_sql(_MATCH_ROUNDS)
 
 
+def q_vertex_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-approximate minimum vertex cover = both endpoints of a maximal
+    matching (the classic Gavril/Yannakakis bound): every edge touches a
+    matched vertex (maximality) and any cover needs >= |M| vertices, so
+    |cover| = 2|M| <= 2·OPT.  Runs the proposal-round matching to its
+    gate-fixed schedule and emits the distinct endpoint set with the round
+    each vertex was sealed in.  Output (vkey, matched_round)."""
+    m = q_engine_matching(spark, sf_dir)
+    return (
+        m.select(F.col("a").alias("vkey"), "matched_round")
+        .unionByName(m.select(F.col("b").alias("vkey"), "matched_round"))
+        .groupBy("vkey")
+        .agg(F.min("matched_round").alias("matched_round"))
+    )
+
+
+# nested WITH inside the subquery keeps the matching oracle verbatim
+SQL_VERTEX_COVER = f"""
+WITH m AS ({SQL_ENGINE_MATCHING})
+SELECT vkey, CAST(min(matched_round) AS INTEGER) AS matched_round
+FROM (
+  SELECT a AS vkey, matched_round FROM m
+  UNION ALL
+  SELECT b AS vkey, matched_round FROM m
+)
+GROUP BY vkey
+"""
+
+
 # --------------------------------------------------------------------------
 # bond-percolation robustness profile (giant component vs edge retention)
 # --------------------------------------------------------------------------
@@ -2325,6 +2354,7 @@ def registry():
         "densest_subgraph": (q_densest_subgraph, SQL_DENSEST_SUBGRAPH),
         "engine_matching": (q_engine_matching, SQL_ENGINE_MATCHING),
         "percolation_giant": (q_percolation_giant, SQL_PERCOLATION_GIANT),
+        "vertex_cover": (q_vertex_cover, SQL_VERTEX_COVER),
         "decayed_pagerank": (q_decayed_pagerank, SQL_DECAYED_PAGERANK),
         "rich_club": (q_rich_club, SQL_RICH_CLUB),
         "community_conductance": (

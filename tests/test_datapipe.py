@@ -817,3 +817,37 @@ def test_inverted_index_matches_python(spark):
     }
     assert got == want
     assert want  # the df cut must not empty the fixture index
+
+
+def test_word_pmi_matches_python(spark):
+    """PMI rows == a from-scratch Counter replication (doc cap, pair
+    floor, single-division rounding)."""
+    import math
+    from collections import Counter
+    from itertools import combinations
+
+    from linkgraph.datapipe import _PMI_MAX_WORDS, _PMI_MIN_PAIR, word_pmi
+    from linkgraph.io import load_table
+
+    docs = {
+        int(r["doc_id"]): sorted({w for w in r["text"].lower().strip().split(" ") if w})
+        for r in load_table(spark, SF, "documents").collect()
+    }
+    docs = {d: ws for d, ws in docs.items() if len(ws) <= _PMI_MAX_WORDS}
+    n = len(docs)
+    cf: Counter = Counter()
+    pf: Counter = Counter()
+    for ws in docs.values():
+        cf.update(ws)
+        pf.update(combinations(ws, 2))
+    want = {
+        (p, q): (c, round(math.log((c * n) / (cf[p] * cf[q])), 6))
+        for (p, q), c in pf.items()
+        if c >= _PMI_MIN_PAIR
+    }
+    got = {
+        (r["p"], r["q"]): (r["n_pair"], r["pmi"])
+        for r in word_pmi(spark, SF).collect()
+    }
+    assert got == want
+    assert want  # floor must not empty the fixture

