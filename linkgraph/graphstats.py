@@ -2198,6 +2198,114 @@ def _matching_sql(k: int) -> str:
 SQL_ENGINE_MATCHING = _matching_sql(_MATCH_ROUNDS)
 
 
+def q_edge_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link churn between two crawl snapshots — the classic web-graph
+    stability measure: split the event timeline at the midpoint of
+    [min_ts, max_ts] (exact int64 epoch-microseconds midpoint), derive the
+    distinct directed simple edge set INDEPENDENTLY per half (turn edges
+    re-sessionized within each half, as a real re-crawl would), and report
+    retained / added / removed edge counts plus the integer-ratio Jaccard
+    stability.  Two window passes + three combinable set aggregates; the
+    1-row min/max bound is a broadcast, not a collect.  Output one row
+    (n_old, n_new, retained, added, removed, jaccard_pct)."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("_lo"),
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("_hi"),
+    )
+    ew = e.crossJoin(F.broadcast(bounds)).withColumn(
+        "_half",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            >= (F.col("_lo") + F.col("_hi")) / F.lit(2)
+        ).cast("int"),
+    )
+
+    def half_edges(h: int):
+        sub = ew.where(F.col("_half") == h)
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        turn = (
+            sub.select(
+                F.col("event_type").alias("s"),
+                F.lead("event_type").over(w).alias("t"),
+            )
+            .where(F.col("t").isNotNull())
+        )
+        tool = sub.select(
+            F.concat(F.lit("user:"), F.col("user_id").cast("string")).alias("s"),
+            F.col("event_type").alias("t"),
+        )
+        return (
+            turn.unionByName(tool).where(F.col("s") != F.col("t")).distinct()
+        )
+
+    old, new = half_edges(0), half_edges(1)
+    retained = old.join(new, ["s", "t"]).agg(F.count(F.lit(1)).alias("retained"))
+    n_old = old.agg(F.count(F.lit(1)).alias("n_old"))
+    n_new = new.agg(F.count(F.lit(1)).alias("n_new"))
+    return (
+        n_old.crossJoin(n_new)
+        .crossJoin(retained)
+        .select(
+            "n_old",
+            "n_new",
+            "retained",
+            (F.col("n_new") - F.col("retained")).alias("added"),
+            (F.col("n_old") - F.col("retained")).alias("removed"),
+            F.round(
+                F.col("retained").cast("double")
+                / (F.col("n_old") + F.col("n_new") - F.col("retained")),
+                6,
+            ).alias("jaccard_pct"),
+        )
+    )
+
+
+SQL_EDGE_CHURN = """
+WITH b AS (
+  SELECT min(epoch_us(ts)) AS lo,
+         max(epoch_us(ts)) AS hi
+  FROM events
+), ew AS (
+  SELECT e.*, CASE WHEN epoch_us(e.ts)
+                        >= (b.lo + b.hi) / 2.0 THEN 1 ELSE 0 END AS half
+  FROM events e, b
+), t0 AS (
+  SELECT event_type AS s,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
+  FROM ew WHERE half = 0
+), t1 AS (
+  SELECT event_type AS s,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
+  FROM ew WHERE half = 1
+), e0 AS (
+  SELECT DISTINCT s, t FROM (
+    SELECT s, t FROM t0 WHERE t IS NOT NULL
+    UNION ALL
+    SELECT 'user:' || CAST(user_id AS VARCHAR) AS s, event_type AS t
+    FROM ew WHERE half = 0
+  ) WHERE s <> t
+), e1 AS (
+  SELECT DISTINCT s, t FROM (
+    SELECT s, t FROM t1 WHERE t IS NOT NULL
+    UNION ALL
+    SELECT 'user:' || CAST(user_id AS VARCHAR) AS s, event_type AS t
+    FROM ew WHERE half = 1
+  ) WHERE s <> t
+), c AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM e0) AS n_old,
+         (SELECT CAST(count(*) AS BIGINT) FROM e1) AS n_new,
+         (SELECT CAST(count(*) AS BIGINT) FROM e0 JOIN e1 USING (s, t)) AS retained
+)
+SELECT n_old, n_new, retained,
+       n_new - retained AS added,
+       n_old - retained AS removed,
+       round(CAST(retained AS DOUBLE) / (n_old + n_new - retained), 6)
+         AS jaccard_pct
+FROM c
+"""
+
+
 def q_vertex_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-approximate minimum vertex cover = both endpoints of a maximal
     matching (the classic Gavril/Yannakakis bound): every edge touches a
@@ -2355,6 +2463,7 @@ def registry():
         "engine_matching": (q_engine_matching, SQL_ENGINE_MATCHING),
         "percolation_giant": (q_percolation_giant, SQL_PERCOLATION_GIANT),
         "vertex_cover": (q_vertex_cover, SQL_VERTEX_COVER),
+        "edge_churn": (q_edge_churn, SQL_EDGE_CHURN),
         "decayed_pagerank": (q_decayed_pagerank, SQL_DECAYED_PAGERANK),
         "rich_club": (q_rich_club, SQL_RICH_CLUB),
         "community_conductance": (

@@ -1145,3 +1145,36 @@ def test_vertex_cover_covers_all_edges(spark, dk_edges):
     for a, b in und:
         assert a in full_cover or b in full_cover
     assert len(full_cover) == 2 * len(m)
+
+
+def test_edge_churn_matches_python(spark):
+    """Churn row == a from-scratch replication: per-half re-sessionized
+    edge sets, retained/added/removed identities, Jaccard."""
+    from linkgraph.graphstats import q_edge_churn
+    from linkgraph.io import load_table
+
+    ev = load_table(spark, SF_DIR, "events").collect()
+    us = [int(r["ts"].timestamp() * 1_000_000) for r in ev]
+    mid = (min(us) + max(us)) / 2
+
+    def edges(rows):
+        by_user = {}
+        for r in rows:
+            by_user.setdefault(r["user_id"], []).append(r)
+        out = set()
+        for uid, rs in by_user.items():
+            rs.sort(key=lambda r: (r["ts"], r["event_id"]))
+            for a, b in zip(rs, rs[1:]):
+                out.add((a["event_type"], b["event_type"]))
+            for r in rs:
+                out.add((f"user:{uid}", r["event_type"]))
+        return {(s, t) for s, t in out if s != t}
+
+    old = edges([r for r, u in zip(ev, us) if u < mid])
+    new = edges([r for r, u in zip(ev, us) if u >= mid])
+    row = q_edge_churn(spark, SF_DIR).first()
+    assert (row["n_old"], row["n_new"]) == (len(old), len(new))
+    assert row["retained"] == len(old & new)
+    assert row["added"] == len(new - old)
+    assert row["removed"] == len(old - new)
+    assert row["jaccard_pct"] == round(len(old & new) / len(old | new), 6)
