@@ -109,6 +109,56 @@ def compact_parquet(
     return n
 
 
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 16,
+    bits: int = 8,
+) -> None:
+    """Z-order (Morton-curve) file clustering on TWO columns — the
+    multi-dimensional layout trick behind Delta/Iceberg ``OPTIMIZE
+    ZORDER``, expressed with stock Spark: min/max-scale each column to
+    ``bits``-bit space (1-row bounds broadcast, metadata-cheap), interleave
+    the bits JVM-side into a single z-value, range-partition on it, and
+    sort within files.  Every written file is then tight in BOTH columns'
+    min/max stats, so any stats-aware reader (parquet row-group pruning,
+    Iceberg/Delta file skipping) prunes on EITHER predicate — a plain sort
+    clusters one column and leaves the other full-range in every file.
+    Linear min/max scaling keeps the map a pure column expr; heavily
+    skewed columns would use rank buckets instead (same interleave).  The
+    ``_z`` column is persisted alongside the data (harmless, and keeps the
+    in-file ordering self-describing)."""
+    bounds = df.agg(
+        F.min(col_a).alias("_la"), F.max(col_a).alias("_ha"),
+        F.min(col_b).alias("_lb"), F.max(col_b).alias("_hb"),
+    )
+    top = (1 << bits) - 1
+
+    def scale(c, lo, hi):
+        rng = F.when(F.col(hi) > F.col(lo), F.col(hi) - F.col(lo)).otherwise(F.lit(1))
+        return ((F.col(c) - F.col(lo)) * top / rng).cast("long")
+
+    z = F.lit(0).cast("long")
+    withb = df.crossJoin(F.broadcast(bounds))
+    sa, sb = scale(col_a, "_la", "_ha"), scale(col_b, "_lb", "_hb")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(sa, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(sb, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    (
+        withb.withColumn("_z", z)
+        .drop("_la", "_ha", "_lb", "_hb")
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def read_sink_as_of(
     spark: SparkSession, out_dir: str, batch_id: int | None = None
 ) -> DataFrame:

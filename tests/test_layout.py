@@ -107,3 +107,43 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, warehouse):
     got = spark.read.parquet(dst)
     assert got.count() == 64_000
     assert got.agg(F.sum("id")).collect()[0][0] == 64_000 * 63_999 // 2
+
+
+def test_zorder_clusters_both_columns(spark, warehouse):
+    """Z-order layout property: per-file min/max ranges are tight in BOTH
+    dimensions (what enables two-sided stats skipping), while a plain sort
+    on x leaves y full-range in every file.  Row content is preserved."""
+    import glob
+
+    from linkgraph.io import zorder_write
+
+    n = 40_000
+    df = spark.range(0, n).select(
+        (F.col("id") % 200).alias("x"),
+        ((F.col("id") * 137) % 200).alias("y"),  # decorrelated from x
+    )
+    zdir = f"{warehouse}/zorder"
+    sdir = f"{warehouse}/xsort"
+    zorder_write(df, zdir, "x", "y", n_files=16)
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(sdir)
+
+    def file_ranges(d):
+        out = []
+        for f in sorted(glob.glob(f"{d}/part-*.parquet")):
+            p = spark.read.parquet(f).agg(
+                F.min("x"), F.max("x"), F.min("y"), F.max("y")
+            ).first()
+            out.append((p[1] - p[0], p[3] - p[2]))
+        return out
+
+    zr, sr = file_ranges(zdir), file_ranges(sdir)
+    assert len(zr) >= 8
+    # plain x-sort: y is (near-)full-range in every file
+    assert all(ry >= 150 for _rx, ry in sr)
+    # z-order: most files are tight in BOTH dimensions
+    tight = sum(1 for rx, ry in zr if rx <= 100 and ry <= 100)
+    assert tight >= len(zr) * 0.75, zr
+    # and the rewrite is lossless
+    got = spark.read.parquet(zdir).groupBy("x", "y").count()
+    want = df.groupBy("x", "y").count()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
