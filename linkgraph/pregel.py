@@ -28,6 +28,7 @@ by the naive (non-CSR) paths.
 
 from __future__ import annotations
 
+import decimal
 import itertools
 import time
 from dataclasses import dataclass, field
@@ -513,10 +514,22 @@ class PageRankProgram:
         # dangling mass of state_{t-1}: carried from the previous superstep's
         # stats row (saves one job per superstep); computed directly only on
         # the first superstep after init/resume.
+        # Both paths compute the dangling mass as an EXACT decimal(38,25)
+        # sum: double-sum merge order varies with task completion order
+        # (load-dependent), and this scalar feeds back into every rank, so
+        # an order-dependent sum breaks bit-identical resume (the carry
+        # path and the post-resume recompute path must agree bitwise).
+        # Decimal addition is exact, hence order-independent; float() of
+        # the exact total is one deterministic rounding.
         if carry is not None and "dangling_mass" in carry:
-            dmass = carry["dangling_mass"] or 0.0
+            dmass = float(carry["dangling_mass"] or 0.0)
         else:
-            dmass = state.where("dangling").agg(F.sum("rank")).collect()[0][0] or 0.0
+            dmass = float(
+                state.where("dangling")
+                .agg(F.sum(F.col("rank").cast("decimal(38,25)")))
+                .collect()[0][0]
+                or 0.0
+            )
         packed_schema = "part_id int, dst array<long>, msum array<double>"
         msgs = (
             ctx.blocks.groupby("part_id")
@@ -551,7 +564,13 @@ class PageRankProgram:
         return [
             F.max("_delta").alias("delta"),
             F.sum("rank").alias("rank_sum"),
-            F.sum(F.when(F.col("dangling"), F.col("rank")).otherwise(F.lit(0.0))).alias("dangling_mass"),
+            # decimal: exact, order-independent — see the dmass comment in
+            # superstep(); this value is consumed as next step's dmass.
+            F.sum(
+                F.when(F.col("dangling"), F.col("rank"))
+                .otherwise(F.lit(0.0))
+                .cast("decimal(38,25)")
+            ).alias("dangling_mass"),
         ]
 
     stat_reducers = {"delta": max, "rank_sum": sum, "dangling_mass": sum}
@@ -1601,7 +1620,15 @@ def _run_program_inner(
             # plan stats stay bounded and never compound across supersteps.
             _strip_origin_stats(ns)
             row = obs.get
-            stats: dict[str, Any] = {name: row[name] for name in program.stat_reducers}
+            # decimal aggregates (exact, order-independent — e.g. PageRank's
+            # dangling_mass) come back as Decimal: one deterministic float()
+            # here keeps carry math and metrics JSON plain-float.
+            stats: dict[str, Any] = {
+                name: float(row[name])
+                if isinstance(row[name], decimal.Decimal)
+                else row[name]
+                for name in program.stat_reducers
+            }
             stats.update({"wall_s": None, "edges_scattered": nnz})
             state = ns
             if ckpt is not None:

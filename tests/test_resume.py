@@ -152,3 +152,39 @@ def test_checkpoint_gc_keeps_resume_point(tmp_path, spark):
         )
     finally:
         ctx.unpersist()
+
+
+def test_dangling_mass_carry_equals_recompute(spark):
+    """The dangling-mass scalar must be bit-identical whether it comes from
+    the superstep's observed stat (carry path) or is recomputed from the
+    checkpointed state (first-superstep-after-resume path) — both are
+    exact decimal(38,25) sums, so task-completion order cannot perturb
+    them (the root cause of the load-dependent resume flake)."""
+    from pyspark.sql import functions as F
+
+    from linkgraph.derive import GraphTables, build_degrees
+    from linkgraph.pregel import GraphContext, PageRankProgram, run_program
+
+    vertices = spark.createDataFrame(
+        [(f"v{i}", i, "actor") for i in range(6)],
+        "vkey string, vid long, vtype string",
+    )
+    # vertices 1 and 5 are dangling (no out-edges)
+    edges = spark.createDataFrame(
+        [(0, 1, "t", 1.0), (2, 1, "t", 1.0), (3, 5, "t", 1.0), (4, 0, "t", 1.0)],
+        "src long, dst long, etype string, w double",
+    )
+    g = GraphTables(vertices, edges, build_degrees(edges, vertices))
+    ctx = GraphContext.build(g, 4)
+    try:
+        res = run_program(ctx, PageRankProgram(tol=0.0), fixed_iters=3)
+        carried = res.stats_history[-1]["dangling_mass"]
+        recomputed = float(
+            res.state.where("dangling")
+            .agg(F.sum(F.col("rank").cast("decimal(38,25)")))
+            .collect()[0][0]
+        )
+        assert carried == recomputed  # bitwise, not approx
+        assert carried > 0.0
+    finally:
+        ctx.unpersist()
