@@ -664,8 +664,8 @@ SQL_ENGINE_PPR = ppr_fixed_sql(_PR_STEPS, limit=20)
 
 
 def registry():
-    from .graph_oracles import hits_fixed_sql, kcore_fixed_sql
-    from .hits import engine_hits
+    from .graph_oracles import hits_fixed_sql, kcore_fixed_sql, salsa_fixed_sql
+    from .hits import engine_hits, engine_salsa
     from .kcore import engine_kcore
     from .linkpred import (
         SQL_ADAMIC_ADAR,
@@ -707,6 +707,7 @@ def registry():
         "engine_sssp": (engine_sssp, SQL_ENGINE_SSSP),
         "engine_ppr": (engine_ppr, SQL_ENGINE_PPR),
         "engine_hits": (engine_hits, hits_fixed_sql(5, 20)),
+        "engine_salsa": (engine_salsa, salsa_fixed_sql(5, 20)),
         "clustering_coeff": (q_clustering_coeff, SQL_CLUSTERING_COEFF),
         "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
         "adamic_adar": (q_adamic_adar, SQL_ADAMIC_ADAR),

@@ -346,6 +346,50 @@ def hits_fixed_sql(k: int, limit: int) -> str:
     )
 
 
+def salsa_fixed_sql(k: int, limit: int) -> str:
+    """Unrolled k-iteration SALSA (degree-normalized HITS; Lempel & Moran
+    2000) over the DISTINCT directed simple events edges; top-``limit`` by
+    rounded authority — mirrors hits.salsa_scores exactly (authorities from
+    h_{t-1}/outdeg, normalize, hubs from normalized a_t/indeg, normalize).
+
+    Same linear-chain discipline as hits_fixed_sql (each score CTE
+    referenced once; normalizers are ``sum(..) OVER ()`` windows); the
+    degree tables are MATERIALIZED because every level re-joins them."""
+    ctes = [
+        _GRAPH_CTES,
+        "ed AS MATERIALIZED (SELECT DISTINCT s, t FROM e)",
+        "sod AS MATERIALIZED (SELECT s, CAST(count(*) AS DOUBLE) AS d FROM ed GROUP BY s)",
+        "sid AS MATERIALIZED (SELECT t, CAST(count(*) AS DOUBLE) AS d FROM ed GROUP BY t)",
+        "h0 AS (SELECT vkey, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS h FROM v)",
+    ]
+    for i in range(1, k + 1):
+        p = f"h{i - 1}"
+        ctes.append(
+            f"ar{i} AS (SELECT ed.t AS vkey, sum(p.h / o.d) AS a "
+            f"FROM ed JOIN sod o USING (s) JOIN {p} p ON p.vkey = ed.s GROUP BY ed.t)"
+        )
+        ctes.append(
+            f"a{i} AS (SELECT v.vkey, "
+            f"coalesce(r.a, 0.0) / sum(coalesce(r.a, 0.0)) OVER () AS a "
+            f"FROM v LEFT JOIN ar{i} r USING (vkey))"
+        )
+        ctes.append(
+            f"hr{i} AS (SELECT ed.s AS vkey, sum(a.a / x.d) AS h "
+            f"FROM ed JOIN sid x USING (t) JOIN a{i} a ON a.vkey = ed.t GROUP BY ed.s)"
+        )
+        ctes.append(
+            f"h{i} AS (SELECT v.vkey, "
+            f"coalesce(r.h, 0.0) / sum(coalesce(r.h, 0.0)) OVER () AS h "
+            f"FROM v LEFT JOIN hr{i} r USING (vkey))"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT a.vkey, round(a.a, 6) AS authority, round(h.h, 6) AS hub"
+        + f"\nFROM a{k} a JOIN h{k} h USING (vkey)"
+        + f"\nORDER BY round(a.a, 6) DESC, a.vkey\nLIMIT {limit}"
+    )
+
+
 def kcore_fixed_sql(k: int, iters: int) -> str:
     """Unrolled ``iters``-peel k-core over the events graph's undirected
     simple view; output (vkey, core_deg) with core_deg the induced degree

@@ -1264,6 +1264,136 @@ SQL_ENGINE_COLORING = _coloring_sql(_COLOR_ROUNDS)
 
 
 # --------------------------------------------------------------------------
+# maximal independent set (Luby-style, deterministic greedy-by-priority):
+# the symmetry-breaking primitive behind distributed scheduling, graph
+# sparsification, and parallel greedy algorithms.  Per round the active
+# local priority maxima join the set, then the set AND its neighborhood
+# deactivate — so unlike coloring the residual shrinks by N(mis) every
+# round and the schedule finishes in O(log n) rounds w.h.p. for random
+# (here: md5) priorities.  Deterministic priorities make every member —
+# and the round it was sealed in — bit-identical across engines, runs and
+# partitionings.
+# --------------------------------------------------------------------------
+
+_MIS_ROUNDS = 16  # gate graph finishes well under this; extra rounds no-op
+
+
+def q_engine_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Luby MIS over the undirected simple events graph.
+    Per round: one active-frontier self-join on the residual edge list
+    finds vertices dominated by a higher-priority ACTIVE neighbor; the
+    anti-join is this round's independent set; the set plus its neighbor
+    set then leaves the frontier.  Output (vkey, mis_round); raises if
+    ``_MIS_ROUNDS`` rounds leave active vertices.
+
+    Scale posture: message volume tracks the RESIDUAL edge set, which
+    loses every edge incident to mis ∪ N(mis) per round — geometrically
+    shrinking for hash priorities; all joins are key-partitioned
+    equi-joins, nothing leaves the JVM.
+    """
+    from .datapipe import _md5_int
+
+    e = _directed_simple(spark, sf_dir)
+    und = (
+        e.select(F.col("s").alias("a"), F.col("t").alias("b"))
+        .unionByName(e.select(F.col("t").alias("a"), F.col("s").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    act = (
+        und.select(F.col("a").alias("vkey"))
+        .distinct()
+        .withColumn("p", _md5_int(F.col("vkey")))
+        .localCheckpoint()
+    )
+    mis: DataFrame | None = None
+    for r in range(1, _MIS_ROUNDS + 1):
+        ua = act.select(F.col("vkey").alias("a"), F.col("p").alias("pa"))
+        ub = act.select(F.col("vkey").alias("b"), F.col("p").alias("pb"))
+        dominated = (
+            und.join(ua, "a")
+            .join(ub, "b")
+            .where(
+                (F.col("pb") > F.col("pa"))
+                | ((F.col("pb") == F.col("pa")) & (F.col("b") > F.col("a")))
+            )
+            .select(F.col("a").alias("vkey"))
+            .distinct()
+        )
+        newly = act.join(dominated, "vkey", "left_anti").select(
+            "vkey", F.lit(r).cast("int").alias("mis_round")
+        )
+        mis = newly if mis is None else mis.unionByName(newly)
+        nbrs = (
+            und.join(newly.select(F.col("vkey").alias("a")), "a")
+            .select(F.col("b").alias("vkey"))
+            .distinct()
+        )
+        act = (
+            act.join(
+                newly.select("vkey").unionByName(nbrs).distinct(),
+                "vkey",
+                "left_anti",
+            )
+            .localCheckpoint()
+        )
+        if act.isEmpty():
+            break
+    else:
+        raise RuntimeError(
+            f"MIS did not finish in {_MIS_ROUNDS} rounds — raise _MIS_ROUNDS "
+            "for this graph"
+        )
+    assert mis is not None
+    return mis
+
+
+def _mis_sql(rounds: int) -> str:
+    ctes = [
+        _GRAPH_CTES,
+        "undc AS (SELECT DISTINCT a, b FROM ("
+        "SELECT s AS a, t AS b FROM ek WHERE s <> t "
+        "UNION ALL SELECT t AS a, s AS b FROM ek WHERE s <> t))",
+        "act0 AS (SELECT DISTINCT a AS vkey, "
+        "CAST(('0x' || substr(md5(a), 1, 15)) AS BIGINT) AS p FROM undc)",
+    ]
+    for r in range(1, rounds + 1):
+        p = f"act{r - 1}"
+        # MATERIALIZED for the same reason as _coloring_sql: each level is
+        # referenced more than once, and default CTE inlining would expand
+        # the chain exponentially.
+        ctes.append(
+            f"""mis{r} AS MATERIALIZED (
+  SELECT u.vkey, {r} AS mis_round FROM {p} u
+  WHERE NOT EXISTS (
+    SELECT 1 FROM undc e
+    JOIN {p} w ON w.vkey = e.b
+    WHERE e.a = u.vkey
+      AND (w.p > u.p OR (w.p = u.p AND w.vkey > u.vkey))
+  )
+)"""
+        )
+        ctes.append(
+            f"""act{r} AS MATERIALIZED (
+  SELECT u.* FROM {p} u
+  WHERE u.vkey NOT IN (SELECT vkey FROM mis{r})
+    AND NOT EXISTS (
+      SELECT 1 FROM undc e JOIN mis{r} m ON m.vkey = e.b
+      WHERE e.a = u.vkey
+    )
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT vkey, CAST(mis_round AS INT) AS mis_round FROM mis{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
+SQL_ENGINE_MIS = _mis_sql(_MIS_ROUNDS)
+
+
+# --------------------------------------------------------------------------
 # seeded label spreading (semi-supervised node classification): the five
 # event-type vertices are the labeled classes; votes propagate k hops as
 # UNNORMALIZED integer counts (v_t = A·v_{t-1} with seeds clamped), and
@@ -2484,6 +2614,7 @@ def registry():
         "louvain_sync": (q_louvain, SQL_LOUVAIN),
         "label_spread": (q_label_spread, SQL_LABEL_SPREAD),
         "engine_coloring": (q_engine_coloring, SQL_ENGINE_COLORING),
+        "engine_mis": (q_engine_mis, SQL_ENGINE_MIS),
         "wl_refine": (q_wl_refine, SQL_WL_REFINE),
         "rectangles": (q_rectangles, SQL_RECTANGLES),
     }

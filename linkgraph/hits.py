@@ -86,6 +86,83 @@ def hits_scores(
     )
 
 
+def salsa_scores(graph: GraphTables, iters: int = 5) -> DataFrame:
+    """``iters`` SALSA iterations (Lempel & Moran 2000, public); returns
+    (vid, authority, hub).
+
+    SALSA is the degree-normalized sibling of HITS — the bipartite
+    random-walk formulation behind web-scale related-page / who-to-follow
+    systems: the authority step divides each hub's contribution by its
+    out-degree, the hub step divides each authority's contribution by its
+    in-degree, so scores are stationary-walk probabilities rather than raw
+    path counts (hub sites no longer dominate just by fan-out).  Both
+    half-steps L1-normalize, which also re-injects mass lost to one-sided
+    vertices under fixed-k iteration.
+
+    Spark shape: degrees are two hash aggregates over the distinct edge
+    set, joined to the edges ONCE up front (the per-iteration loop then
+    re-joins only the 2-column score table); each half-step is one shuffled
+    equi-join + one groupBy — identical plan shape and scale posture as
+    :func:`hits_scores`.
+    """
+    e = graph.edges.select("src", "dst").distinct()
+    od = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    idg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("idg"))
+    ed = e.join(od, "src").join(idg, "dst").localCheckpoint()
+    v = graph.vertices.select("vid")
+    n = v.count()
+
+    h = v.select("vid", F.lit(1.0 / n).alias("h"))
+    a = None
+    for _ in range(iters):
+        ar = (
+            ed.join(h.withColumnRenamed("vid", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("h") / F.col("od")).alias("a"))
+            .withColumnRenamed("dst", "vid")
+        )
+        a = _l1_normalize(
+            v.join(ar, "vid", "left").select("vid", F.coalesce("a", F.lit(0.0)).alias("a")),
+            "a",
+        ).localCheckpoint()
+        hr = (
+            ed.join(a.withColumnRenamed("vid", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.sum(F.col("a") / F.col("idg")).alias("h"))
+            .withColumnRenamed("src", "vid")
+        )
+        h = _l1_normalize(
+            v.join(hr, "vid", "left").select("vid", F.coalesce("h", F.lit(0.0)).alias("h")),
+            "h",
+        ).localCheckpoint()
+
+    return a.withColumnRenamed("a", "authority").join(
+        h.withColumnRenamed("h", "hub"), "vid"
+    )
+
+
+def engine_salsa(spark: SparkSession, sf_dir: str, iters: int = 5, limit: int = 20) -> DataFrame:
+    """Driver gate row: fixed-``iters`` SALSA over the events graph, top-20
+    by rounded authority — hash-checked against
+    graph_oracles.salsa_fixed_sql (same round-to-6 / rounded-order armor as
+    engine_hits)."""
+    from .flagship import events_graph
+    from .io import load_table
+
+    g = events_graph(load_table(spark, sf_dir, "events"))
+    s = salsa_scores(g, iters=iters)
+    return (
+        s.join(g.vertices.select("vid", "vkey"), "vid")
+        .select(
+            "vkey",
+            F.round("authority", 6).alias("authority"),
+            F.round("hub", 6).alias("hub"),
+        )
+        .orderBy(F.desc("authority"), "vkey")
+        .limit(limit)
+    )
+
+
 def engine_hits(spark: SparkSession, sf_dir: str, iters: int = 5, limit: int = 20) -> DataFrame:
     """Driver gate row: fixed-``iters`` HITS over the events graph, top-20 by
     rounded authority — hash-checked against graph_oracles.hits_fixed_sql.

@@ -226,6 +226,33 @@ def hits_ref(
     return a, h
 
 
+def salsa_ref(
+    src: np.ndarray, dst: np.ndarray, n: int, iters: int = 5
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fixed-``iters`` SALSA (Lempel & Moran 2000, public) over the DISTINCT
+    directed simple edge set — the degree-normalized sibling of HITS: each
+    half-step divides the propagated score by the SENDER's out-degree
+    (authority step) / the TARGET side's in-degree (hub step), then
+    L1-normalizes (matches hits.salsa_scores exactly).  Returns
+    (authority, hub)."""
+    e = np.unique(np.stack([np.asarray(src, np.int64), np.asarray(dst, np.int64)], axis=1), axis=0)
+    es, ed = e[:, 0], e[:, 1]
+    od = np.zeros(n, dtype=np.float64)
+    np.add.at(od, es, 1.0)
+    idg = np.zeros(n, dtype=np.float64)
+    np.add.at(idg, ed, 1.0)
+    h = np.full(n, 1.0 / n, dtype=np.float64)
+    a = np.zeros(n, dtype=np.float64)
+    for _ in range(iters):
+        a = np.zeros(n, dtype=np.float64)
+        np.add.at(a, ed, h[es] / od[es])
+        a /= a.sum()
+        h = np.zeros(n, dtype=np.float64)
+        np.add.at(h, es, a[ed] / idg[ed])
+        h /= h.sum()
+    return a, h
+
+
 def triangles_ref(src: np.ndarray, dst: np.ndarray, n: int) -> tuple[np.ndarray, int]:
     """Exact per-vertex triangle counts + global total (undirected simple)."""
     a, b = _undirected_pairs(src, dst)

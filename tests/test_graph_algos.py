@@ -5,7 +5,7 @@ import numpy as np
 import pytest
 
 from linkgraph.derive import build_graph
-from linkgraph.hits import hits_scores
+from linkgraph.hits import hits_scores, salsa_scores
 from linkgraph.linkpred import (
     clustering_coefficients,
     degree_histogram,
@@ -19,7 +19,7 @@ from linkgraph.pregel import (
     SSSPProgram,
     run_program,
 )
-from linkgraph.ref_single_node import bfs_ref, hits_ref, ppr_ref, sssp_ref
+from linkgraph.ref_single_node import bfs_ref, hits_ref, ppr_ref, salsa_ref, sssp_ref
 from linkgraph.synth import micro_transcripts, synth_transcripts
 
 from .conftest import edges_numpy
@@ -379,6 +379,25 @@ def test_engine_scc_vs_networkx(spark):
     want = {v: (fwd[v], bwd[v]) for v in fwd if v in bwd}
     assert out == want
     assert len(out) >= 2  # pivot + at least one mutual-reach vertex
+
+
+def test_salsa_matches_reference(spark, synth_ctx):
+    """Fixed-5-iteration SALSA (degree-normalized HITS) must match the
+    numpy single-node reference to 1e-9 and stay L1-normalized."""
+    g, _ctx = synth_ctx
+    src, dst, _w, n = edges_numpy(g)
+    out = salsa_scores(g, iters=5).toPandas()
+    a = np.zeros(n)
+    h = np.zeros(n)
+    a[out["vid"].to_numpy(np.int64)] = out["authority"].to_numpy()
+    h[out["vid"].to_numpy(np.int64)] = out["hub"].to_numpy()
+    a_ref, h_ref = salsa_ref(src, dst, n, iters=5)
+    assert np.allclose(a, a_ref, atol=1e-9)
+    assert np.allclose(h, h_ref, atol=1e-9)
+    assert abs(a.sum() - 1.0) < 1e-9 and abs(h.sum() - 1.0) < 1e-9
+    # degree normalization is the point: SALSA must NOT equal HITS here
+    a_hits, _ = hits_ref(src, dst, n, iters=5)
+    assert not np.allclose(a, a_hits, atol=1e-6)
 
 
 def test_hits_empty_edge_set_yields_zeros(spark):

@@ -828,6 +828,58 @@ def test_engine_coloring_proper_and_matches_python(spark, dk_edges):
         assert got[a] != got[b], (a, b)
 
 
+def test_engine_mis_independent_maximal_and_matches_python(spark, dk_edges):
+    """Luby MIS: the output is an INDEPENDENT set (no edge inside it),
+    MAXIMAL (every non-member has a member neighbor), and the per-round
+    schedule matches a from-scratch replication of the deterministic
+    priority rule."""
+    import hashlib
+    from collections import defaultdict
+
+    from linkgraph.graphstats import q_engine_mis
+
+    und = set()
+    for s, t in dk_edges:
+        if s != t:
+            und.add((s, t))
+            und.add((t, s))
+    nbrs = defaultdict(set)
+    for a, b in und:
+        nbrs[a].add(b)
+
+    def p(v):
+        return (int(hashlib.md5(v.encode()).hexdigest()[:15], 16), v)
+
+    active = set(nbrs)
+    exp = {}
+    r = 0
+    while active:
+        r += 1
+        assert r <= 32
+        newly = {
+            v
+            for v in active
+            if all(p(v) > p(u) for u in nbrs[v] if u in active)
+        }
+        for v in newly:
+            exp[v] = r
+        active -= newly
+        active -= {u for v in newly for u in nbrs[v]}
+
+    got = {
+        row["vkey"]: row["mis_round"]
+        for row in q_engine_mis(spark, SF_DIR).collect()
+    }
+    assert got == exp
+    # independent: no edge joins two members
+    for a, b in und:
+        assert not (a in got and b in got), (a, b)
+    # maximal: every non-member vertex has a member neighbor
+    for v in nbrs:
+        if v not in got:
+            assert any(u in got for u in nbrs[v]), v
+
+
 def test_wl_refine_partition_matches_exact_multiset(spark, dk_edges):
     """Engine WL colors (hash-sum neighbor combine) must induce the SAME
     vertex partition as exact-multiset WL refinement — the hash combine is
