@@ -1350,6 +1350,118 @@ FROM feed
 """
 
 
+# --------------------------------------------------------------------------
+# Bloom-filter semi-join reduction (§2.15 row 182): the classic shuffle-saver
+# for big-probe/mid-build joins — build a Bloom filter over the build-side
+# keys, broadcast it, and pre-filter the probe side BEFORE the shuffle join.
+# Spark 3.3+ injects runtime row-group Bloom filters for exactly this; here
+# the filter is explicit so the gate can check the arithmetic (bit set, pass
+# counts, measured false-positive rate) bit-for-bit against DuckDB.
+# At 100 TB: the bit set is <= _BLOOM_M rows (a few KB broadcast); the probe
+# side is reduced by ~(1 - selectivity) before any shuffle; no collect.
+# --------------------------------------------------------------------------
+
+_BLOOM_M = 2048   # bits (sized so the gate actually exercises the FP path)
+_BLOOM_K = 3      # hash functions
+_BLOOM_SEG = "BUILDING"  # build side: customers in this segment
+
+
+def _bloom_bit(j: int, col):
+    """Bit position of hash j for a bigint key — md5-based so Spark and
+    DuckDB agree bit-for-bit (datapipe._md5_int convention)."""
+    from .datapipe import _md5_int
+
+    return (
+        _md5_int(F.concat(F.lit(f"bloom{j}:"), col.cast("string"))) % _BLOOM_M
+    )
+
+
+def q_bloom_semijoin(spark, sf_dir):
+    """Bloom-filter join pruning: build the bit set over BUILDING-segment
+    custkeys, probe every orders row through the k hash positions via
+    broadcast joins, and report probe/pass/member/false-positive counts
+    plus the measured false-positive rate.  Bloom filters admit no false
+    negatives, so ``n_bloom_pass >= n_member`` by construction and the
+    gate checks the exact overshoot."""
+    from pyspark.sql.functions import broadcast
+
+    cust = _t(spark, sf_dir, "customer")
+    build = cust.where(F.col("c_mktsegment") == _BLOOM_SEG).select(
+        F.col("c_custkey").alias("k")
+    )
+    bits = None
+    for j in range(_BLOOM_K):
+        bj = build.select(_bloom_bit(j, F.col("k")).alias("bit"))
+        bits = bj if bits is None else bits.unionByName(bj)
+    bits = bits.distinct()
+
+    probe = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    marked = probe.join(
+        broadcast(build.withColumnRenamed("k", "mk").withColumn("m", F.lit(1))),
+        probe["k"] == F.col("mk"),
+        "left",
+    ).drop("mk")
+    for j in range(_BLOOM_K):
+        bj = broadcast(
+            bits.select(F.col("bit").alias(f"b{j}"), F.lit(1).alias(f"p{j}"))
+        )
+        marked = marked.join(
+            bj, _bloom_bit(j, F.col("k")) == F.col(f"b{j}"), "left"
+        ).drop(f"b{j}")
+    passed = (
+        F.col("p0").isNotNull() & F.col("p1").isNotNull() & F.col("p2").isNotNull()
+    ).cast("long")
+    is_member = F.col("m").isNotNull().cast("long")
+    return marked.agg(
+        F.count(F.lit(1)).alias("n_probe"),
+        F.sum(is_member).alias("n_member"),
+        F.sum(passed).alias("n_bloom_pass"),
+        F.sum(passed * (1 - is_member)).alias("n_false_pos"),
+        F.round(
+            F.sum(passed * (1 - is_member)).cast("double")
+            / (F.count(F.lit(1)) - F.sum(is_member)),
+            6,
+        ).alias("fp_rate"),
+    )
+
+
+def _sql_bloom_bit(j: int, expr: str) -> str:
+    from .datapipe import _sql_md5_int
+
+    keyed = f"'bloom{j}:' || CAST({expr} AS VARCHAR)"
+    return f"({_sql_md5_int(keyed)} % {_BLOOM_M})"
+
+
+SQL_BLOOM_SEMIJOIN = f"""
+WITH build AS (
+  SELECT c_custkey AS k FROM customer WHERE c_mktsegment = '{_BLOOM_SEG}'
+), bits AS (
+  SELECT DISTINCT bit FROM (
+    SELECT {_sql_bloom_bit(0, 'k')} AS bit FROM build
+    UNION ALL SELECT {_sql_bloom_bit(1, 'k')} FROM build
+    UNION ALL SELECT {_sql_bloom_bit(2, 'k')} FROM build
+  )
+), marked AS (
+  SELECT p.o_custkey AS k,
+         CASE WHEN b.k IS NOT NULL THEN 1 ELSE 0 END AS m,
+         CASE WHEN b0.bit IS NOT NULL AND b1.bit IS NOT NULL
+                   AND b2.bit IS NOT NULL THEN 1 ELSE 0 END AS pass
+  FROM orders p
+  LEFT JOIN build b ON b.k = p.o_custkey
+  LEFT JOIN bits b0 ON b0.bit = {_sql_bloom_bit(0, 'p.o_custkey')}
+  LEFT JOIN bits b1 ON b1.bit = {_sql_bloom_bit(1, 'p.o_custkey')}
+  LEFT JOIN bits b2 ON b2.bit = {_sql_bloom_bit(2, 'p.o_custkey')}
+)
+SELECT CAST(count(*) AS BIGINT) AS n_probe,
+       CAST(sum(m) AS BIGINT) AS n_member,
+       CAST(sum(pass) AS BIGINT) AS n_bloom_pass,
+       CAST(sum(pass * (1 - m)) AS BIGINT) AS n_false_pos,
+       round(CAST(sum(pass * (1 - m)) AS DOUBLE)
+             / (count(*) - sum(m)), 6) AS fp_rate
+FROM marked
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "filter_project": (q_filter_project, SQL_FILTER_PROJECT),
     "dropdup": (q_dropdup, SQL_DROPDUP),
@@ -1399,4 +1511,5 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "tool_edges": (q_tool_edges, SQL_TOOL_EDGES),
     "out_degrees": (q_out_degrees, SQL_OUT_DEGREES),
     "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
+    "bloom_semijoin": (q_bloom_semijoin, SQL_BLOOM_SEMIJOIN),
 }

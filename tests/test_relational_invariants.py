@@ -201,3 +201,45 @@ def test_session_paths_matches_python(spark):
         for r in q_session_paths(spark, sf).orderBy("rank").collect()
     ]
     assert got == exp
+
+
+def test_bloom_semijoin_matches_python(spark):
+    """Bloom pruning vs a from-scratch python Bloom filter: identical pass
+    set (so no false negatives by construction), identical FP count."""
+    import hashlib
+
+    from linkgraph.relational import (
+        _BLOOM_K,
+        _BLOOM_M,
+        _BLOOM_SEG,
+        q_bloom_semijoin,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = q_bloom_semijoin(spark, sf).collect()[0]
+
+    cust = spark.read.parquet(f"{sf}/customer.parquet").toPandas()
+    orders = spark.read.parquet(f"{sf}/orders.parquet").toPandas()
+    build = set(cust.loc[cust["c_mktsegment"] == _BLOOM_SEG, "c_custkey"])
+
+    def bits_of(k):
+        return tuple(
+            int(hashlib.md5(f"bloom{j}:{k}".encode()).hexdigest()[:15], 16)
+            % _BLOOM_M
+            for j in range(_BLOOM_K)
+        )
+
+    bitset = {b for k in build for b in bits_of(k)}
+    n_member = n_pass = n_fp = 0
+    for k in orders["o_custkey"]:
+        member = k in build
+        passed = all(b in bitset for b in bits_of(int(k)))
+        n_member += member
+        n_pass += passed
+        n_fp += passed and not member
+        assert passed or not member  # Bloom admits no false negatives
+
+    assert got["n_probe"] == len(orders)
+    assert got["n_member"] == n_member
+    assert got["n_bloom_pass"] == n_pass
+    assert got["n_false_pos"] == n_fp
