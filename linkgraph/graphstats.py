@@ -2587,6 +2587,184 @@ def _percolation_sql() -> str:
 SQL_PERCOLATION_GIANT = _percolation_sql()
 
 
+# --------------------------------------------------------------------------
+# k-step hitting probability to an absorbing target (§2.15 row 183):
+# h_0(v) = [v ∈ T]; h_i(v) = 1 for v ∈ T else Σ_t P(v,t)·h_{i-1}(t) with
+# P row-normalized from edge multiplicities — "probability a random walk
+# from v reaches an `error` event within k steps", the absorbing-chain
+# analytic behind failure-funnel and exposure models.
+# Scale posture: k fixed shuffles of (join on t → groupBy s); message
+# volume = |E| per step, state = one double per vertex; no collect.
+# --------------------------------------------------------------------------
+
+_HIT_TARGET = "error"
+_HIT_STEPS = 4
+
+
+def _weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(s, t, w) edge multiplicities of the events graph — mirrors the
+    ``e`` CTE of graph_oracles._GRAPH_CTES."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    turn = (
+        e.select(
+            F.col("event_type").alias("s"),
+            F.lead("event_type").over(w).alias("t"),
+        )
+        .where(F.col("t").isNotNull())
+    )
+    tool = e.select(
+        F.concat(F.lit("user:"), F.col("user_id").cast("string")).alias("s"),
+        F.col("event_type").alias("t"),
+    )
+    return (
+        turn.unionByName(tool)
+        .groupBy("s", "t")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+
+
+def q_hitting_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-step hitting probability of the `error` vertex per start vertex.
+
+    Fixed ``_HIT_STEPS`` supersteps (so the unrolled-CTE oracle replays the
+    identical schedule); target vertex absorbs (h ≡ 1).  Output every
+    vertex: (vkey, hit_prob)."""
+    e = _weighted_edges(spark, sf_dir)
+    outw = e.groupBy("s").agg(F.sum("w").alias("out_w"))
+    p = e.join(outw, "s").select("s", "t", (F.col("w") / F.col("out_w")).alias("c"))
+    v = (
+        e.select(F.col("s").alias("vkey"))
+        .unionByName(e.select(F.col("t").alias("vkey")))
+        .distinct()
+    )
+    is_t = F.col("vkey") == _HIT_TARGET
+    h = v.select("vkey", F.when(is_t, 1.0).otherwise(0.0).alias("h"))
+    for _ in range(_HIT_STEPS):
+        msg = (
+            p.join(h.withColumnRenamed("vkey", "t"), "t")
+            .groupBy("s")
+            .agg(F.sum(F.col("c") * F.col("h")).alias("acc"))
+        )
+        h = (
+            v.join(msg.withColumnRenamed("s", "vkey"), "vkey", "left")
+            .select(
+                "vkey",
+                F.when(is_t, 1.0)
+                .otherwise(F.coalesce(F.col("acc"), F.lit(0.0)))
+                .alias("h"),
+            )
+        )
+    return h.select("vkey", F.round("h", 6).alias("hit_prob"))
+
+
+def _hitting_sql(k: int = _HIT_STEPS) -> str:
+    ctes = [
+        _GRAPH_CTES.strip().lstrip(),
+        "outw AS (SELECT s, sum(w) AS out_w FROM e GROUP BY s)",
+        "p AS (SELECT e.s, e.t, e.w / o.out_w AS c FROM e JOIN outw o USING (s))",
+        f"h0 AS (SELECT vkey, CASE WHEN vkey = '{_HIT_TARGET}' THEN 1.0 "
+        "ELSE 0.0 END AS h FROM v)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"h{i} AS (SELECT v.vkey, CASE WHEN v.vkey = '{_HIT_TARGET}' "
+            f"THEN 1.0 ELSE coalesce(sum(p.c * h.h), 0.0) END AS h "
+            f"FROM v LEFT JOIN p ON p.s = v.vkey "
+            f"LEFT JOIN h{i - 1} h ON h.vkey = p.t "
+            f"GROUP BY v.vkey)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT vkey, round(h, 6) AS hit_prob FROM h{k}"
+    )
+
+
+SQL_HITTING_PROB = _hitting_sql()
+
+
+# --------------------------------------------------------------------------
+# longest-path levels on the oriented DAG (§2.15 row 184): orient the
+# undirected simple view by vkey order (the same acyclic trick the triangle
+# counter uses), then propagate level(v) = 1 + max(level of predecessors)
+# to the fixed point — topological depth / critical-path layering, the
+# scheduling primitive for dependency graphs.
+# Scale posture: each round is one join + one max-aggregate shuffle; rounds
+# = DAG depth (bounded, checked); state = one int per vertex; no collect
+# beyond the 1-row convergence stat.
+# --------------------------------------------------------------------------
+
+_DAG_MAX_ROUNDS = 16
+
+
+def q_dag_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topological levels (longest path from any source) of the oriented
+    DAG.  Runs max-propagation to the true fixed point (bounded by
+    ``_DAG_MAX_ROUNDS``; raises if the DAG were deeper), so the recursive-
+    CTE oracle's exact closure is matched.  Output (vkey, level)."""
+    und = _directed_simple(spark, sf_dir)
+    # oriented acyclic view: a < b lexically (triangles.py convention)
+    dag = (
+        und.select(
+            F.least("s", "t").alias("a"), F.greatest("s", "t").alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    v = (
+        dag.select(F.col("a").alias("vkey"))
+        .unionByName(dag.select(F.col("b").alias("vkey")))
+        .distinct()
+    )
+    lvl = v.select("vkey", F.lit(0).cast("long").alias("level"))
+    for _ in range(_DAG_MAX_ROUNDS):
+        upd = (
+            dag.join(lvl.withColumnRenamed("vkey", "a"), "a")
+            .groupBy(F.col("b").alias("vkey"))
+            .agg((F.max("level") + F.lit(1)).alias("cand"))
+        )
+        nxt = (
+            lvl.join(upd, "vkey", "left")
+            .select(
+                "vkey",
+                F.greatest(F.col("level"), F.coalesce(F.col("cand"), F.lit(0)))
+                .alias("level"),
+            )
+        ).localCheckpoint()
+        changed = (
+            nxt.join(lvl.withColumnRenamed("level", "old"), "vkey")
+            .where(F.col("level") != F.col("old"))
+            .count()
+        )
+        lvl = nxt
+        if changed == 0:
+            return lvl
+    raise RuntimeError(
+        f"DAG levels did not converge in {_DAG_MAX_ROUNDS} rounds"
+    )
+
+
+SQL_DAG_LEVELS = f"""
+WITH {_GRAPH_CTES.strip()},
+und AS (
+  SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+  FROM ek WHERE s <> t
+), dv AS (
+  SELECT DISTINCT vkey FROM (SELECT a AS vkey FROM und
+                             UNION ALL SELECT b AS vkey FROM und)
+), paths AS (
+  WITH RECURSIVE pr(vkey, lvl) AS (
+    SELECT vkey, CAST(0 AS BIGINT) FROM dv
+    UNION
+    SELECT u.b, pr.lvl + 1 FROM pr JOIN und u ON u.a = pr.vkey
+  )
+  SELECT vkey, max(lvl) AS level FROM pr GROUP BY vkey
+)
+SELECT vkey, level FROM paths
+"""
+
+
 def registry():
     return {
         "densest_subgraph": (q_densest_subgraph, SQL_DENSEST_SUBGRAPH),
@@ -2617,4 +2795,6 @@ def registry():
         "engine_mis": (q_engine_mis, SQL_ENGINE_MIS),
         "wl_refine": (q_wl_refine, SQL_WL_REFINE),
         "rectangles": (q_rectangles, SQL_RECTANGLES),
+        "hitting_prob": (q_hitting_prob, SQL_HITTING_PROB),
+        "dag_levels": (q_dag_levels, SQL_DAG_LEVELS),
     }

@@ -1230,3 +1230,62 @@ def test_edge_churn_matches_python(spark):
     assert row["added"] == len(new - old)
     assert row["removed"] == len(old - new)
     assert row["jaccard_pct"] == round(len(old & new) / len(old | new), 6)
+
+
+def test_hitting_prob_matches_numpy(spark):
+    """k-step absorbing hitting probability vs a dense numpy power
+    iteration over the row-normalized multiplicity matrix."""
+    import numpy as np
+
+    from linkgraph.graphstats import (
+        _HIT_STEPS,
+        _HIT_TARGET,
+        _weighted_edges,
+        q_hitting_prob,
+    )
+
+    got = {
+        r["vkey"]: r["hit_prob"]
+        for r in q_hitting_prob(spark, SF_DIR).collect()
+    }
+    ew = [
+        (r["s"], r["t"], r["w"])
+        for r in _weighted_edges(spark, SF_DIR).collect()
+    ]
+    keys = sorted({s for s, _, _ in ew} | {t for _, t, _ in ew})
+    idx = {k: i for i, k in enumerate(keys)}
+    n = len(keys)
+    W = np.zeros((n, n))
+    for s, t, w in ew:
+        W[idx[s], idx[t]] += w
+    out = W.sum(axis=1, keepdims=True)
+    P = np.divide(W, out, out=np.zeros_like(W), where=out > 0)
+    h = np.zeros(n)
+    ti = idx[_HIT_TARGET]
+    h[ti] = 1.0
+    for _ in range(_HIT_STEPS):
+        h = P @ h
+        h[ti] = 1.0
+    assert set(got) == set(keys)
+    for k in keys:
+        assert got[k] == pytest.approx(round(h[idx[k]], 6), abs=2e-6)
+    # the target absorbs; anything with a path within k steps is > 0
+    assert got[_HIT_TARGET] == 1.0
+
+
+def test_dag_levels_matches_networkx(spark, dk_edges):
+    """Longest-path levels on the oriented DAG vs a topological-order DP."""
+    import networkx as nx
+
+    from linkgraph.graphstats import q_dag_levels
+
+    got = {r["vkey"]: r["level"] for r in q_dag_levels(spark, SF_DIR).collect()}
+    dag = {(min(s, t), max(s, t)) for s, t in dk_edges if s != t}
+    G = nx.DiGraph()
+    G.add_edges_from(dag)
+    assert nx.is_directed_acyclic_graph(G)
+    lvl = {v: 0 for v in G}
+    for v in nx.topological_sort(G):
+        for u in G.predecessors(v):
+            lvl[v] = max(lvl[v], lvl[u] + 1)
+    assert got == lvl
