@@ -942,6 +942,74 @@ FROM terms GROUP BY vec_id, j
 """
 
 
+# --------------------------------------------------------------------------
+# mutual k-NN graph construction (§2.15 row 185): the standard first step of
+# graph-based semantic clustering / SemDeDup-style curation — an edge (a, b)
+# exists iff b is in a's top-k cosine neighbours AND a is in b's.  Exact
+# pairwise at verification scale (like emb_near_dups_exact); at 100 TB the
+# candidate pairs come from the IVF cells / LSH buckets above instead of the
+# cross join, and the mutuality join + window are unchanged.
+# --------------------------------------------------------------------------
+
+KNN_K = 5
+
+
+def knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual k-NN edges (a < b) with rounded cosine.
+
+    Ranking happens on the ROUNDED cosine with vec_id tiebreak so the
+    window order is bit-identical to the DuckDB oracle."""
+    v = _vectors(spark, sf_dir)
+    a = v.select(
+        F.col("vec_id").alias("a"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    bb = v.select(F.col("vec_id").alias("b"), "e", "nrm")
+    pairs = (
+        a.crossJoin(bb)
+        .where(F.col("a") != F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.round(_dot() / (F.col("qn") * F.col("nrm")), 6).alias("c"),
+        )
+    )
+    w = Window.partitionBy("a").orderBy(F.desc("c"), F.asc("b"))
+    topk = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= KNN_K)
+        .select("a", "b", "c")
+    )
+    rev = topk.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    return (
+        topk.join(rev, ["a", "b"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", F.col("c").alias("cos_sim"))
+    )
+
+
+SQL_KNN_GRAPH_MUTUAL = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), p AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         round(list_cosine_similarity(a.e, b.e), 6) AS c
+  FROM v a JOIN v b ON a.vec_id <> b.vec_id
+), r AS (
+  SELECT a, b, c,
+         row_number() OVER (PARTITION BY a ORDER BY c DESC, b) AS rn
+  FROM p
+), t AS (
+  SELECT a, b, c FROM r WHERE rn <= {KNN_K}
+)
+SELECT t.a AS a, t.b AS b, t.c AS cos_sim
+FROM t JOIN t t2 ON t2.a = t.b AND t2.b = t.a
+WHERE t.a < t.b
+"""
+
+
 def registry():
     return {
         "emb_random_projection": (emb_random_projection, SQL_EMB_RANDOM_PROJECTION),
@@ -955,4 +1023,5 @@ def registry():
         "ann_pq_topk": (ann_pq_topk, None),          # covered by ann_pq_recall
         "ann_pq_recall": (ann_pq_recall, SQL_ANN_PQ_RECALL),
         "emb_semdedup": (emb_semdedup, SQL_EMB_SEMDEDUP),
+        "knn_graph_mutual": (knn_graph_mutual, SQL_KNN_GRAPH_MUTUAL),
     }

@@ -305,3 +305,32 @@ def test_emb_random_projection_matches_numpy(spark):
     # JL sanity: projected dot products correlate with original cosines
     # on at least one pair (weak structural check, exactness is above)
     assert len(got) == len(ids) * RP_OUT_DIM
+
+
+def test_knn_graph_mutual_matches_numpy(spark):
+    """Mutual k-NN edges vs a dense numpy top-k with identical rounding
+    and tiebreak (rounded cosine desc, vec_id asc)."""
+    from linkgraph.ann import KNN_K, knn_graph_mutual
+
+    got = {
+        (r["a"], r["b"]): r["cos_sim"]
+        for r in knn_graph_mutual(spark, SF).collect()
+    }
+    em = load_table(spark, SF, "embeddings").toPandas()
+    ids = em["vec_id"].to_numpy()
+    X = np.stack(em["embedding"].to_numpy()).astype(np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    C = np.round(Xn @ Xn.T, 6)
+    topk = {}
+    for i, vid in enumerate(ids):
+        cand = [(-C[i, j], ids[j]) for j in range(len(ids)) if j != i]
+        cand.sort()
+        topk[vid] = {b for _, b in cand[:KNN_K]}
+    want = {}
+    for i, a in enumerate(ids):
+        for j, b in enumerate(ids):
+            if a < b and b in topk[a] and a in topk[b]:
+                want[(a, b)] = C[i, j]
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, abs=2e-6)
