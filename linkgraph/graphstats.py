@@ -2765,6 +2765,109 @@ SELECT vkey, level FROM paths
 """
 
 
+# --------------------------------------------------------------------------
+# 3-clique percolation communities (§2.15 row 186; Palla et al. 2005):
+# two triangles are adjacent iff they share an edge; a community is the
+# vertex union of a connected component of triangle adjacency.  The
+# overlapping-community method — a vertex can sit in several communities.
+# Scale posture: triangles from the oriented 2-join (never V²); adjacency
+# via a per-edge STAR to the min triangle id (linear in triangle-edge
+# incidences, no within-group pair blowup); components through the
+# hash-min Pregel engine reused from datapipe.cluster_pairs.
+# --------------------------------------------------------------------------
+
+def q_triangle_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Communities of the 3-clique percolation graph: one row per
+    community — (community = min member triangle id, n_triangles,
+    n_vertices)."""
+    from .datapipe import _md5_int, cluster_pairs
+
+    und = (
+        _directed_simple(spark, sf_dir)
+        .select(F.least("s", "t").alias("a"), F.greatest("s", "t").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e1 = und
+    e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = und.select(F.col("a").alias("a"), F.col("b").alias("c"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .select("a", "b", "c")
+    )
+    tid = tri.withColumn(
+        "t", _md5_int(F.concat_ws("|", F.col("a"), F.col("b"), F.col("c")))
+    )
+    te = None
+    for x, y in (("a", "b"), ("b", "c"), ("a", "c")):
+        part = tid.select(
+            F.concat_ws("|", F.col(x), F.col(y)).alias("ekey"), "t"
+        )
+        te = part if te is None else te.unionByName(part)
+    star = te.select(
+        F.col("t").alias("doc_a"),
+        F.min("t").over(Window.partitionBy("ekey")).alias("doc_b"),
+    ).distinct()
+    comp = cluster_pairs(star)  # (doc_id = triangle id, canon_doc = community)
+    memb = (
+        comp.join(tid, comp["doc_id"] == tid["t"])
+        .select(
+            F.col("canon_doc").alias("community"),
+            "t",
+            F.explode(F.array("a", "b", "c")).alias("vkey"),
+        )
+    )
+    return memb.groupBy("community").agg(
+        F.countDistinct("t").alias("n_triangles"),
+        F.countDistinct("vkey").alias("n_vertices"),
+    )
+
+
+def _sql_tri_md5(expr: str) -> str:
+    from .datapipe import _sql_md5_int
+
+    return _sql_md5_int(expr)
+
+
+SQL_TRIANGLE_COMMUNITIES = f"""
+WITH {_GRAPH_CTES.strip()},
+und AS (
+  SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+  FROM ek WHERE s <> t
+), tri AS (
+  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+), tid AS (
+  SELECT {_sql_tri_md5("a || '|' || b || '|' || c")} AS t, a, b, c FROM tri
+), te AS (
+  SELECT a || '|' || b AS ekey, t FROM tid
+  UNION ALL SELECT b || '|' || c, t FROM tid
+  UNION ALL SELECT a || '|' || c, t FROM tid
+), star AS (
+  SELECT DISTINCT t AS x, min(t) OVER (PARTITION BY ekey) AS y FROM te
+), ue AS (
+  SELECT x, y FROM star UNION SELECT y AS x, x AS y FROM star
+), reach AS (
+  WITH RECURSIVE rr(v, root) AS (
+    SELECT t, t FROM (SELECT DISTINCT t FROM tid)
+    UNION
+    SELECT ue.y, rr.root FROM rr JOIN ue ON ue.x = rr.v
+  )
+  SELECT v, min(root) AS comp FROM rr GROUP BY v
+), memb AS (
+  SELECT r.comp AS community, tid.t, unnest([tid.a, tid.b, tid.c]) AS vkey
+  FROM reach r JOIN tid ON tid.t = r.v
+)
+SELECT community,
+       CAST(count(DISTINCT t) AS BIGINT) AS n_triangles,
+       CAST(count(DISTINCT vkey) AS BIGINT) AS n_vertices
+FROM memb GROUP BY community
+"""
+
+
 def registry():
     return {
         "densest_subgraph": (q_densest_subgraph, SQL_DENSEST_SUBGRAPH),
@@ -2797,4 +2900,5 @@ def registry():
         "rectangles": (q_rectangles, SQL_RECTANGLES),
         "hitting_prob": (q_hitting_prob, SQL_HITTING_PROB),
         "dag_levels": (q_dag_levels, SQL_DAG_LEVELS),
+        "triangle_communities": (q_triangle_communities, SQL_TRIANGLE_COMMUNITIES),
     }

@@ -1289,3 +1289,38 @@ def test_dag_levels_matches_networkx(spark, dk_edges):
         for u in G.predecessors(v):
             lvl[v] = max(lvl[v], lvl[u] + 1)
     assert got == lvl
+
+
+def test_triangle_communities_matches_networkx(spark, dk_edges):
+    """3-clique percolation vs networkx k_clique_communities(G, 3): the
+    multiset of (triangle-count, vertex-count) per community must agree."""
+    from itertools import combinations
+
+    import networkx as nx
+
+    from linkgraph.graphstats import q_triangle_communities
+
+    got = sorted(
+        (r["n_triangles"], r["n_vertices"])
+        for r in q_triangle_communities(spark, SF_DIR).collect()
+    )
+
+    G = nx.Graph()
+    G.add_edges_from((s, t) for s, t in dk_edges if s != t)
+    comms = [frozenset(c) for c in nx.community.k_clique_communities(G, 3)]
+    tri = {
+        frozenset(t)
+        for t in (
+            (a, b, c)
+            for a, b in G.edges
+            for c in set(G[a]) & set(G[b])
+        )
+    }
+    want = sorted(
+        (
+            sum(1 for t in tri if t <= c),
+            len(c),
+        )
+        for c in comms
+    )
+    assert got == want
