@@ -832,9 +832,111 @@ GROUP BY rank, word, n_exact
 """
 
 
+# --------------------------------------------------------------------------
+# domain-suffix blocklist filtering (§2.15 row 187): the standard crawl-
+# hygiene step (UT1/Dolma-style blocklists) — a host is blocked when ANY
+# of its domain suffixes appears on the list, so blocking `h7.example`
+# also blocks `sub3.h7.example`.
+# Scale posture: each host explodes into its ≤ label-count suffixes (a
+# constant ~4-5, never corpus-sized), which broadcast-join against the
+# blocklist; verdicts aggregate per host.  No per-row Python, no collect.
+# --------------------------------------------------------------------------
+
+_BLOCKLIST = ["h3.example", "h7.example", "sub2.h5.example"]
+
+
+def _with_sub_urls(d: DataFrame) -> DataFrame:
+    """URL fixture extended with a subdomain citation per doc:
+    sub(doc_id%5).h(doc_id%23).example (the base fixture's hosts are
+    single-label, so suffix matching needs this third URL)."""
+    return _with_urls(d).withColumn(
+        "text2",
+        F.concat(
+            F.col("text2"),
+            F.lit(" http://sub"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".h"),
+            (F.col("doc_id") % 23).cast("string"),
+            F.lit(".example/c"),
+        ),
+    )
+
+
+_SQL_TEXT2_SUB = (
+    f"({_SQL_TEXT2}) || ' http://sub' || CAST(doc_id % 5 AS VARCHAR)"
+    " || '.h' || CAST(doc_id % 23 AS VARCHAR) || '.example/c'"
+)
+
+
+def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host blocklist verdicts: (host, n_docs, rule) where ``rule`` is
+    the lexically-least matching blocklist suffix (NULL when clean)."""
+    d = _with_sub_urls(load_table(spark, sf_dir, "documents"))
+    hosts = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all("text2", F.lit(_URL_RE), F.lit(1))
+            ).alias("host"),
+        )
+        .distinct()
+    )
+    parts = F.split(F.col("host"), r"\.")
+    suffixes = F.transform(
+        F.sequence(F.lit(1), F.size(parts)),
+        lambda i: F.concat_ws(
+            ".", F.slice(parts, i, F.size(parts) - i + 1)
+        ),
+    )
+    bl = spark.createDataFrame(
+        [(r,) for r in _BLOCKLIST], ["rule"]
+    )
+    per_host = hosts.groupBy("host").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    matched = (
+        per_host.select("host", F.explode(suffixes).alias("sfx"))
+        .join(F.broadcast(bl), F.col("sfx") == F.col("rule"), "inner")
+        .groupBy("host")
+        .agg(F.min("rule").alias("rule"))
+    )
+    return per_host.join(matched, "host", "left").select(
+        "host", "n_docs", "rule"
+    )
+
+
+def _sql_blocklist_values() -> str:
+    return ", ".join(f"('{r}')" for r in _BLOCKLIST)
+
+
+SQL_URL_BLOCKLIST = f"""
+WITH d AS (SELECT doc_id, {_SQL_TEXT2_SUB} AS text2 FROM documents),
+hosts AS (
+  SELECT DISTINCT doc_id, h AS host
+  FROM d, unnest(regexp_extract_all(text2, '{_URL_RE}', 1)) AS t(h)
+), per_host AS (
+  SELECT host, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM hosts GROUP BY host
+), bl(rule) AS (VALUES {_sql_blocklist_values()}),
+sfx AS (
+  SELECT host,
+         array_to_string(parts[CAST(g.i AS BIGINT):], '.') AS sfx
+  FROM (SELECT host, string_split(host, '.') AS parts FROM per_host),
+       LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) g
+), matched AS (
+  SELECT host, min(rule) AS rule
+  FROM sfx JOIN bl ON bl.rule = sfx.sfx
+  GROUP BY host
+)
+SELECT p.host AS host, p.n_docs, m.rule
+FROM per_host p LEFT JOIN matched m USING (host)
+"""
+
+
 def registry():
     return {
         "url_host_edges": (q_url_host_edges, SQL_URL_HOST_EDGES),
+        "url_blocklist": (q_url_blocklist, SQL_URL_BLOCKLIST),
         "doc_pii": (q_doc_pii, SQL_DOC_PII),
         "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
         "token_zipf": (q_token_zipf, SQL_TOKEN_ZIPF),

@@ -1324,3 +1324,38 @@ def test_triangle_communities_matches_networkx(spark, dk_edges):
         for c in comms
     )
     assert got == want
+
+
+def test_url_blocklist_matches_python(spark, docs):
+    """Suffix blocklist verdicts vs a pure-python re-extraction."""
+    import re as _re
+
+    from linkgraph.webpipe import _BLOCKLIST, q_url_blocklist
+
+    got = {
+        r["host"]: (r["n_docs"], r["rule"])
+        for r in q_url_blocklist(spark, SF_DIR).collect()
+    }
+    per_host: dict[str, set[int]] = {}
+    for doc_id, text in docs.items():
+        t2 = (
+            f"{text} see http://h{doc_id % 23}.example/a and "
+            f"https://h{(doc_id * 7 + 3) % 23}.example/b "
+            f"http://sub{doc_id % 5}.h{doc_id % 23}.example/c"
+        )
+        for h in set(_re.findall(r"https?://([a-z0-9.]+)/", t2)):
+            per_host.setdefault(h, set()).add(doc_id)
+    want = {}
+    for h, ds in per_host.items():
+        labels = h.split(".")
+        sfx = {".".join(labels[i:]) for i in range(len(labels))}
+        rules = sorted(r for r in _BLOCKLIST if r in sfx)
+        want[h] = (len(ds), rules[0] if rules else None)
+    assert got == want
+    # the fixture guarantees both block modes fire: an exact single-label
+    # hit and a subdomain hit through a parent-domain rule
+    assert got["h3.example"][1] == "h3.example"
+    assert any(
+        h.startswith("sub") and h.endswith(".h7.example") and got[h][1] == "h7.example"
+        for h in got
+    )
