@@ -2868,6 +2868,129 @@ FROM memb GROUP BY community
 """
 
 
+# --------------------------------------------------------------------------
+# rank-stability audit (§2.15 row 188): run the SAME fixed-k PageRank on
+# two disjoint halves of the event log (event_id parity split) and report
+# how far each top-k vertex moves between the two rankings — the standard
+# split-half robustness check before trusting a centrality ordering.
+# Scale posture: two independent fixed-k engine runs over half-sized
+# graphs + one broadcast-sized join of the two rank tables; the parity
+# split is a pure column predicate that fuses into the scan.
+# --------------------------------------------------------------------------
+
+_STAB_STEPS = 5
+_STAB_TOPK = 20
+
+
+def _parity_graph(spark: SparkSession, sf_dir: str, parity: int):
+    from .derive import GraphTables, build_degrees
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id") % 2 == parity
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    turn = ev.select(
+        F.col("event_type").alias("s"),
+        F.lead("event_type").over(w).alias("t"),
+    ).where(F.col("t").isNotNull())
+    tool = ev.select(
+        F.concat(F.lit("user:"), F.col("user_id").cast("string")).alias("s"),
+        F.col("event_type").alias("t"),
+    )
+    e = (
+        turn.unionByName(tool)
+        .groupBy("s", "t")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    vw = Window.orderBy("vkey")
+    vertices = (
+        e.select(F.col("s").alias("vkey"))
+        .unionByName(e.select(F.col("t").alias("vkey")))
+        .distinct()
+        .select(
+            "vkey",
+            (F.row_number().over(vw) - 1).cast("long").alias("vid"),
+            F.lit("actor").alias("vtype"),
+        )
+    )
+    v = F.broadcast(vertices)
+    edges = (
+        e.join(v.select(F.col("vkey").alias("s"), F.col("vid").alias("src")), "s")
+        .join(v.select(F.col("vkey").alias("t"), F.col("vid").alias("dst")), "t")
+        .select("src", "dst", F.lit("half").alias("etype"), "w")
+    )
+    return GraphTables(
+        vertices=vertices, edges=edges, degrees=build_degrees(edges, vertices)
+    )
+
+
+def q_rank_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-half PageRank stability: for every vertex in the even-half
+    top-``_STAB_TOPK``, its rank position in BOTH halves and the absolute
+    position delta.  Positions rank on the ROUNDED score with vkey
+    tiebreak so both engines order identically."""
+    from .pagerank import pagerank_naive
+
+    pos = []
+    for p in (0, 1):
+        g = _parity_graph(spark, sf_dir, p)
+        res = pagerank_naive(g, tol=0.0, max_iter=_STAB_STEPS)
+        r = res.ranks.join(g.vertices, "vid").select(
+            "vkey", F.round("rank", 6).alias("r")
+        )
+        w = Window.orderBy(F.desc("r"), "vkey")
+        pos.append(
+            r.select(
+                "vkey", F.row_number().over(w).cast("long").alias(f"pos{p}")
+            )
+        )
+    even, odd = pos
+    return (
+        even.where(F.col("pos0") <= _STAB_TOPK)
+        .join(odd, "vkey")
+        .select(
+            "vkey",
+            F.col("pos0").alias("pos_even"),
+            F.col("pos1").alias("pos_odd"),
+            F.abs(F.col("pos0") - F.col("pos1")).alias("delta"),
+        )
+    )
+
+
+def _stab_half_sql(parity: int) -> str:
+    from .graph_oracles import pagerank_unroll_ctes
+
+    gc = _GRAPH_CTES.replace(
+        "SELECT user_id, event_type, ts, event_id FROM events",
+        "SELECT user_id, event_type, ts, event_id FROM events "
+        f"WHERE event_id % 2 = {parity}",
+    )
+    ctes = pagerank_unroll_ctes(_STAB_STEPS, 0.85, gc)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT vkey, round(r, 6) AS r FROM r{_STAB_STEPS}"
+    )
+
+
+SQL_RANK_STABILITY = f"""
+WITH even AS (
+{_stab_half_sql(0)}
+), odd AS (
+{_stab_half_sql(1)}
+), pe AS (
+  SELECT vkey, row_number() OVER (ORDER BY r DESC, vkey) AS pos_even FROM even
+), po AS (
+  SELECT vkey, row_number() OVER (ORDER BY r DESC, vkey) AS pos_odd FROM odd
+)
+SELECT pe.vkey AS vkey, CAST(pe.pos_even AS BIGINT) AS pos_even,
+       CAST(po.pos_odd AS BIGINT) AS pos_odd,
+       CAST(abs(pe.pos_even - po.pos_odd) AS BIGINT) AS delta
+FROM pe JOIN po USING (vkey)
+WHERE pe.pos_even <= {_STAB_TOPK}
+"""
+
+
 def registry():
     return {
         "densest_subgraph": (q_densest_subgraph, SQL_DENSEST_SUBGRAPH),
@@ -2901,4 +3024,5 @@ def registry():
         "hitting_prob": (q_hitting_prob, SQL_HITTING_PROB),
         "dag_levels": (q_dag_levels, SQL_DAG_LEVELS),
         "triangle_communities": (q_triangle_communities, SQL_TRIANGLE_COMMUNITIES),
+        "rank_stability": (q_rank_stability, SQL_RANK_STABILITY),
     }

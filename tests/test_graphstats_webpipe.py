@@ -1359,3 +1359,54 @@ def test_url_blocklist_matches_python(spark, docs):
         h.startswith("sub") and h.endswith(".h7.example") and got[h][1] == "h7.example"
         for h in got
     )
+
+
+def test_rank_stability_matches_numpy(spark):
+    """Split-half PageRank stability vs two pagerank_ref runs replicating
+    the parity graphs from scratch."""
+    from collections import Counter
+
+    import numpy as np
+
+    from linkgraph.graphstats import _STAB_STEPS, _STAB_TOPK, q_rank_stability
+    from linkgraph.io import load_table
+    from linkgraph.ref_single_node import pagerank_ref
+
+    got = {
+        r["vkey"]: (r["pos_even"], r["pos_odd"], r["delta"])
+        for r in q_rank_stability(spark, SF_DIR).collect()
+    }
+
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "event_type", "ts", "event_id")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    )
+    positions = []
+    for parity in (0, 1):
+        half = ev[ev["event_id"] % 2 == parity]
+        edges = Counter()
+        for _, grp in half.groupby("user_id"):
+            types = grp["event_type"].tolist()
+            for s, t in zip(types, types[1:]):
+                edges[(s, t)] += 1
+        for row in half.itertuples():
+            edges[(f"user:{row.user_id}", row.event_type)] += 1
+        keys = sorted({s for s, _ in edges} | {t for _, t in edges})
+        idx = {k: i for i, k in enumerate(keys)}
+        src = np.array([idx[s] for s, _ in edges])
+        dst = np.array([idx[t] for _, t in edges])
+        w = np.array([float(c) for c in edges.values()])
+        r, _steps = pagerank_ref(
+            src, dst, w, len(keys), tol=0.0, max_iter=_STAB_STEPS
+        )
+        order = sorted(keys, key=lambda k: (-round(r[idx[k]], 6), k))
+        positions.append({k: i + 1 for i, k in enumerate(order)})
+    pe, po = positions
+    want = {
+        k: (pe[k], po[k], abs(pe[k] - po[k]))
+        for k in pe
+        if pe[k] <= _STAB_TOPK and k in po
+    }
+    assert got == want
