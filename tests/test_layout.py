@@ -147,3 +147,15 @@ def test_zorder_clusters_both_columns(spark, warehouse):
     got = spark.read.parquet(zdir).groupBy("x", "y").count()
     want = df.groupBy("x", "y").count()
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_bloom_semijoin_plan_broadcasts_filter(spark):
+    """The Bloom pre-filter must reach the probe side as BROADCAST hash
+    joins (bit set + build side are tiny); a shuffle of the probe table
+    into a SortMergeJoin would defeat the whole point at 100 TB."""
+    from linkgraph.relational import q_bloom_semijoin
+
+    df = q_bloom_semijoin(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
