@@ -142,6 +142,7 @@ def streaming_tool_responses(
     transcripts: DataFrame,
     watermark: str = "1 minute",
     max_gap: str = "2 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-STREAM interval join (§2.11): pair each tool invocation with
     the turns that follow it in the same conversation within ``max_gap`` —
@@ -152,7 +153,9 @@ def streaming_tool_responses(
     once the watermark passes inv_ts + max_gap: state is O(in-flight
     window), not O(stream history) — the requirement for an unbounded run.
     Inner interval joins emit in append mode, exactly once per matched
-    pair."""
+    pair; with ``how="leftOuter"`` an UNANSWERED invocation additionally
+    emits one null-response row once the watermark passes
+    ``inv_ts + max_gap`` — state expiry doubles as timeout detection."""
     inv = (
         transcripts.where(F.col("tool").isNotNull())
         .select(
@@ -176,6 +179,7 @@ def streaming_tool_responses(
             f"inv_conv = resp_conv AND resp_ts > inv_ts "
             f"AND resp_ts <= inv_ts + interval {max_gap}"
         ),
+        how,
     ).select(
         F.col("inv_conv").alias("conv_id"),
         "tool_key",

@@ -761,3 +761,87 @@ def test_sink_time_travel_reads_committed_snapshots(spark, landing_dirs):
             read_sink_as_of(spark, out_dir, batch_id=99)
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def test_stream_stream_left_outer_join_emits_timeouts(spark, landing_dirs):
+    """Left-outer stream-stream interval join: an invocation that never
+    gets a response inside the gap must emit exactly one null-response row
+    once the watermark passes inv_ts + max_gap — and matched pairs must
+    stay identical to the inner join."""
+    import datetime as _dt
+    import time as _time
+
+    in_dir, ck_dir = landing_dirs
+    base = _dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def rows(specs):
+        return spark.createDataFrame(
+            [
+                (conv, i, role, "txt", tool, base + _dt.timedelta(seconds=s))
+                for i, (conv, role, tool, s) in enumerate(specs)
+            ],
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp",
+        )
+
+    def land(df, name, mtime):
+        tmp = os.path.join(in_dir, f"_stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(
+            os.path.join(tmp, f_)
+            for f_ in os.listdir(tmp)
+            if f_.endswith(".parquet")
+        )
+        dst = os.path.join(in_dir, f"{name}.parquet")
+        shutil.copyfile(src, dst)
+        os.utime(dst, (mtime, mtime))
+        shutil.rmtree(tmp)
+
+    # f0: answered invocation (search@10 -> 40) + orphan invocation @20.
+    # The watermark pushers MUST be invocations themselves: the global
+    # watermark is the min over BOTH withWatermark nodes, so a response-only
+    # row would advance resp_ts but leave inv_ts (and state expiry) stuck.
+    f0 = [
+        ("c0", "user", "search", 10),
+        ("c0", "assistant", None, 40),
+        ("c3", "user", "orphan_tool", 20),
+    ]
+    f1 = [("c9", "user", "noop", 600)]
+    f2 = [("c9", "user", "noop", 900)]
+    now = _time.time()
+    land(rows(f0), "f0", now)
+    land(rows(f1), "f1", now + 60)
+    land(rows(f2), "f2", now + 120)
+
+    from linkgraph.streaming import (
+        stream_transcripts,
+        streaming_tool_responses,
+    )
+
+    joined = streaming_tool_responses(
+        stream_transcripts(spark, in_dir, 1), how="leftOuter"
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_ssleft")
+        .option("checkpointLocation", ck_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r["conv_id"], r["tool_key"], r["inv_ts"], r["resp_actor"], r["resp_ts"])
+        for r in spark.table("t_ssleft").collect()
+    }
+    # exactly: the matched pair, the orphan timeout, and the 600s pusher
+    # (expired once the 900s row lifted the watermark to 840s); the 900s
+    # pusher is still unexpired at shutdown so it must NOT emit (inv_ts in
+    # the key keeps the two pushers distinct).
+    t = lambda s_: base + _dt.timedelta(seconds=s_)
+    assert got == {
+        ("c0", "search", t(10), "assistant", t(40)),
+        ("c3", "orphan_tool", t(20), None, None),
+        ("c9", "noop", t(600), None, None),
+    }
