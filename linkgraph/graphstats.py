@@ -2991,6 +2991,63 @@ WHERE pe.pos_even <= {_STAB_TOPK}
 """
 
 
+# --------------------------------------------------------------------------
+# power-law degree-distribution fit (§2.15 row 190; Clauset–Shalizi–Newman
+# 2009 continuous MLE): alpha = 1 + n / Σ ln(d_i / (d_min − ½)) over the
+# undirected simple-view degrees — the standard "is this graph scale-free
+# and how heavy is the tail" summary that sizes hub-splitting budgets.
+# Scale posture: one degree hash-agg + one combinable global sum; no joins.
+# --------------------------------------------------------------------------
+
+_PLAW_DMIN = 1
+
+
+def q_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: (n_vertices, d_min, d_max, alpha) of the CSN continuous
+    MLE over degrees >= ``_PLAW_DMIN``."""
+    und = (
+        _directed_simple(spark, sf_dir)
+        .select(F.least("s", "t").alias("a"), F.greatest("s", "t").alias("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("vkey"))
+        .unionByName(und.select(F.col("b").alias("vkey")))
+        .groupBy("vkey")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .where(F.col("d") >= _PLAW_DMIN)
+    )
+    return deg.agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        F.lit(_PLAW_DMIN).cast("long").alias("d_min"),
+        F.max("d").alias("d_max"),
+        F.round(
+            F.lit(1.0)
+            + F.count(F.lit(1))
+            / F.sum(F.log(F.col("d") / F.lit(_PLAW_DMIN - 0.5))),
+            6,
+        ).alias("alpha"),
+    )
+
+
+SQL_POWERLAW_ALPHA = f"""
+WITH {_GRAPH_CTES.strip()},
+und AS (
+  SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+  FROM ek WHERE s <> t
+), deg AS (
+  SELECT vkey, count(*) AS d
+  FROM (SELECT a AS vkey FROM und UNION ALL SELECT b AS vkey FROM und)
+  GROUP BY vkey HAVING count(*) >= {_PLAW_DMIN}
+)
+SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+       CAST({_PLAW_DMIN} AS BIGINT) AS d_min,
+       CAST(max(d) AS BIGINT) AS d_max,
+       round(1.0 + count(*) / sum(ln(d / {_PLAW_DMIN - 0.5})), 6) AS alpha
+FROM deg
+"""
+
+
 def registry():
     return {
         "densest_subgraph": (q_densest_subgraph, SQL_DENSEST_SUBGRAPH),
@@ -3025,4 +3082,5 @@ def registry():
         "dag_levels": (q_dag_levels, SQL_DAG_LEVELS),
         "triangle_communities": (q_triangle_communities, SQL_TRIANGLE_COMMUNITIES),
         "rank_stability": (q_rank_stability, SQL_RANK_STABILITY),
+        "powerlaw_alpha": (q_powerlaw_alpha, SQL_POWERLAW_ALPHA),
     }

@@ -1462,6 +1462,81 @@ FROM marked
 """
 
 
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values) per-group distinct sketch (§2.15 row 189): the
+# mergeable-sketch counterpart of approx_count_distinct whose arithmetic is
+# gate-checkable bit-for-bit — estimate = (k-1)·2^60 / h_k from the k-th
+# smallest md5 hash of the distinct members, exact count when |group| < k.
+# Scale posture: one distinct + one per-group top-k (combinable partial
+# top-k under AQE); sketches of different partitions/days MERGE by keeping
+# the k smallest of the union — the property that matters at 100 TB.
+# --------------------------------------------------------------------------
+
+_KMV_K = 32
+_KMV_SCALE = float(2**60)
+
+
+def q_kmv_distinct(spark, sf_dir):
+    """Per-event-type distinct-user estimate via a k=32 KMV sketch, next
+    to the exact count and the signed relative error."""
+    from .datapipe import _md5_int
+
+    ev = _t(spark, sf_dir, "events")
+    hashed = ev.select(
+        "event_type",
+        _md5_int(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))).alias(
+            "h"
+        ),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    ranked = hashed.withColumn("rn", F.row_number().over(w))
+    stats = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("hk"),
+    )
+    est = F.when(
+        F.col("hk").isNotNull(),
+        F.lit((_KMV_K - 1) * _KMV_SCALE) / F.col("hk").cast("double"),
+    ).otherwise(F.col("n_exact").cast("double"))
+    return stats.select(
+        "event_type",
+        "n_exact",
+        F.round(est, 4).alias("n_est"),
+        F.round((est - F.col("n_exact")) / F.col("n_exact"), 6).alias("rel_err"),
+    )
+
+
+def _sql_kmv() -> str:
+    from .datapipe import _sql_md5_int
+
+    h = _sql_md5_int("'kmv:' || CAST(user_id AS VARCHAR)")
+    return f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type, {h} AS h FROM events
+), ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM hashed
+), stats AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact,
+         max(CASE WHEN rn = {_KMV_K} THEN h END) AS hk
+  FROM ranked GROUP BY event_type
+)
+SELECT event_type, n_exact,
+       round(CASE WHEN hk IS NOT NULL
+                  THEN {(_KMV_K - 1)}.0 * {_KMV_SCALE} / hk
+                  ELSE CAST(n_exact AS DOUBLE) END, 4) AS n_est,
+       round((CASE WHEN hk IS NOT NULL
+                   THEN {(_KMV_K - 1)}.0 * {_KMV_SCALE} / hk
+                   ELSE CAST(n_exact AS DOUBLE) END - n_exact)
+             / n_exact, 6) AS rel_err
+FROM stats
+"""
+
+
+SQL_KMV_DISTINCT = _sql_kmv()
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "filter_project": (q_filter_project, SQL_FILTER_PROJECT),
     "dropdup": (q_dropdup, SQL_DROPDUP),
@@ -1512,4 +1587,5 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "out_degrees": (q_out_degrees, SQL_OUT_DEGREES),
     "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
     "bloom_semijoin": (q_bloom_semijoin, SQL_BLOOM_SEMIJOIN),
+    "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
 }

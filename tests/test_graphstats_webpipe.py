@@ -1410,3 +1410,21 @@ def test_rank_stability_matches_numpy(spark):
         if pe[k] <= _STAB_TOPK and k in po
     }
     assert got == want
+
+
+def test_powerlaw_alpha_matches_numpy(spark, dk_edges):
+    import math
+
+    from linkgraph.graphstats import _PLAW_DMIN, q_powerlaw_alpha
+
+    row = q_powerlaw_alpha(spark, SF_DIR).first()
+    und = {(min(s, t), max(s, t)) for s, t in dk_edges if s != t}
+    deg: dict[str, int] = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    ds = [d for d in deg.values() if d >= _PLAW_DMIN]
+    alpha = 1.0 + len(ds) / sum(math.log(d / (_PLAW_DMIN - 0.5)) for d in ds)
+    assert row["n_vertices"] == len(ds)
+    assert row["d_max"] == max(ds)
+    assert row["alpha"] == pytest.approx(round(alpha, 6), abs=2e-6)

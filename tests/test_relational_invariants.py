@@ -4,6 +4,7 @@ express (conservation, gap bounds, packing of sessions).
 """
 
 import pandas as pd
+import pytest
 
 from linkgraph.relational import _SESSION_GAP_S, q_sessionize
 
@@ -243,3 +244,32 @@ def test_bloom_semijoin_matches_python(spark):
     assert got["n_member"] == n_member
     assert got["n_bloom_pass"] == n_pass
     assert got["n_false_pos"] == n_fp
+
+
+def test_kmv_distinct_matches_python(spark):
+    """KMV sketch estimate vs a from-scratch python replication, plus the
+    exact-count fallback for groups smaller than k."""
+    import hashlib
+
+    from linkgraph.relational import _KMV_K, _KMV_SCALE, q_kmv_distinct
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["event_type"]: (r["n_exact"], r["n_est"], r["rel_err"])
+        for r in q_kmv_distinct(spark, sf).collect()
+    }
+    ev = spark.read.parquet(f"{sf}/events.parquet").toPandas()
+    by_type: dict[str, set[int]] = {}
+    for r in ev.itertuples():
+        by_type.setdefault(r.event_type, set()).add(int(r.user_id))
+    for et, users in by_type.items():
+        hs = sorted(
+            int(hashlib.md5(f"kmv:{u}".encode()).hexdigest()[:15], 16)
+            for u in users
+        )
+        n = len(hs)
+        est = (_KMV_K - 1) * _KMV_SCALE / hs[_KMV_K - 1] if n >= _KMV_K else float(n)
+        assert got[et][0] == n
+        assert got[et][1] == pytest.approx(round(est, 4), abs=1e-3)
+        assert got[et][2] == pytest.approx(round((est - n) / n, 6), abs=2e-6)
+    assert set(got) == set(by_type)
