@@ -851,3 +851,31 @@ def test_word_pmi_matches_python(spark):
     }
     assert got == want
     assert want  # floor must not empty the fixture
+
+
+def test_doc_ppjoin_is_exact_complete(spark):
+    """Prefix-filtered join vs python brute force over ALL pairs — the
+    completeness guarantee means equality, not recall."""
+    from linkgraph.datapipe import PP_TAU, _shingles_df, doc_ppjoin
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in doc_ppjoin(spark, sf).collect()
+    }
+    sets: dict[int, set[str]] = {}
+    for r in _shingles_df(spark, sf).collect():
+        sets.setdefault(r["doc_id"], set()).add(r["shingle"])
+    ids = sorted(sets)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter:
+                j = inter / (len(sets[a]) + len(sets[b]) - inter)
+                if j >= PP_TAU:
+                    want[(a, b)] = round(j, 6)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=2e-6)
+    assert want  # the corpus actually contains >= tau pairs
