@@ -21,6 +21,7 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -933,6 +934,60 @@ FROM per_host p LEFT JOIN matched m USING (host)
 """
 
 
+# --------------------------------------------------------------------------
+# Unicode NFC normalization audit (§2.15 row 192): canonical-composition
+# normalization is the first transform of any multilingual corpus (so
+# 'café' composed and decomposed dedup to one form).  Spark has no built-in
+# NFC, so this is the sanctioned slow path done right: one Arrow-batched
+# ``pandas_udf`` calling ``unicodedata.normalize`` on whole string columns
+# (never per-row Python), checked bit-for-bit against DuckDB's native
+# ``nfc_normalize``.  A deterministic fixture appends a decomposed
+# ``cafe+U+0301`` to every even doc so both outcomes are exercised.
+# Scale posture: a narrow map stage that fuses with the scan; zero shuffle
+# before the final (tiny) per-doc projection.
+# --------------------------------------------------------------------------
+
+def q_doc_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc NFC audit: (doc_id, changed, len_raw, len_nfc)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(col: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return col.map(lambda s: unicodedata.normalize("NFC", s))
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "text4",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.col("text"), F.lit(" cafe\u0301")),
+        ).otherwise(F.col("text")),
+    )
+    return d.select(
+        "doc_id",
+        (F.col("text4") != nfc(F.col("text4"))).cast("long").alias("changed"),
+        F.length("text4").alias("len_raw"),
+        F.length(nfc(F.col("text4"))).alias("len_nfc"),
+    )
+
+
+SQL_DOC_NFC = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN text || ' cafe' || chr(769)
+              ELSE text END AS text4
+  FROM documents
+)
+SELECT doc_id,
+       CAST(CASE WHEN text4 <> nfc_normalize(text4) THEN 1 ELSE 0 END
+            AS BIGINT) AS changed,
+       CAST(length(text4) AS INTEGER) AS len_raw,
+       CAST(length(nfc_normalize(text4)) AS INTEGER) AS len_nfc
+FROM d
+"""
+
+
 def registry():
     return {
         "url_host_edges": (q_url_host_edges, SQL_URL_HOST_EDGES),
@@ -947,4 +1002,5 @@ def registry():
         "doc_line_dedup": (q_doc_line_dedup, SQL_DOC_LINE_DEDUP),
         "doc_gopher_rules": (q_doc_gopher_rules, SQL_DOC_GOPHER_RULES),
         "token_cms_topk": (q_token_cms, SQL_TOKEN_CMS),
+        "doc_nfc": (q_doc_nfc, SQL_DOC_NFC),
     }

@@ -1428,3 +1428,23 @@ def test_powerlaw_alpha_matches_numpy(spark, dk_edges):
     assert row["n_vertices"] == len(ds)
     assert row["d_max"] == max(ds)
     assert row["alpha"] == pytest.approx(round(alpha, 6), abs=2e-6)
+
+
+def test_doc_nfc_matches_python(spark, docs):
+    """Arrow-batched NFC normalization vs unicodedata directly, and the
+    fixture really exercises both outcomes."""
+    import unicodedata
+
+    from linkgraph.webpipe import q_doc_nfc
+
+    got = {
+        r["doc_id"]: (r["changed"], r["len_raw"], r["len_nfc"])
+        for r in q_doc_nfc(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(docs)
+    for doc_id, text in docs.items():
+        t4 = text + " café" if doc_id % 2 == 0 else text
+        nfc = unicodedata.normalize("NFC", t4)
+        assert got[doc_id] == (int(t4 != nfc), len(t4), len(nfc)), doc_id
+    assert any(c for c, _, _ in got.values())
+    assert any(not c for c, _, _ in got.values())
