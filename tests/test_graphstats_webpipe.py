@@ -1443,7 +1443,7 @@ def test_doc_nfc_matches_python(spark, docs):
     }
     assert set(got) == set(docs)
     for doc_id, text in docs.items():
-        t4 = text + " café" if doc_id % 2 == 0 else text
+        t4 = text + " cafe\u0301" if doc_id % 2 == 0 else text
         nfc = unicodedata.normalize("NFC", t4)
         assert got[doc_id] == (int(t4 != nfc), len(t4), len(nfc)), doc_id
     assert any(c for c, _, _ in got.values())
