@@ -988,6 +988,101 @@ FROM d
 """
 
 
+# --------------------------------------------------------------------------
+# Heaps'-law vocabulary growth (§2.15 row 193): V(N) ≈ k·N^β over the
+# token stream in (doc_id, position) order — the curve that sizes
+# tokenizer vocabularies and predicts how much new text adds new types.
+# Scale posture: per-doc lengths are a hash agg; global token offsets are
+# ONE ordered-prefix-sum window over doc ids (one shuffle); the
+# first-occurrence table is vocabulary-sized, and the checkpoint join is
+# vocab × ≤8 rows.  β comes from the closed-form log-log least squares
+# over the checkpoints — no iteration.
+# --------------------------------------------------------------------------
+
+_HEAPS_CPS = [50, 100, 200, 400, 800, 1600, 3200, 6400, 12800,
+              25600, 51200]
+
+
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary size at fixed token-count checkpoints plus the fitted
+    Heaps exponent.  Output (n_tokens, vocab, beta) — beta identical on
+    every row by construction."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim("text")), " ")).alias("pos", "word"),
+    )
+    lens = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    off = lens.withColumn(
+        "off",
+        F.coalesce(
+            F.sum("len").over(
+                Window.orderBy("doc_id").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    )
+    gpos = words.join(off, "doc_id").select(
+        "word", (F.col("off") + F.col("pos") + 1).alias("gpos")
+    )
+    first = gpos.groupBy("word").agg(F.min("gpos").alias("first_pos"))
+    total = lens.agg(F.sum("len").alias("total"))
+    cps = (
+        spark.createDataFrame([(n,) for n in _HEAPS_CPS], "n_tokens long")
+        .crossJoin(F.broadcast(total))
+        .where(F.col("n_tokens") <= F.col("total"))
+        .select("n_tokens")
+    )
+    curve = (
+        F.broadcast(cps)
+        .join(first, F.col("first_pos") <= F.col("n_tokens"))
+        .groupBy("n_tokens")
+        .agg(F.count(F.lit(1)).alias("vocab"))
+    )
+    beta = curve.agg(
+        (
+            F.covar_pop(F.log("n_tokens"), F.log("vocab"))
+            / F.var_pop(F.log("n_tokens"))
+        ).alias("beta")
+    )
+    return curve.crossJoin(F.broadcast(beta)).select(
+        "n_tokens", "vocab", F.round("beta", 6).alias("beta")
+    )
+
+
+SQL_HEAPS_LAW = f"""
+WITH words AS (
+  SELECT doc_id, g.i - 1 AS pos, w[g.i] AS word
+  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents),
+       LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g
+), lens AS (
+  SELECT doc_id, count(*) AS len FROM words GROUP BY doc_id
+), off AS (
+  SELECT doc_id,
+         coalesce(sum(len) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM lens
+), first AS (
+  SELECT word, min(off + pos + 1) AS first_pos
+  FROM words JOIN off USING (doc_id) GROUP BY word
+), cps AS (
+  SELECT n_tokens FROM (VALUES {", ".join(f"({n})" for n in _HEAPS_CPS)}) t(n_tokens)
+  WHERE n_tokens <= (SELECT sum(len) FROM lens)
+), curve AS (
+  SELECT n_tokens, CAST(count(*) AS BIGINT) AS vocab
+  FROM cps JOIN first ON first_pos <= n_tokens
+  GROUP BY n_tokens
+), fit AS (
+  SELECT covar_pop(ln(vocab), ln(n_tokens)) / var_pop(ln(n_tokens)) AS beta
+  FROM curve
+)
+SELECT CAST(n_tokens AS BIGINT) AS n_tokens, vocab, round(beta, 6) AS beta
+FROM curve, fit
+"""
+
+
 def registry():
     return {
         "url_host_edges": (q_url_host_edges, SQL_URL_HOST_EDGES),
@@ -1003,4 +1098,5 @@ def registry():
         "doc_gopher_rules": (q_doc_gopher_rules, SQL_DOC_GOPHER_RULES),
         "token_cms_topk": (q_token_cms, SQL_TOKEN_CMS),
         "doc_nfc": (q_doc_nfc, SQL_DOC_NFC),
+        "heaps_law": (q_heaps_law, SQL_HEAPS_LAW),
     }

@@ -1448,3 +1448,38 @@ def test_doc_nfc_matches_python(spark, docs):
         assert got[doc_id] == (int(t4 != nfc), len(t4), len(nfc)), doc_id
     assert any(c for c, _, _ in got.values())
     assert any(not c for c, _, _ in got.values())
+
+
+def test_heaps_law_matches_python(spark, docs):
+    """Vocabulary-growth checkpoints + fitted beta vs a from-scratch
+    streaming replication."""
+    import math
+
+    from linkgraph.webpipe import _HEAPS_CPS, q_heaps_law
+
+    got = {
+        r["n_tokens"]: (r["vocab"], r["beta"])
+        for r in q_heaps_law(spark, SF_DIR).collect()
+    }
+    seen: set[str] = set()
+    first_count: list[int] = []  # vocab size after each token
+    for doc_id in sorted(docs):
+        for w in docs[doc_id].strip().lower().split(" "):
+            seen.add(w)
+            first_count.append(len(seen))
+    total = len(first_count)
+    cps = [n for n in _HEAPS_CPS if n <= total]
+    want = {n: first_count[n - 1] for n in cps}
+    assert {n: v for n, (v, _) in got.items()} == want
+    xs = [math.log(n) for n in cps]
+    ys = [math.log(want[n]) for n in cps]
+    mx = sum(xs) / len(xs)
+    my = sum(ys) / len(ys)
+    beta = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+        (x - mx) ** 2 for x in xs
+    )
+    for _, (_, b) in got.items():
+        assert b == pytest.approx(round(beta, 6), abs=2e-6)
+    assert beta > 0.0  # growth phase captured (tiny synthetic vocab saturates)
+    vs = [want[n] for n in cps]
+    assert vs == sorted(vs)  # vocabulary growth is monotone
