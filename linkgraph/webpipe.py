@@ -993,14 +993,18 @@ FROM d
 # token stream in (doc_id, position) order — the curve that sizes
 # tokenizer vocabularies and predicts how much new text adds new types.
 # Scale posture: per-doc lengths are a hash agg; global token offsets are
-# ONE ordered-prefix-sum window over doc ids (one shuffle); the
+# a TWO-LEVEL ordered prefix sum — cumsum within order-preserving range
+# shards (floor(doc_id / B), parallel across shards) plus a shard-base
+# cumsum over the ~n/B per-shard totals (8-byte rows, the only serialized
+# pass) — never a single-task global window over per-doc rows.  The
 # first-occurrence table is vocabulary-sized, and the checkpoint join is
-# vocab × ≤8 rows.  β comes from the closed-form log-log least squares
+# vocab × ≤11 rows.  β comes from the closed-form log-log least squares
 # over the checkpoints — no iteration.
 # --------------------------------------------------------------------------
 
 _HEAPS_CPS = [50, 100, 200, 400, 800, 1600, 3200, 6400, 12800,
               25600, 51200]
+_HEAPS_SHARD = 1024  # docs per range shard for the two-level prefix sum
 
 
 def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1012,18 +1016,40 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(F.split(F.lower(F.trim("text")), " ")).alias("pos", "word"),
     )
-    lens = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
-    off = lens.withColumn(
-        "off",
-        F.coalesce(
-            F.sum("len").over(
-                Window.orderBy("doc_id").rowsBetween(
-                    Window.unboundedPreceding, -1
-                )
-            ),
-            F.lit(0),
-        ),
+    lens = (
+        words.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("len"))
+        .withColumn("shard", F.floor(F.col("doc_id") / _HEAPS_SHARD))
     )
+    # two-level ordered prefix sum: within-shard cumsum is parallel across
+    # range shards; the base cumsum runs over one tiny row per shard
+    within = F.coalesce(
+        F.sum("len").over(
+            Window.partitionBy("shard")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    base = (
+        lens.groupBy("shard")
+        .agg(F.sum("len").alias("stot"))
+        .withColumn(
+            "base",
+            F.coalesce(
+                F.sum("stot").over(
+                    Window.orderBy("shard").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("shard", "base")
+    )
+    off = lens.withColumn("within", within).join(
+        F.broadcast(base), "shard"
+    ).select("doc_id", (F.col("base") + F.col("within")).alias("off"))
     gpos = words.join(off, "doc_id").select(
         "word", (F.col("off") + F.col("pos") + 1).alias("gpos")
     )
