@@ -1060,6 +1060,78 @@ FROM flags f LEFT JOIN clus c ON c.doc_id = f.doc_id
 """
 
 
+def _leakfree_assign(docs: DataFrame, clus: DataFrame) -> DataFrame:
+    """Core of doc_split_leakfree: per-doc (doc_id, unit, split) where the
+    split is a pure hash function of the doc's dedup-cluster canonical
+    (``unit``), not of the doc itself — so every near-dup cluster lands in
+    exactly ONE split by construction.  Exposed separately so the
+    no-torn-cluster property is unit-testable on planted clusters."""
+    unit = F.coalesce(F.col("canon_doc"), F.col("doc_id"))
+    u = (
+        docs.select("doc_id")
+        .join(F.broadcast(clus), "doc_id", "left")
+        .select("doc_id", unit.alias("unit"))
+    )
+    bucket = F.pmod(
+        _md5_int(F.concat_ws(":", F.lit("lfsplit"), F.col("unit").cast("string"))),
+        F.lit(100),
+    )
+    split = (
+        F.when(bucket < _TEST_PCT, F.lit("test"))
+        .when(bucket < _TEST_PCT + _VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return u.select("doc_id", "unit", split.alias("split"))
+
+
+def doc_split_leakfree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test split (§2.15 row 194): the per-doc hash
+    split of ``doc_split`` tears near-duplicate clusters across splits —
+    a train copy of a val/test document is exactly the contamination
+    ``doc_contamination`` exists to detect.  Here the split unit is the
+    dedup-cluster canonical from ``doc_dedup_clusters`` (docs without a
+    near-dup are their own unit), so duplicates can never straddle splits
+    and downstream eval stays honest.
+
+    Scale shape: the cluster table holds only docs WITH a near-dup
+    (orders of magnitude smaller than the corpus) so the enrichment join
+    broadcasts; the split itself is a narrow column expression over the
+    unit id (salted independently of both ``doc_split`` and the content
+    hashes); the accounting groupBy is map-side combinable with a standard
+    two-phase distinct for ``n_units``.  Output: per-split doc and unit
+    counts."""
+    d = load_table(spark, sf_dir, "documents")
+    clus = doc_dedup_clusters(spark, sf_dir)
+    return (
+        _leakfree_assign(d, clus)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("unit").alias("n_units"),
+        )
+    )
+
+
+SQL_DOC_SPLIT_LEAKFREE = f"""
+WITH clus AS ({SQL_DOC_DEDUP_CLUSTERS}),
+u AS (
+  SELECT d.doc_id, coalesce(c.canon_doc, d.doc_id) AS unit
+  FROM documents d LEFT JOIN clus c ON c.doc_id = d.doc_id
+), b AS (
+  SELECT unit,
+         {_sql_md5_int("concat_ws(':', 'lfsplit', CAST(unit AS VARCHAR))")} % 100
+           AS bucket
+  FROM u
+)
+SELECT CASE WHEN bucket < {_TEST_PCT} THEN 'test'
+            WHEN bucket < {_TEST_PCT + _VAL_PCT} THEN 'val'
+            ELSE 'train' END AS split,
+       count(*) AS n_docs,
+       CAST(count(DISTINCT unit) AS BIGINT) AS n_units
+FROM b GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # corpus statistics / sampling / packing (LLM training-data pipeline ops)
 # --------------------------------------------------------------------------
@@ -2504,6 +2576,7 @@ WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {PP_TAU}
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
     return {
         "doc_split": (doc_split, SQL_DOC_SPLIT),
+        "doc_split_leakfree": (doc_split_leakfree, SQL_DOC_SPLIT_LEAKFREE),
         "doc_exact_dedup": (doc_exact_dedup, SQL_DOC_EXACT_DEDUP),
         "doc_minhash": (doc_minhash, SQL_DOC_MINHASH),
         "doc_near_dups": (doc_near_dups, SQL_DOC_NEAR_DUPS),

@@ -879,3 +879,66 @@ def test_doc_ppjoin_is_exact_complete(spark):
     for k in want:
         assert got[k] == pytest.approx(want[k], abs=2e-6)
     assert want  # the corpus actually contains >= tau pairs
+
+
+def test_leakfree_split_no_torn_clusters(spark):
+    """Planted clusters must land whole in one split; the assignment must
+    match a from-scratch md5 replication of the unit hash; and the naive
+    per-doc split must tear at least one planted cluster (the failure mode
+    this op exists to prevent)."""
+    import hashlib
+
+    from linkgraph.datapipe import _TEST_PCT, _VAL_PCT, _leakfree_assign
+
+    docs = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    clus = spark.createDataFrame(
+        [(3, 3), (7, 3), (11, 3), (20, 20), (21, 20)],
+        "doc_id long, canon_doc long",
+    )
+    out = _leakfree_assign(docs, clus).toPandas().set_index("doc_id")
+    assert len(out) == 200
+
+    # clustered docs carry the canonical unit; everyone else themselves
+    assert out.loc[7, "unit"] == 3 and out.loc[11, "unit"] == 3
+    assert out.loc[21, "unit"] == 20
+    assert out.loc[5, "unit"] == 5
+
+    # same-cluster docs share one split
+    assert len({out.loc[i, "split"] for i in (3, 7, 11)}) == 1
+    assert len({out.loc[i, "split"] for i in (20, 21)}) == 1
+
+    # split == pure function of the unit, replicated from scratch
+    def expect(unit):
+        b = int(hashlib.md5(f"lfsplit:{unit}".encode()).hexdigest()[:15], 16) % 100
+        if b < _TEST_PCT:
+            return "test"
+        if b < _TEST_PCT + _VAL_PCT:
+            return "val"
+        return "train"
+
+    for i in range(200):
+        assert out.loc[i, "split"] == expect(int(out.loc[i, "unit"])), i
+
+    # contrast: the naive per-doc split tears the {3,7,11} chain
+    def naive(doc_id):
+        b = int(hashlib.md5(f"split:{doc_id}".encode()).hexdigest()[:15], 16) % 100
+        if b < _TEST_PCT:
+            return "test"
+        if b < _TEST_PCT + _VAL_PCT:
+            return "val"
+        return "train"
+
+    assert len({naive(i) for i in (3, 7, 11)}) > 1
+
+
+def test_leakfree_split_accounting(spark):
+    """End-to-end summary at sf0.001: docs fully partitioned, units never
+    exceed docs, and every split the per-doc naive split produced is a
+    valid label."""
+    from linkgraph.datapipe import doc_split_leakfree
+
+    out = doc_split_leakfree(spark, SF).toPandas()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert int(out["n_docs"].sum()) == n_docs
+    assert (out["n_units"] <= out["n_docs"]).all()
+    assert set(out["split"]) <= {"train", "val", "test"}
