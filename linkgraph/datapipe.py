@@ -1132,6 +1132,68 @@ FROM b GROUP BY 1
 """
 
 
+_HRW_SHARDS = 8
+
+
+def _hrw_assign(docs: DataFrame, n_shards: int) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment: each doc goes
+    to argmax_s md5("hrw:<doc_id>:<s>") — the consistent-hashing scheme
+    whose property is MINIMAL MOVEMENT: removing a shard relocates only
+    that shard's docs (every other doc's argmax is unchanged).  Exposed
+    separately so the movement property is unit-testable across shard
+    counts.  Ties (astronomically unlikely) break to the larger shard id,
+    matching the SQL oracle's ORDER BY h DESC, s DESC."""
+    cands = F.array(
+        *[
+            F.struct(
+                _md5_int(
+                    F.concat_ws(
+                        ":", F.lit("hrw"), F.col("doc_id").cast("string"),
+                        F.lit(str(s)),
+                    )
+                ).alias("h"),
+                F.lit(s).alias("s"),
+            )
+            for s in range(n_shards)
+        ]
+    )
+    return docs.select(
+        "doc_id", F.array_max(cands).getField("s").alias("shard")
+    )
+
+
+def doc_shard_hrw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous-hash shard routing audit (§2.15 row 195): the shard map
+    a corpus store uses to route documents to a FIXED pool of writers /
+    caches so that resizing the pool moves only 1/S of the keys (vs ~all
+    keys under mod-S hashing).  Pure narrow column expression — the S
+    candidate hashes fold into one projection, no shuffle until the
+    accounting groupBy (map-side combinable).  Output: per-shard doc
+    counts over the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        _hrw_assign(d, _HRW_SHARDS)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+SQL_DOC_SHARD_HRW = f"""
+WITH cand AS (
+  SELECT doc_id, s,
+         {_sql_md5_int("concat_ws(':', 'hrw', CAST(doc_id AS VARCHAR), CAST(s AS VARCHAR))")}
+           AS h
+  FROM documents, unnest(generate_series(0, {_HRW_SHARDS - 1})) AS t(s)
+), pick AS (
+  SELECT doc_id, s,
+         row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, s DESC) AS rk
+  FROM cand
+)
+SELECT CAST(s AS INT) AS shard, count(*) AS n_docs
+FROM pick WHERE rk = 1 GROUP BY 1
+"""
+
+
 # --------------------------------------------------------------------------
 # corpus statistics / sampling / packing (LLM training-data pipeline ops)
 # --------------------------------------------------------------------------
@@ -2577,6 +2639,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
     return {
         "doc_split": (doc_split, SQL_DOC_SPLIT),
         "doc_split_leakfree": (doc_split_leakfree, SQL_DOC_SPLIT_LEAKFREE),
+        "doc_shard_hrw": (doc_shard_hrw, SQL_DOC_SHARD_HRW),
         "doc_exact_dedup": (doc_exact_dedup, SQL_DOC_EXACT_DEDUP),
         "doc_minhash": (doc_minhash, SQL_DOC_MINHASH),
         "doc_near_dups": (doc_near_dups, SQL_DOC_NEAR_DUPS),

@@ -942,3 +942,39 @@ def test_leakfree_split_accounting(spark):
     assert int(out["n_docs"].sum()) == n_docs
     assert (out["n_units"] <= out["n_docs"]).all()
     assert set(out["split"]) <= {"train", "val", "test"}
+
+
+def test_hrw_minimal_movement_and_replication(spark):
+    """The rendezvous property: dropping the last shard relocates ONLY the
+    docs that lived on it — every other assignment is unchanged.  And the
+    argmax must match a from-scratch md5 replication."""
+    import hashlib
+
+    from linkgraph.datapipe import _HRW_SHARDS, _hrw_assign
+
+    docs = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    full = {
+        int(r["doc_id"]): int(r["shard"])
+        for r in _hrw_assign(docs, _HRW_SHARDS).collect()
+    }
+    small = {
+        int(r["doc_id"]): int(r["shard"])
+        for r in _hrw_assign(docs, _HRW_SHARDS - 1).collect()
+    }
+
+    def h(doc_id, s):
+        return int(
+            hashlib.md5(f"hrw:{doc_id}:{s}".encode()).hexdigest()[:15], 16
+        )
+
+    for i in range(300):
+        want = max(range(_HRW_SHARDS), key=lambda s: (h(i, s), s))
+        assert full[i] == want, i
+        if full[i] != _HRW_SHARDS - 1:
+            # minimal movement: survivors keep their shard
+            assert small[i] == full[i], i
+
+    moved = [i for i in range(300) if full[i] == _HRW_SHARDS - 1]
+    assert moved  # the dropped shard held someone
+    # every shard is actually used (balance sanity at n=300, S=8)
+    assert set(full.values()) == set(range(_HRW_SHARDS))
