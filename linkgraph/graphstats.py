@@ -97,6 +97,97 @@ FROM marked
 
 
 # --------------------------------------------------------------------------
+# actor/tool type mixing matrix + discrete assortativity (Newman 2003
+# "Mixing patterns in networks": r = (Σe_ii − Σa_i·b_i)/(1 − Σa_i·b_i)
+# over the edge-type fraction matrix; a=row sums, b=col sums).  Payload-
+# specific: vertices are conversation actors ('user:…') vs tools, so the
+# matrix answers "do tools link to tools or do actors drive everything".
+# --------------------------------------------------------------------------
+
+def q_type_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed mixing matrix over endpoint types plus Newman's discrete
+    assortativity, constant on every row.  Output (src_type, dst_type,
+    n_edges, frac, r_discrete).  All marginal/trace reductions run over
+    the ≤4-row matrix — the only data-sized pass is the distinct edge
+    groupBy (map-side combinable)."""
+
+    def typ(c: str):
+        return (
+            F.when(F.col(c).startswith("user:"), F.lit("actor"))
+            .otherwise(F.lit("tool"))
+        )
+
+    dk = _directed_simple(spark, sf_dir)
+    mat = (
+        dk.select(typ("s").alias("src_type"), typ("t").alias("dst_type"))
+        .groupBy("src_type", "dst_type")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    tot = mat.agg(F.sum("n_edges").cast("double").alias("tot"))
+    e = mat.crossJoin(F.broadcast(tot)).withColumn(
+        "frac", F.col("n_edges") / F.col("tot")
+    )
+    a = e.groupBy(F.col("src_type").alias("tt")).agg(F.sum("frac").alias("a"))
+    b = e.groupBy(F.col("dst_type").alias("tt")).agg(F.sum("frac").alias("b"))
+    sab = (
+        a.join(b, "tt", "full")
+        .agg(
+            F.sum(
+                F.coalesce(F.col("a"), F.lit(0.0))
+                * F.coalesce(F.col("b"), F.lit(0.0))
+            ).alias("sab")
+        )
+    )
+    tr = e.where(F.col("src_type") == F.col("dst_type")).agg(
+        F.coalesce(F.sum("frac"), F.lit(0.0)).alias("tr")
+    )
+    r = tr.crossJoin(sab).select(
+        F.when(
+            F.col("sab") < 1.0,
+            (F.col("tr") - F.col("sab")) / (F.lit(1.0) - F.col("sab")),
+        )
+        .otherwise(F.lit(1.0))  # degenerate single-type graph: perfectly assortative
+        .alias("r")
+    )
+    return e.crossJoin(F.broadcast(r)).select(
+        "src_type",
+        "dst_type",
+        "n_edges",
+        F.round("frac", 6).alias("frac"),
+        F.round("r", 6).alias("r_discrete"),
+    )
+
+
+SQL_TYPE_MIXING = (
+    "WITH "
+    + _GRAPH_CTES
+    + """,
+dk AS (SELECT DISTINCT s, t FROM ek WHERE s <> t),
+mat AS (
+  SELECT CASE WHEN s LIKE 'user:%' THEN 'actor' ELSE 'tool' END AS src_type,
+         CASE WHEN t LIKE 'user:%' THEN 'actor' ELSE 'tool' END AS dst_type,
+         count(*) AS n_edges
+  FROM dk GROUP BY 1, 2
+), tot AS (SELECT CAST(sum(n_edges) AS DOUBLE) AS tot FROM mat),
+em AS (
+  SELECT src_type, dst_type, n_edges, n_edges / tot AS frac FROM mat, tot
+), am AS (SELECT src_type AS tt, sum(frac) AS a FROM em GROUP BY 1),
+bm AS (SELECT dst_type AS tt, sum(frac) AS b FROM em GROUP BY 1),
+sab AS (
+  SELECT sum(coalesce(a, 0) * coalesce(b, 0)) AS sab
+  FROM am FULL JOIN bm USING (tt)
+), tr AS (
+  SELECT coalesce(sum(frac), 0) AS tr FROM em WHERE src_type = dst_type
+)
+SELECT src_type, dst_type, n_edges, round(frac, 6) AS frac,
+       round(CASE WHEN sab < 1 THEN (tr - sab) / (1 - sab) ELSE 1.0 END, 6)
+         AS r_discrete
+FROM em, sab, tr
+"""
+)
+
+
+# --------------------------------------------------------------------------
 # degree assortativity (Newman 2002: Pearson corr of endpoint degrees
 # over the directed-both-ways undirected simple edge list)
 # --------------------------------------------------------------------------
@@ -3062,6 +3153,7 @@ def registry():
             SQL_COMMUNITY_CONDUCTANCE,
         ),
         "graph_reciprocity": (q_graph_reciprocity, SQL_GRAPH_RECIPROCITY),
+        "type_mixing": (q_type_mixing, SQL_TYPE_MIXING),
         "betweenness_pivots": (q_betweenness, SQL_BETWEENNESS),
         "bridge_edges": (q_bridge_edges, SQL_BRIDGE_EDGES),
         "transitivity": (q_transitivity, SQL_TRANSITIVITY),

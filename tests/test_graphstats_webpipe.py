@@ -1483,3 +1483,32 @@ def test_heaps_law_matches_python(spark, docs):
     assert beta > 0.0  # growth phase captured (tiny synthetic vocab saturates)
     vs = [want[n] for n in cps]
     assert vs == sorted(vs)  # vocabulary growth is monotone
+
+
+def test_type_mixing_matches_networkx(spark, dk_edges):
+    """Mixing-matrix fractions vs a Counter recount; r_discrete vs
+    networkx.attribute_assortativity_coefficient on the same typed graph."""
+    import networkx as nx
+
+    from linkgraph.graphstats import q_type_mixing
+
+    out = q_type_mixing(spark, SF_DIR).toPandas()
+
+    def typ(k):
+        return "actor" if k.startswith("user:") else "tool"
+
+    cnt = Counter((typ(s), typ(t)) for s, t in dk_edges)
+    got = {
+        (r["src_type"], r["dst_type"]): (r["n_edges"], r["frac"])
+        for _, r in out.iterrows()
+    }
+    assert {k: v for k, (v, _) in got.items()} == dict(cnt)
+    for k, (n, frac) in got.items():
+        assert frac == pytest.approx(round(n / len(dk_edges), 6), abs=1e-9)
+
+    G = nx.DiGraph()
+    G.add_edges_from(dk_edges)
+    nx.set_node_attributes(G, {v: typ(v) for v in G.nodes}, "vtype")
+    want_r = nx.attribute_assortativity_coefficient(G, "vtype")
+    for r in out["r_discrete"]:
+        assert r == pytest.approx(want_r, abs=1e-6)
