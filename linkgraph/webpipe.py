@@ -406,6 +406,87 @@ def host_pagerank_sql(k: int = _PR_STEPS, limit: int = 10, d: float = 0.85) -> s
 
 
 # --------------------------------------------------------------------------
+# PageRank-weighted corpus selection (§2.15 row 197): importance-sample
+# documents by the authority of the hosts they cite — the graph-aware
+# cousin of doc_weighted_sample (which weights by length).  The standard
+# "curate from the link graph" move: rank hosts once, weight each doc by
+# the summed rank of its cited hosts, then draw a deterministic A-ES
+# sample without replacement under those weights.
+# --------------------------------------------------------------------------
+
+_RWS_K = 50
+_RWS_SCALE = float(1 << 60)
+
+
+def q_rank_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``_RWS_K`` docs by the Efraimidis-Spirakis key ln(u)/w with
+    w = Σ rank(host) over the doc's distinct cited hosts (5 fixed host-
+    PageRank supersteps, rounded like ``host_pagerank`` so the unrolled
+    oracle hash-checks end-to-end).  Docs citing no ranked host are out of
+    the draw, mirroring the oracle.  100 TB posture: one engine PageRank
+    over the host graph (hosts ≪ docs, ranks broadcast back), a per-doc
+    combinable sum, then ONE top-k — per-partition heaps, no global sort.
+    Output (doc_id, w, skey)."""
+    from .datapipe import _md5_int
+    from .pagerank import pagerank_naive
+
+    g = _host_graph(spark, sf_dir)
+    res = pagerank_naive(g, tol=0.0, max_iter=_PR_STEPS)
+    ranks = res.ranks.join(g.vertices, "vid").select(
+        F.col("vkey").alias("host"), F.round("rank", 6).alias("rank")
+    )
+    d = _with_sub_urls(load_table(spark, sf_dir, "documents"))
+    dh = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all("text2", F.lit(_URL_RE), F.lit(1))
+        ).alias("host"),
+    ).distinct()
+    w = (
+        dh.join(F.broadcast(ranks), "host")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("rank"), 6).alias("w"))
+    )
+    u = (
+        _md5_int(
+            F.concat_ws(":", F.lit("rwsample"), F.col("doc_id").cast("string"))
+        )
+        + F.lit(1.0)
+    ) / F.lit(_RWS_SCALE)
+    t = w.select("doc_id", "w", (F.log(u) / F.col("w")).alias("k_raw"))
+    return (
+        t.orderBy(F.desc("k_raw"), "doc_id")
+        .limit(_RWS_K)
+        .select("doc_id", "w", (F.round("k_raw", 6) + 0.0).alias("skey"))
+    )
+
+
+def rank_weighted_sample_sql(k: int = _PR_STEPS, d: float = 0.85) -> str:
+    from .datapipe import _sql_md5_int
+    from .graph_oracles import pagerank_unroll_ctes
+
+    ctes = pagerank_unroll_ctes(k, d, _HOST_GRAPH_CTES)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f""",
+ranks AS (
+  SELECT v.vkey AS host, round(r.r, 6) AS rank FROM r{k} r JOIN v USING (vkey)
+), wts AS (
+  SELECT doc_id, round(sum(rank), 6) AS w
+  FROM hosts JOIN ranks USING (host) GROUP BY doc_id
+), t AS (
+  SELECT doc_id, w,
+         ln(({_sql_md5_int("'rwsample:' || CAST(doc_id AS VARCHAR)")} + 1.0)
+            / {_RWS_SCALE}) / w AS k_raw
+  FROM wts
+)
+SELECT doc_id, w, round(k_raw, 6) + 0.0 AS skey
+FROM t ORDER BY k_raw DESC, doc_id LIMIT {_RWS_K}
+"""
+    )
+
+
+# --------------------------------------------------------------------------
 # TrustRank + spam mass (Gyöngyi et al. 2004/2006): THE web-spam detection
 # composition — PageRank and seed-personalized PageRank over the same host
 # graph, spam mass = the rank fraction NOT attributable to trusted seeds.
@@ -1117,6 +1198,7 @@ def registry():
         "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
         "token_zipf": (q_token_zipf, SQL_TOKEN_ZIPF),
         "host_pagerank": (q_host_pagerank, host_pagerank_sql()),
+        "rank_weighted_sample": (q_rank_weighted_sample, rank_weighted_sample_sql()),
         "host_spam_mass": (q_host_spam_mass, host_spam_mass_sql()),
         "doc_entropy": (q_doc_entropy, SQL_DOC_ENTROPY),
         "url_dedup": (q_url_dedup, SQL_URL_DEDUP),

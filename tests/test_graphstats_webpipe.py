@@ -1512,3 +1512,34 @@ def test_type_mixing_matches_networkx(spark, dk_edges):
     want_r = nx.attribute_assortativity_coefficient(G, "vtype")
     for r in out["r_discrete"]:
         assert r == pytest.approx(want_r, abs=1e-6)
+
+
+def test_rank_weighted_sample_invariants(spark):
+    """Sampled keys must replicate ln(u)/w from scratch off the returned
+    weights; the draw is deterministic; every weight is a positive sum of
+    host ranks (docs with no ranked host never appear)."""
+    import hashlib
+    import math
+
+    from linkgraph.webpipe import _RWS_K, _RWS_SCALE, q_rank_weighted_sample
+
+    a = q_rank_weighted_sample(spark, SF_DIR).toPandas()
+    b = q_rank_weighted_sample(spark, SF_DIR).toPandas()
+    assert a.equals(b)  # deterministic "randomness"
+    assert 0 < len(a) <= _RWS_K
+    assert (a["w"] > 0).all()
+
+    for _, r in a.iterrows():
+        u = (
+            int(
+                hashlib.md5(f"rwsample:{int(r['doc_id'])}".encode()).hexdigest()[:15],
+                16,
+            )
+            + 1.0
+        ) / _RWS_SCALE
+        assert r["skey"] == pytest.approx(
+            round(math.log(u) / r["w"], 6), abs=1e-9
+        )
+    # descending A-ES keys: it really is the top-k of the draw
+    ks = a["skey"].to_numpy()
+    assert (ks[:-1] >= ks[1:] - 1e-12).all()
