@@ -229,6 +229,60 @@ FROM und JOIN deg a ON a.s = und.s JOIN deg b ON b.s = und.t
 
 
 # --------------------------------------------------------------------------
+# average-neighbor-degree connectivity curve knn(k) (Pastor-Satorras et
+# al. 2001): the degree-correlation PROFILE behind the assortativity
+# scalar — rising knn(k) = assortative, falling = hub-and-spoke.
+# --------------------------------------------------------------------------
+
+def q_degree_connectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """knn(k) over the undirected simple events graph: for each degree k,
+    the mean over degree-k vertices of their neighbors' mean degree.
+    Output (deg, n_nodes, knn).  Same shuffles as assortativity (two
+    degree joins + two combinable groupBys) — the per-degree reduction is
+    tiny (distinct degree values ≪ V)."""
+    dk = _directed_simple(spark, sf_dir)
+    und = (
+        dk.select("s", "t")
+        .unionByName(dk.select(F.col("t").alias("s"), F.col("s").alias("t")))
+        .distinct()
+    )
+    deg = und.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    db = deg.select(F.col("s").alias("t"), F.col("deg").alias("db"))
+    per_node = (
+        und.join(db, "t")
+        .groupBy("s")
+        .agg(F.avg(F.col("db").cast("double")).alias("mnd"))
+    )
+    return (
+        per_node.join(deg, "s")
+        .groupBy("deg")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.round(F.avg("mnd"), 6).alias("knn"),
+        )
+    )
+
+
+SQL_DEGREE_CONNECTIVITY = (
+    "WITH "
+    + _GRAPH_CTES
+    + """,
+dk AS (SELECT DISTINCT s, t FROM ek WHERE s <> t),
+und AS (SELECT DISTINCT s, t FROM
+        (SELECT s, t FROM dk UNION ALL SELECT t AS s, s AS t FROM dk)),
+deg AS (SELECT s, count(*) AS deg FROM und GROUP BY s),
+pn AS (
+  SELECT und.s, avg(CAST(b.deg AS DOUBLE)) AS mnd
+  FROM und JOIN deg b ON b.s = und.t GROUP BY und.s
+)
+SELECT deg.deg, count(*) AS n_nodes, round(avg(pn.mnd), 6) AS knn
+FROM pn JOIN deg ON deg.s = pn.s
+GROUP BY deg.deg
+"""
+)
+
+
+# --------------------------------------------------------------------------
 # double-sweep diameter lower bound (2 fixed-depth engine BFS runs)
 # --------------------------------------------------------------------------
 
@@ -3158,6 +3212,7 @@ def registry():
         "bridge_edges": (q_bridge_edges, SQL_BRIDGE_EDGES),
         "transitivity": (q_transitivity, SQL_TRANSITIVITY),
         "degree_assortativity": (q_degree_assortativity, SQL_DEGREE_ASSORTATIVITY),
+        "degree_connectivity": (q_degree_connectivity, SQL_DEGREE_CONNECTIVITY),
         "engine_diameter2sweep": (q_engine_diameter2sweep, SQL_ENGINE_DIAMETER2SWEEP),
         "anf_kmv": (q_anf_kmv, SQL_ANF_KMV),
         "ktruss_edges": (q_ktruss, SQL_KTRUSS),

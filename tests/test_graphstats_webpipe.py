@@ -1543,3 +1543,24 @@ def test_rank_weighted_sample_invariants(spark):
     # descending A-ES keys: it really is the top-k of the draw
     ks = a["skey"].to_numpy()
     assert (ks[:-1] >= ks[1:] - 1e-12).all()
+
+
+def test_degree_connectivity_matches_networkx(spark, dk_edges):
+    import networkx as nx
+
+    from linkgraph.graphstats import q_degree_connectivity
+
+    out = q_degree_connectivity(spark, SF_DIR).toPandas()
+    G = nx.Graph()
+    G.add_edges_from(dk_edges)
+    want = nx.average_degree_connectivity(G)
+    got = {int(r["deg"]): r["knn"] for _, r in out.iterrows()}
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert got[k] == pytest.approx(round(v, 6), abs=1e-6), k
+    # group sizes recount
+    from collections import Counter as C
+
+    sizes = C(d for _, d in G.degree())
+    for _, r in out.iterrows():
+        assert r["n_nodes"] == sizes[int(r["deg"])]
