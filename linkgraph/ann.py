@@ -1010,8 +1010,98 @@ WHERE t.a < t.b
 """
 
 
+# --------------------------------------------------------------------------
+# embedding centroid-drift audit (§2.15 row 199): the distribution-shift
+# check a retrieval/feature store runs between two corpus snapshots —
+# here the deterministic stand-in split vec_id%2 ("last batch" vs "this
+# batch").  Components are integer-quantized (floor(x·2^20), the
+# emb_random_projection discipline) so the per-dimension sums are EXACT
+# integers and the means are bit-identical across engines; only the final
+# ≤dim-term reductions are floating point (rounded at 6).
+# --------------------------------------------------------------------------
+
+DRIFT_SCALE = float(1 << 20)
+
+
+def emb_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row drift report between the two vec_id-parity halves:
+    (n_a, n_b, dim, cos_means, l2_shift) where cos_means is the cosine of
+    the two centroid vectors and l2_shift their euclidean gap.  100 TB
+    posture: ONE combinable (half, dim) aggregation over the exploded
+    components — 2·dim tiny rows out — then all-constant-size math; no
+    UDF, no collect, payload vectors never shuffle whole."""
+    em = load_table(spark, sf_dir, "embeddings")
+    x = em.select(
+        F.pmod(F.col("vec_id"), F.lit(2)).alias("half"),
+        F.posexplode("embedding").alias("i", "val"),
+    )
+    m = (
+        x.select(
+            "half", "i",
+            F.floor(F.col("val").cast("double") * F.lit(DRIFT_SCALE)).alias("xq"),
+        )
+        .groupBy("half", "i")
+        .agg(
+            (
+                F.sum("xq").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(DRIFT_SCALE)
+            ).alias("m")
+        )
+    )
+    ma = m.where(F.col("half") == 0).select("i", F.col("m").alias("ma"))
+    mb = m.where(F.col("half") == 1).select("i", F.col("m").alias("mb"))
+    j = ma.join(mb, "i")
+    stats = j.agg(
+        F.count(F.lit(1)).alias("dim"),
+        F.round(
+            F.sum(F.col("ma") * F.col("mb"))
+            / F.sqrt(F.sum(F.col("ma") * F.col("ma")))
+            / F.sqrt(F.sum(F.col("mb") * F.col("mb"))),
+            6,
+        ).alias("cos_means"),
+        F.round(
+            F.sqrt(F.sum((F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb")))),
+            6,
+        ).alias("l2_shift"),
+    )
+    counts = em.agg(
+        F.sum((F.pmod(F.col("vec_id"), F.lit(2)) == 0).cast("long")).alias("n_a"),
+        F.sum((F.pmod(F.col("vec_id"), F.lit(2)) == 1).cast("long")).alias("n_b"),
+    )
+    return counts.crossJoin(F.broadcast(stats)).select(
+        "n_a", "n_b", "dim", "cos_means", "l2_shift"
+    )
+
+
+SQL_EMB_DRIFT = f"""
+WITH x AS (
+  SELECT vec_id % 2 AS half, g.i - 1 AS i,
+         CAST(floor(CAST(embedding[g.i] AS DOUBLE) * {DRIFT_SCALE}) AS BIGINT)
+           AS xq
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+), m AS (
+  SELECT half, i,
+         CAST(sum(xq) AS DOUBLE) / CAST(count(*) AS DOUBLE) / {DRIFT_SCALE} AS m
+  FROM x GROUP BY half, i
+), j AS (
+  SELECT a.i, a.m AS ma, b.m AS mb
+  FROM m a JOIN m b ON b.i = a.i AND a.half = 0 AND b.half = 1
+)
+SELECT (SELECT count(*) FROM embeddings WHERE vec_id % 2 = 0) AS n_a,
+       (SELECT count(*) FROM embeddings WHERE vec_id % 2 = 1) AS n_b,
+       CAST(count(*) AS BIGINT) AS dim,
+       round(sum(ma * mb) / sqrt(sum(ma * ma)) / sqrt(sum(mb * mb)), 6)
+         AS cos_means,
+       round(sqrt(sum((ma - mb) * (ma - mb))), 6) AS l2_shift
+FROM j
+"""
+
+
 def registry():
     return {
+        "emb_drift": (emb_drift, SQL_EMB_DRIFT),
         "emb_random_projection": (emb_random_projection, SQL_EMB_RANDOM_PROJECTION),
         "emb_near_dups_exact": (emb_near_dups_exact, SQL_EMB_NEAR_DUPS_EXACT),
         "ann_lsh_topk": (ann_lsh_topk, None),        # covered by ann_lsh_recall

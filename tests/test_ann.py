@@ -334,3 +334,31 @@ def test_knn_graph_mutual_matches_numpy(spark):
     assert set(got) == set(want)
     for k, v in want.items():
         assert got[k] == pytest.approx(v, abs=2e-6)
+
+
+def test_emb_drift_matches_numpy(spark):
+    """Drift report vs a from-scratch numpy replication with the same
+    quantization."""
+    import numpy as np
+
+    from linkgraph.ann import DRIFT_SCALE, emb_drift
+
+    row = emb_drift(spark, SF).first()
+    pdf = spark.read.parquet(f"{SF}/embeddings.parquet").toPandas()
+    E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    Q = np.floor(E * DRIFT_SCALE)
+    ma = Q[ids % 2 == 0].mean(axis=0) / DRIFT_SCALE
+    mb = Q[ids % 2 == 1].mean(axis=0) / DRIFT_SCALE
+    assert row["n_a"] == int((ids % 2 == 0).sum())
+    assert row["n_b"] == int((ids % 2 == 1).sum())
+    assert row["dim"] == E.shape[1]
+    cos = float(ma @ mb / np.linalg.norm(ma) / np.linalg.norm(mb))
+    assert row["cos_means"] == pytest.approx(round(cos, 6), abs=1e-6)
+    assert row["l2_shift"] == pytest.approx(
+        round(float(np.linalg.norm(ma - mb)), 6), abs=1e-6
+    )
+    # zero-mean corpus: the centroids are noise vectors, so their cosine
+    # is unconstrained — only well-definedness is invariant here
+    assert -1.0 <= row["cos_means"] <= 1.0
+    assert row["l2_shift"] >= 0.0
