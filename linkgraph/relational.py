@@ -1013,6 +1013,56 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+def q_tool_latency(spark, sf_dir):
+    """Per-tool invocation-latency profile (§2.15 row 200): the think-time
+    gap between a user's consecutive events, attributed to the LATER
+    event's type — the responsiveness audit of a transcript pipeline
+    ("which tools follow long stalls").  Exact type-7 percentiles like
+    ``q_percentiles`` (approx_percentile is the 100 TB path); gaps are
+    int64 epoch-microsecond differences, exact on both engines.  One
+    user_id shuffle for the lag window, then one combinable groupBy —
+    the same single-Exchange shape as sessionize.  Output
+    (event_type, n_gaps, p50_s, p95_s, max_us)."""
+    ev = _t(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("us", "event_id")
+    w = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    g = (
+        w.withColumn("gap_us", F.col("us") - F.lag("us").over(order))
+        .where(F.col("gap_us").isNotNull())
+    )
+    # percentiles are emitted in SECONDS at millisecond precision: the
+    # raw microsecond magnitudes (~1e11) sit below one double ulp of the
+    # 6-decimal round, so engine-formula ulp noise would flip the hash
+    return g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.expr("percentile(gap_us, 0.5)") / 1e6, 3).alias("p50_s"),
+        F.round(F.expr("percentile(gap_us, 0.95)") / 1e6, 3).alias("p95_s"),
+        F.max("gap_us").alias("max_us"),
+    )
+
+
+SQL_TOOL_LATENCY = """
+WITH w AS (
+  SELECT event_type, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts), event_id) AS prev
+  FROM events
+), g AS (
+  SELECT event_type, us - prev AS gap_us FROM w WHERE prev IS NOT NULL
+)
+SELECT event_type, count(*) AS n_gaps,
+       round(quantile_cont(CAST(gap_us AS DOUBLE), 0.5) / 1e6, 3) AS p50_s,
+       round(quantile_cont(CAST(gap_us AS DOUBLE), 0.95) / 1e6, 3) AS p95_s,
+       max(gap_us) AS max_us
+FROM g GROUP BY event_type
+"""
+
+
 SQL_SESSIONIZE = f"""
 WITH w AS (
   SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
@@ -1575,6 +1625,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ntile_customers": (q_ntile_customers, SQL_NTILE_CUSTOMERS),
     "stats_agg": (q_stats_agg, SQL_STATS_AGG),
     "sessionize_events": (q_sessionize, SQL_SESSIONIZE),
+    "tool_latency": (q_tool_latency, SQL_TOOL_LATENCY),
     "posexplode_words": (q_posexplode, SQL_POSEXPLODE),
     "agg_strings_nation": (q_agg_strings, SQL_AGG_STRINGS),
     "percent_rank_cust": (q_percent_rank, SQL_PERCENT_RANK),

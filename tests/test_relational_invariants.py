@@ -273,3 +273,31 @@ def test_kmv_distinct_matches_python(spark):
         assert got[et][1] == pytest.approx(round(est, 4), abs=1e-3)
         assert got[et][2] == pytest.approx(round((est - n) / n, 6), abs=2e-6)
     assert set(got) == set(by_type)
+
+
+def test_tool_latency_matches_numpy(spark):
+    """Per-tool gap percentiles vs a from-scratch pandas/numpy recompute
+    (type-7 interpolation, the definition both engines use)."""
+    import numpy as np
+
+    from linkgraph.relational import q_tool_latency
+
+    out = q_tool_latency(spark, SF).toPandas().set_index("event_type")
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    ev["us"] = ev["ts"].astype("int64") // 1000  # ns -> us
+    ev["gap"] = ev.groupby("user_id")["us"].diff()
+    g = ev.dropna(subset=["gap"])
+    for et, grp in g.groupby("event_type"):
+        gaps = grp["gap"].to_numpy(dtype=np.float64)
+        assert out.loc[et, "n_gaps"] == len(gaps)
+        assert out.loc[et, "p50_s"] == pytest.approx(
+            float(np.percentile(gaps, 50)) / 1e6, abs=2e-3
+        )
+        assert out.loc[et, "p95_s"] == pytest.approx(
+            float(np.percentile(gaps, 95)) / 1e6, abs=2e-3
+        )
+        assert out.loc[et, "max_us"] == int(gaps.max())
