@@ -1132,6 +1132,59 @@ FROM b GROUP BY 1
 """
 
 
+def doc_dedup_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup canonicalization (§2.15 row 201): production
+    dedup keeps the BEST copy of a near-dup cluster, not the lowest id —
+    so the retained corpus doesn't inherit the worst-formatted duplicate.
+    Clusters come from the Pregel closure (``doc_dedup_clusters``, whose
+    min-id label serves as the cluster KEY); the kept doc is the cluster
+    argmax of the ROUNDED quality score (ulp-stable cross-engine), doc_id
+    tiebreak.  Scale shape: the cluster table is dup-only (tiny), the
+    quality score is a narrow column expr, and the argmax is one
+    cluster-partitioned window over dup rows only.  Output
+    (cluster, n_docs, best_doc, best_q)."""
+    d = load_table(spark, sf_dir, "documents")
+    clus = doc_dedup_clusters(spark, sf_dir)
+    q = d.select("doc_id", _quality_score_expr(_words(F.col("text"))).alias("q"))
+    j = clus.join(q, "doc_id").select(
+        F.col("canon_doc").alias("cluster"), "doc_id", "q"
+    )
+    w = Window.partitionBy("cluster").orderBy(F.desc("q"), F.asc("doc_id"))
+    best = (
+        j.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("cluster", F.col("doc_id").alias("best_doc"), F.col("q").alias("best_q"))
+    )
+    size = j.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_docs"))
+    return size.join(best, "cluster").select(
+        "cluster", "n_docs", "best_doc", "best_q"
+    )
+
+
+SQL_DOC_DEDUP_BEST = f"""
+WITH clus AS ({SQL_DOC_DEDUP_CLUSTERS}),
+qm AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+), q AS (
+  SELECT doc_id,
+         round(0.5 * (CAST(len(list_filter(w, x -> x IN ({_SQL_SW_EN}))) AS DOUBLE)
+                      / len(w))
+               + 0.3 * (CAST(len(list_distinct(w)) AS DOUBLE) / len(w))
+               + 0.2 * (CASE WHEN len(w) >= 20 THEN 1 ELSE 0 END), 6) AS q
+  FROM qm
+), j AS (
+  SELECT c.canon_doc AS cluster, c.doc_id, q.q
+  FROM clus c JOIN q USING (doc_id)
+), best AS (
+  SELECT cluster, doc_id, q,
+         row_number() OVER (PARTITION BY cluster ORDER BY q DESC, doc_id) AS rk
+  FROM j
+), sz AS (SELECT cluster, count(*) AS n_docs FROM j GROUP BY 1)
+SELECT b.cluster, s.n_docs, b.doc_id AS best_doc, b.q AS best_q
+FROM best b JOIN sz s USING (cluster) WHERE b.rk = 1
+"""
+
+
 _HRW_SHARDS = 8
 
 
@@ -2640,6 +2693,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "doc_split": (doc_split, SQL_DOC_SPLIT),
         "doc_split_leakfree": (doc_split_leakfree, SQL_DOC_SPLIT_LEAKFREE),
         "doc_shard_hrw": (doc_shard_hrw, SQL_DOC_SHARD_HRW),
+        "doc_dedup_best": (doc_dedup_best, SQL_DOC_DEDUP_BEST),
         "doc_exact_dedup": (doc_exact_dedup, SQL_DOC_EXACT_DEDUP),
         "doc_minhash": (doc_minhash, SQL_DOC_MINHASH),
         "doc_near_dups": (doc_near_dups, SQL_DOC_NEAR_DUPS),

@@ -978,3 +978,39 @@ def test_hrw_minimal_movement_and_replication(spark):
     assert moved  # the dropped shard held someone
     # every shard is actually used (balance sanity at n=300, S=8)
     assert set(full.values()) == set(range(_HRW_SHARDS))
+
+
+def test_dedup_best_picks_cluster_argmax(spark):
+    """best_doc must be the cluster member with the highest ROUNDED
+    quality score (doc_id tiebreak), recomputed from scratch."""
+    from linkgraph.datapipe import (
+        STOPWORDS_EN,
+        doc_dedup_best,
+        doc_dedup_clusters,
+    )
+
+    out = doc_dedup_best(spark, SF).toPandas()
+    clus = doc_dedup_clusters(spark, SF).toPandas()
+    if clus.empty:
+        assert out.empty
+        return
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    txt = dict(zip(docs["doc_id"], docs["text"]))
+
+    def q(doc_id):
+        w = txt[doc_id].strip().lower().split(" ")
+        sr = sum(1 for x in w if x in STOPWORDS_EN) / len(w)
+        ttr = len(set(w)) / len(w)
+        return round(0.5 * sr + 0.3 * ttr + 0.2 * (len(w) >= 20), 6)
+
+    groups = clus.groupby("canon_doc")["doc_id"].apply(list).to_dict()
+    want = {
+        c: min(members, key=lambda i: (-q(i), i))
+        for c, members in groups.items()
+    }
+    got = dict(zip(out["cluster"], out["best_doc"]))
+    assert got == want
+    sizes = dict(zip(out["cluster"], out["n_docs"]))
+    assert sizes == {c: len(m) for c, m in groups.items()}
+    for _, r in out.iterrows():
+        assert r["best_q"] == q(int(r["best_doc"]))
