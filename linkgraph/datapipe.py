@@ -1185,6 +1185,79 @@ FROM best b JOIN sz s USING (cluster) WHERE b.rk = 1
 """
 
 
+_SPAN_LEN = 3       # tokens per corruption span (T5-style denoising)
+_SPAN_EVERY = 20    # one span per 20 tokens = 15% mask at span length 3
+
+
+def doc_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption accounting (§2.15 row 202): per doc, pick
+    ``n_tokens // 20`` deterministic 3-token spans (md5-seeded starts) and
+    report how many token positions the union of spans actually covers —
+    the effective mask rate of the denoising objective, which is LESS than
+    n_spans·3/n whenever spans collide.  Integer-only arithmetic (n // 20,
+    md5 % (n-2)) so both engines agree exactly; docs under 20 tokens get
+    zero spans, mirroring the oracle.  Pure column expressions end to end:
+    at 100 TB this fuses into the scan — zero shuffle, zero UDF.  Output
+    (doc_id, n_tokens, n_spans, masked, visible)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = _words(F.col("text"))
+    n = F.size(w)
+    nspans = F.floor(n / F.lit(_SPAN_EVERY)).cast("long")
+    start = lambda i: F.pmod(  # noqa: E731 — 0-based span start in [0, n-3]
+        _md5_int(
+            F.concat_ws(
+                ":", F.lit("span"), F.col("doc_id").cast("string"),
+                i.cast("string"),
+            )
+        ),
+        (n - F.lit(_SPAN_LEN - 1)).cast("long"),
+    )
+    covered = F.when(
+        n >= _SPAN_EVERY,  # guard: sequence(1, 0) would step DOWN in Spark
+        F.array_distinct(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1).cast("long"), nspans),
+                    lambda i: F.sequence(
+                        start(i), start(i) + F.lit(_SPAN_LEN - 1)
+                    ),
+                )
+            )
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        nspans.alias("n_spans"),
+        F.size(covered).cast("long").alias("masked"),
+        (n.cast("long") - F.size(covered)).alias("visible"),
+    )
+
+
+_SQL_SPAN_START = (
+    "CAST(('0x' || substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':' "
+    "|| CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % (len(w) - 2)"
+)
+
+SQL_DOC_SPAN_MASK = f"""
+WITH b AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+), m AS (
+  SELECT doc_id, len(w) AS n, len(w) // {_SPAN_EVERY} AS n_spans,
+         CASE WHEN len(w) >= {_SPAN_EVERY} THEN
+           len(list_distinct(flatten(list_transform(
+             generate_series(1, len(w) // {_SPAN_EVERY}),
+             i -> generate_series({_SQL_SPAN_START},
+                                  {_SQL_SPAN_START} + {_SPAN_LEN - 1})))))
+         ELSE 0 END AS masked
+  FROM b
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(n_spans AS BIGINT) AS n_spans,
+       CAST(masked AS BIGINT) AS masked, CAST(n - masked AS BIGINT) AS visible
+FROM m
+"""
+
+
 _HRW_SHARDS = 8
 
 
@@ -2694,6 +2767,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "doc_split_leakfree": (doc_split_leakfree, SQL_DOC_SPLIT_LEAKFREE),
         "doc_shard_hrw": (doc_shard_hrw, SQL_DOC_SHARD_HRW),
         "doc_dedup_best": (doc_dedup_best, SQL_DOC_DEDUP_BEST),
+        "doc_span_mask": (doc_span_mask, SQL_DOC_SPAN_MASK),
         "doc_exact_dedup": (doc_exact_dedup, SQL_DOC_EXACT_DEDUP),
         "doc_minhash": (doc_minhash, SQL_DOC_MINHASH),
         "doc_near_dups": (doc_near_dups, SQL_DOC_NEAR_DUPS),

@@ -1014,3 +1014,34 @@ def test_dedup_best_picks_cluster_argmax(spark):
     assert sizes == {c: len(m) for c, m in groups.items()}
     for _, r in out.iterrows():
         assert r["best_q"] == q(int(r["best_doc"]))
+
+
+def test_span_mask_matches_python(spark):
+    """Masked-position counts vs a from-scratch md5 replication, plus the
+    structural invariants (short docs unmasked, coverage bounds)."""
+    import hashlib
+
+    from linkgraph.datapipe import _SPAN_EVERY, _SPAN_LEN, doc_span_mask
+
+    out = doc_span_mask(spark, SF).toPandas().set_index("doc_id")
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    for _, drow in docs.iterrows():
+        did = int(drow["doc_id"])
+        w = drow["text"].strip().lower().split(" ")
+        n = len(w)
+        nspans = n // _SPAN_EVERY
+        cov = set()
+        if n >= _SPAN_EVERY:
+            for i in range(1, nspans + 1):
+                h = int(
+                    hashlib.md5(f"span:{did}:{i}".encode()).hexdigest()[:15], 16
+                ) % (n - (_SPAN_LEN - 1))
+                cov.update(range(h, h + _SPAN_LEN))
+        r = out.loc[did]
+        assert r["n_tokens"] == n
+        assert r["n_spans"] == nspans
+        assert r["masked"] == len(cov), did
+        assert r["visible"] == n - len(cov)
+        assert r["masked"] <= nspans * _SPAN_LEN
+        if n >= _SPAN_EVERY:
+            assert r["masked"] >= _SPAN_LEN  # at least one span lands
