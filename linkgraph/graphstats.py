@@ -229,6 +229,66 @@ FROM und JOIN deg a ON a.s = und.s JOIN deg b ON b.s = und.t
 
 
 # --------------------------------------------------------------------------
+# per-tool transition entropy (§2.15 row 203): Shannon entropy of the
+# next-event-type distribution after each tool — how predictable the
+# conversation flow is from the current step (0 bits = deterministic
+# pipeline, log2(k) = uniform fan-out).  The sequence-model statistic of
+# the transcript stream, directly off the consecutive-turn pairs.
+# --------------------------------------------------------------------------
+
+def q_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per current event_type: number of observed transitions, distinct
+    successor types, and entropy (bits) of the successor distribution.
+    Two stacked map-side-combinable groupBys over the lead() pairs — one
+    user_id window shuffle + one tiny (s,t)-level reduction; no UDF.
+    Output (event_type, n_transitions, n_next, entropy_bits)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.col("event_type").alias("s"),
+            F.lead("event_type").over(w).alias("t"),
+        )
+        .where(F.col("t").isNotNull())
+    )
+    st = pairs.groupBy("s", "t").agg(F.count(F.lit(1)).alias("c"))
+    tot = st.groupBy("s").agg(F.sum("c").alias("n"))
+    p = st.join(tot, "s").select(
+        "s", "c", "n", (F.col("c") / F.col("n")).alias("p")
+    )
+    return (
+        p.groupBy("s")
+        .agg(
+            F.max("n").alias("n_transitions"),
+            F.count(F.lit(1)).alias("n_next"),
+            F.round(-F.sum(F.col("p") * F.log2("p")), 6).alias("entropy_bits"),
+        )
+        .select(F.col("s").alias("event_type"), "n_transitions", "n_next",
+                "entropy_bits")
+    )
+
+
+SQL_TRANSITION_ENTROPY = """
+WITH turn AS (
+  SELECT event_type AS s,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
+  FROM events
+), st AS (
+  SELECT s, t, count(*) AS c FROM turn WHERE t IS NOT NULL GROUP BY s, t
+), tot AS (
+  SELECT s, sum(c) AS n FROM st GROUP BY s
+)
+SELECT st.s AS event_type,
+       CAST(max(tot.n) AS BIGINT) AS n_transitions,
+       count(*) AS n_next,
+       round(-sum((CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n)), 6)
+         AS entropy_bits
+FROM st JOIN tot USING (s)
+GROUP BY st.s
+"""
+
+
+# --------------------------------------------------------------------------
 # average-neighbor-degree connectivity curve knn(k) (Pastor-Satorras et
 # al. 2001): the degree-correlation PROFILE behind the assortativity
 # scalar — rising knn(k) = assortative, falling = hub-and-spoke.
@@ -3213,6 +3273,7 @@ def registry():
         "transitivity": (q_transitivity, SQL_TRANSITIVITY),
         "degree_assortativity": (q_degree_assortativity, SQL_DEGREE_ASSORTATIVITY),
         "degree_connectivity": (q_degree_connectivity, SQL_DEGREE_CONNECTIVITY),
+        "transition_entropy": (q_transition_entropy, SQL_TRANSITION_ENTROPY),
         "engine_diameter2sweep": (q_engine_diameter2sweep, SQL_ENGINE_DIAMETER2SWEEP),
         "anf_kmv": (q_anf_kmv, SQL_ANF_KMV),
         "ktruss_edges": (q_ktruss, SQL_KTRUSS),

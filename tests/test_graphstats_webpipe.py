@@ -1564,3 +1564,33 @@ def test_degree_connectivity_matches_networkx(spark, dk_edges):
     sizes = C(d for _, d in G.degree())
     for _, r in out.iterrows():
         assert r["n_nodes"] == sizes[int(r["deg"])]
+
+
+def test_transition_entropy_matches_python(spark):
+    """Entropy per tool vs a from-scratch Counter recompute over the same
+    ordered turn pairs."""
+    import math
+
+    from linkgraph.graphstats import q_transition_entropy
+
+    out = q_transition_entropy(spark, SF_DIR).toPandas().set_index("event_type")
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    trans = Counter()
+    for _, grp in ev.groupby("user_id"):
+        ts = grp["event_type"].tolist()
+        for a, b in zip(ts, ts[1:]):
+            trans[(a, b)] += 1
+    by_s = Counter()
+    for (a, _), c in trans.items():
+        by_s[a] += c
+    for s in by_s:
+        ps = [c / by_s[s] for (a, _), c in trans.items() if a == s]
+        H = -sum(p * math.log2(p) for p in ps)
+        assert out.loc[s, "n_transitions"] == by_s[s]
+        assert out.loc[s, "n_next"] == len(ps)
+        assert out.loc[s, "entropy_bits"] == pytest.approx(round(H, 6), abs=1e-6)
+    assert set(out.index) == set(by_s)
