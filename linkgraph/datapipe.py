@@ -1185,6 +1185,61 @@ FROM best b JOIN sz s USING (cluster) WHERE b.rk = 1
 """
 
 
+def doc_dedup_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix (§2.15 row 204): which sources
+    duplicate each other — the "is source B a scrape of source A" audit a
+    corpus curator runs before weighting sources.  For every unordered
+    source pair (a ≤ b), the number of near-dup clusters containing both
+    and the number of cross-pair doc combinations (Σ over clusters of
+    cnt_a·cnt_b; within-source c·(c−1)/2 on the diagonal).
+
+    Scale shape: the per-(cluster, source) count table is dup-only and
+    tiny; the matrix self-join runs on cluster id over those counts —
+    never over documents.  Output (source_a, source_b, n_clusters,
+    n_pairs)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    clus = doc_dedup_clusters(spark, sf_dir)
+    cs = (
+        clus.join(d, "doc_id")
+        .groupBy(F.col("canon_doc").alias("cluster"), "source")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    a = cs.select("cluster", F.col("source").alias("source_a"), F.col("c").alias("ca"))
+    b = cs.select("cluster", F.col("source").alias("source_b"), F.col("c").alias("cb"))
+    pairs = F.when(
+        F.col("source_a") == F.col("source_b"),
+        F.col("ca") * (F.col("ca") - 1) / 2,
+    ).otherwise(F.col("ca") * F.col("cb"))
+    m = (
+        a.join(b, "cluster")
+        .where(F.col("source_a") <= F.col("source_b"))
+        .withColumn("pairs", pairs)
+        .where(F.col("pairs") > 0)  # the pair must CO-OCCUR in the cluster
+    )
+    return m.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("pairs").cast("long").alias("n_pairs"),
+    )
+
+
+SQL_DOC_DEDUP_SOURCES = f"""
+WITH clus AS ({SQL_DOC_DEDUP_CLUSTERS}),
+cs AS (
+  SELECT c.canon_doc AS cluster, d.source, count(*) AS c
+  FROM clus c JOIN documents d USING (doc_id)
+  GROUP BY 1, 2
+), m AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CASE WHEN a.source = b.source THEN a.c * (a.c - 1) / 2
+              ELSE a.c * b.c END AS pairs
+  FROM cs a JOIN cs b ON b.cluster = a.cluster AND a.source <= b.source
+)
+SELECT source_a, source_b, count(*) AS n_clusters,
+       CAST(sum(pairs) AS BIGINT) AS n_pairs
+FROM m WHERE pairs > 0 GROUP BY 1, 2
+"""
+
+
 _SPAN_LEN = 3       # tokens per corruption span (T5-style denoising)
 _SPAN_EVERY = 20    # one span per 20 tokens = 15% mask at span length 3
 
@@ -2768,6 +2823,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "doc_shard_hrw": (doc_shard_hrw, SQL_DOC_SHARD_HRW),
         "doc_dedup_best": (doc_dedup_best, SQL_DOC_DEDUP_BEST),
         "doc_span_mask": (doc_span_mask, SQL_DOC_SPAN_MASK),
+        "doc_dedup_sources": (doc_dedup_sources, SQL_DOC_DEDUP_SOURCES),
         "doc_exact_dedup": (doc_exact_dedup, SQL_DOC_EXACT_DEDUP),
         "doc_minhash": (doc_minhash, SQL_DOC_MINHASH),
         "doc_near_dups": (doc_near_dups, SQL_DOC_NEAR_DUPS),

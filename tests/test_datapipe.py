@@ -1045,3 +1045,40 @@ def test_span_mask_matches_python(spark):
         assert r["masked"] <= nspans * _SPAN_LEN
         if n >= _SPAN_EVERY:
             assert r["masked"] >= _SPAN_LEN  # at least one span lands
+
+
+def test_dedup_sources_matrix_recount(spark):
+    """Pair/cluster counts per source pair vs an itertools recount over the
+    actual cluster membership."""
+    from collections import Counter as C
+    from itertools import combinations
+
+    from linkgraph.datapipe import doc_dedup_clusters, doc_dedup_sources
+
+    out = doc_dedup_sources(spark, SF).toPandas()
+    clus = doc_dedup_clusters(spark, SF).toPandas()
+    if clus.empty:
+        assert out.empty
+        return
+    docs = spark.read.parquet(f"{SF}/documents.parquet").toPandas()
+    src = dict(zip(docs["doc_id"], docs["source"]))
+    pairs = C()
+    clusters = C()
+    for _, members in clus.groupby("canon_doc")["doc_id"]:
+        ms = sorted(members)
+        seen = set()
+        for x, y in combinations(ms, 2):
+            k = tuple(sorted((src[x], src[y])))
+            pairs[k] += 1
+            seen.add(k)
+        for k in seen:
+            clusters[k] += 1
+    got_pairs = {
+        (r["source_a"], r["source_b"]): r["n_pairs"] for _, r in out.iterrows()
+    }
+    got_clusters = {
+        (r["source_a"], r["source_b"]): r["n_clusters"]
+        for _, r in out.iterrows()
+    }
+    assert got_pairs == dict(pairs)
+    assert got_clusters == dict(clusters)
