@@ -1046,6 +1046,54 @@ def q_tool_latency(spark, sf_dir):
     )
 
 
+def q_tool_position(spark, sf_dir):
+    """Tool position-in-conversation profile (§2.15 row 205): where in a
+    user's ordered event stream each tool tends to fire (signup early,
+    purchase late).  Relative position rk/n is integer-quantized to ppm
+    (rk·10^6 // n) so every per-group sum is exact across engines; the
+    p50 interpolates on ~1e6-magnitude ints, far above double ulp at the
+    6-decimal round.  Same single user_id Exchange as sessionize, then a
+    combinable groupBy.  Output (event_type, n_events, mean_relpos,
+    p50_relpos) with positions back in (0, 1]."""
+    ev = _t(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("us", "event_id")
+    cnt = Window.partitionBy("user_id")
+    w = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    pos = w.select(
+        "event_type",
+        (
+            (F.row_number().over(order).cast("long") * F.lit(1_000_000))
+            / F.count(F.lit(1)).over(cnt).cast("long")
+        ).cast("long").alias("posq"),
+    )
+    return pos.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("posq") / 1e6, 6).alias("mean_relpos"),
+        F.round(F.expr("percentile(posq, 0.5)") / 1e6, 6).alias("p50_relpos"),
+    )
+
+
+SQL_TOOL_POSITION = """
+WITH w AS (
+  SELECT event_type,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts), event_id) AS BIGINT)
+           * 1000000
+           // count(*) OVER (PARTITION BY user_id) AS posq
+  FROM events
+)
+SELECT event_type, count(*) AS n_events,
+       round(avg(CAST(posq AS DOUBLE)) / 1e6, 6) AS mean_relpos,
+       round(quantile_cont(CAST(posq AS DOUBLE), 0.5) / 1e6, 6) AS p50_relpos
+FROM w GROUP BY event_type
+"""
+
+
 SQL_TOOL_LATENCY = """
 WITH w AS (
   SELECT event_type, epoch_us(ts) AS us,
@@ -1626,6 +1674,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "stats_agg": (q_stats_agg, SQL_STATS_AGG),
     "sessionize_events": (q_sessionize, SQL_SESSIONIZE),
     "tool_latency": (q_tool_latency, SQL_TOOL_LATENCY),
+    "tool_position": (q_tool_position, SQL_TOOL_POSITION),
     "posexplode_words": (q_posexplode, SQL_POSEXPLODE),
     "agg_strings_nation": (q_agg_strings, SQL_AGG_STRINGS),
     "percent_rank_cust": (q_percent_rank, SQL_PERCENT_RANK),

@@ -301,3 +301,31 @@ def test_tool_latency_matches_numpy(spark):
             float(np.percentile(gaps, 95)) / 1e6, abs=2e-3
         )
         assert out.loc[et, "max_us"] == int(gaps.max())
+
+
+def test_tool_position_matches_python(spark):
+    """Quantized relative positions vs a pandas recompute."""
+    import numpy as np
+
+    from linkgraph.relational import q_tool_position
+
+    out = q_tool_position(spark, SF).toPandas().set_index("event_type")
+    ev = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    ev["rk"] = ev.groupby("user_id").cumcount() + 1
+    ev["n"] = ev.groupby("user_id")["rk"].transform("max")
+    ev["posq"] = (ev["rk"] * 1_000_000) // ev["n"]
+    for et, grp in ev.groupby("event_type"):
+        q = grp["posq"].to_numpy(dtype=np.float64)
+        assert out.loc[et, "n_events"] == len(q)
+        assert out.loc[et, "mean_relpos"] == pytest.approx(
+            round(float(q.mean()) / 1e6, 6), abs=1e-6
+        )
+        assert out.loc[et, "p50_relpos"] == pytest.approx(
+            float(np.percentile(q, 50)) / 1e6, abs=2e-6
+        )
+    # relative positions live in (0, 1]
+    assert (out["mean_relpos"] > 0).all() and (out["mean_relpos"] <= 1).all()
