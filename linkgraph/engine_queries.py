@@ -664,9 +664,9 @@ SQL_ENGINE_PPR = ppr_fixed_sql(_PR_STEPS, limit=20)
 
 
 def registry():
-    from .graph_oracles import hits_fixed_sql, kcore_fixed_sql, salsa_fixed_sql
+    from .graph_oracles import hits_fixed_sql, kcore_fixed_sql, onion_fixed_sql, salsa_fixed_sql
     from .hits import engine_hits, engine_salsa
-    from .kcore import engine_kcore
+    from .kcore import engine_kcore, engine_onion
     from .linkpred import (
         SQL_ADAMIC_ADAR,
         SQL_CLUSTERING_COEFF,
@@ -697,6 +697,7 @@ def registry():
         "engine_pagerank": (engine_pagerank, SQL_ENGINE_PAGERANK),
         "engine_labelprop": (engine_labelprop, SQL_ENGINE_LABELPROP),
         "engine_kcore": (engine_kcore, kcore_fixed_sql(3, 8)),
+        "engine_onion": (engine_onion, onion_fixed_sql(3, 8)),
         "engine_bfs": (engine_bfs, SQL_ENGINE_BFS),
         "engine_harmonic": (engine_harmonic, SQL_ENGINE_HARMONIC),
         "engine_scc": (engine_scc, SQL_ENGINE_SCC),

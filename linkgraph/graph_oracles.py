@@ -417,6 +417,36 @@ def kcore_fixed_sql(k: int, iters: int) -> str:
     return "WITH " + ",\n".join(ctes) + "\nSELECT vkey, c AS core_deg FROM dfin"
 
 
+def onion_fixed_sql(k: int, iters: int) -> str:
+    """Onion layers of the unrolled ``iters``-peel k-core (mirrors
+    kcore.engine_onion): layer = first peel round whose alive set no
+    longer contains the vertex, 0 = survives all rounds."""
+    ctes = [
+        _GRAPH_CTES,
+        "und AS (SELECT DISTINCT a, b FROM ("
+        "SELECT s AS a, t AS b FROM ek WHERE s <> t "
+        "UNION ALL SELECT t AS a, s AS b FROM ek WHERE s <> t))",
+        "a0 AS (SELECT DISTINCT a AS vkey FROM und)",
+    ]
+    for i in range(1, iters + 1):
+        p = f"a{i - 1}"
+        ctes.append(
+            f"d{i} AS (SELECT u.a AS vkey, count(*) AS c FROM und u "
+            f"JOIN {p} x ON u.a = x.vkey JOIN {p} y ON u.b = y.vkey GROUP BY u.a)"
+        )
+        ctes.append(f"a{i} AS (SELECT vkey FROM d{i} WHERE c >= {k})")
+    joins = " ".join(
+        f"LEFT JOIN a{i} ON a{i}.vkey = a0.vkey" for i in range(1, iters + 1)
+    )
+    case = " ".join(
+        f"WHEN a{i}.vkey IS NULL THEN {i}" for i in range(1, iters + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT a0.vkey, CASE {case} ELSE 0 END AS layer FROM a0 {joins}"
+    )
+
+
 def harmonic_fixed_sql(k: int, n_seeds: int) -> str:
     """Unrolled k-superstep LANDMARK BFS from the ``n_seeds`` lowest-vkey
     vertices over the undirected simple events graph, reduced to per-vertex

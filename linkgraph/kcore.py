@@ -81,3 +81,51 @@ def engine_kcore(spark: SparkSession, sf_dir: str, k: int = 3, iters: int = 8) -
     return members.join(g.vertices.select("vid", "vkey"), "vid").select(
         "vkey", "core_deg"
     )
+
+
+def onion_layers(
+    edges: DataFrame, k: int, iters: int
+) -> DataFrame:
+    """Onion-layer refinement of k-core peeling (Hébert-Dufresne et al.
+    2016): ``layer`` = the peel ROUND (1-based) at which a vertex drops
+    out of the k-core fixed point; 0 = still alive after ``iters`` rounds
+    (i.e. in the k-core at this depth).  Same per-peel Spark shape as
+    ``kcore_members`` — two co-partitioned equi-joins + one combinable
+    degree groupBy, shrinking survivor set, lineage truncated each peel;
+    the per-round dropped sets are accumulated by unionByName (small,
+    disjoint), never re-joined against the full graph."""
+    und = symmetrize(edges).select("src", "dst").localCheckpoint()
+    alive = und.select(F.col("src").alias("vid")).distinct().localCheckpoint()
+    dropped = []
+    for i in range(1, iters + 1):
+        deg = _alive_degrees(und, alive)
+        new_alive = (
+            deg.where(F.col("deg") >= k)
+            .select(F.col("src").alias("vid"))
+            .localCheckpoint()
+        )
+        dropped.append(
+            alive.join(new_alive, "vid", "left_anti").select(
+                "vid", F.lit(i).alias("layer")
+            )
+        )
+        alive = new_alive
+    out = alive.select("vid", F.lit(0).alias("layer"))
+    for d in dropped:
+        out = out.unionByName(d)
+    return out
+
+
+def engine_onion(spark: SparkSession, sf_dir: str, k: int = 3, iters: int = 8) -> DataFrame:
+    """Driver gate row (§2.15 row 206): onion layers of the fixed-8-round
+    3-core peel over the events graph, output (vkey, layer) — hash-checked
+    against the chained-LEFT-JOIN unrolled oracle
+    (graph_oracles.onion_fixed_sql)."""
+    from .flagship import events_graph
+    from .io import load_table
+
+    g = events_graph(load_table(spark, sf_dir, "events"))
+    layers = onion_layers(g.edges, k, iters)
+    return layers.join(g.vertices.select("vid", "vkey"), "vid").select(
+        "vkey", "layer"
+    )

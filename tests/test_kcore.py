@@ -51,3 +51,42 @@ def test_kcore_fixed_iters_prefix_of_convergence(spark):
     }
     # after 2 peels the survivor set is a superset of the fixed point
     assert fixed2 >= full
+
+
+def test_onion_layers_match_python_peel(spark):
+    """Layer indices vs a from-scratch python replication of the fixed-
+    round peel, and consistency with kcore survivors (layer 0 == k-core
+    members at the same depth)."""
+    from linkgraph.kcore import engine_kcore, engine_onion
+
+    SF = "/root/testdata/sf0.001"
+    out = {r["vkey"]: r["layer"] for r in engine_onion(spark, SF).collect()}
+    core = {r["vkey"] for r in engine_kcore(spark, SF).collect()}
+
+    # rebuild the undirected simple graph exactly as the engine does
+    from linkgraph.flagship import events_graph
+    from linkgraph.io import load_table
+
+    g = events_graph(load_table(spark, SF, "events"))
+    vk = {r["vid"]: r["vkey"] for r in g.vertices.collect()}
+    und = set()
+    for r in g.edges.collect():
+        if r["src"] != r["dst"]:
+            und.add((r["src"], r["dst"]))
+            und.add((r["dst"], r["src"]))
+    alive = {a for a, _ in und}
+    want = {}
+    K, ITERS = 3, 8
+    for i in range(1, ITERS + 1):
+        deg = {}
+        for a, b in und:
+            if a in alive and b in alive:
+                deg[a] = deg.get(a, 0) + 1
+        new_alive = {v for v, c in deg.items() if c >= K}
+        for v in alive - new_alive:
+            want[vk[v]] = i
+        alive = new_alive
+    for v in alive:
+        want[vk[v]] = 0
+    assert out == want
+    assert {v for v, l in out.items() if l == 0} == core
