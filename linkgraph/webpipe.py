@@ -1070,6 +1070,135 @@ FROM d
 
 
 # --------------------------------------------------------------------------
+# syllable-free readability proxy (§2.15 row 207): mean sentence length
+# (words) and mean word length (chars) — the two drivers of every
+# readability formula (FKGL/ARI) that survive without a syllable model;
+# the composite is an ARI-style linear blend.  Crawl pipelines threshold
+# on this to drop boilerplate/table-dump pages.
+# --------------------------------------------------------------------------
+
+def _micro_ratio(numer, denom):
+    """round(numer/denom · 1e6) as an exact int64 — half-up via
+    floor((2·numer·1e6 + denom) / (2·denom)) computed with the remainder
+    trick (a − a % b is exactly divisible, so the double division is
+    exact for quotients < 2^53).  Requires numer ≥ 0, denom > 0.
+    Rounded doubles land on half-ties that Spark and DuckDB resolve
+    differently (observed on the ARI blend); integer micro-units are
+    bit-identical on both engines by construction."""
+    a = F.lit(2000000).cast("long") * numer + denom
+    b = F.lit(2).cast("long") * denom
+    return ((a - a % b) / b).cast("long")
+
+
+def q_doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per doc: n_sents (non-empty '.'-separated), n_words, mean word
+    length and mean sentence length in micro-units (×1e6, int64), and the
+    ARI-style score 4.71·chars/word + 0.5·words/sent − 21.43 in
+    micro-units.  Pure column expressions, zero shuffle — fuses into the
+    scan at 100 TB.  All ratios ship as exact integers (see _micro_ratio)
+    so the cross-engine hash can't trip on round-half ties."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.lower(F.trim("text")), " ")
+    sents = F.filter(
+        F.split(F.lower(F.trim("text")), r"\."),
+        lambda s: F.trim(s) != "",
+    )
+    n_words = F.size(w).cast("long")
+    n_chars = F.aggregate(
+        w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    n_sents = F.greatest(F.size(sents), F.lit(1)).cast("long")
+    # 4.71·c/w + 0.5·w/s − 21.43 == (47100·c·s + 5000·w² − 214300·w·s)
+    # / (10000·w·s): one exact int64 numerator, one positive denominator.
+    ari_num = (
+        F.lit(47100) * n_chars * n_sents
+        + F.lit(5000) * n_words * n_words
+        - F.lit(214300) * n_words * n_sents
+    )
+    ari_den = F.lit(10000).cast("long") * n_words * n_sents
+    # _micro_ratio needs numer ≥ 0: shift by +100 (ARI ∈ (−22, ∞) here)
+    # and un-shift after — the shift is exact in integer space.
+    shifted = _micro_ratio(ari_num + F.lit(100) * ari_den, ari_den)
+    return d.select(
+        "doc_id",
+        F.size(sents).alias("n_sents"),
+        F.size(w).alias("n_words"),
+        _micro_ratio(n_chars, n_words).alias("cpw_micro"),
+        _micro_ratio(n_words, n_sents).alias("wps_micro"),
+        (shifted - F.lit(100000000).cast("long")).alias("ari_micro"),
+    )
+
+
+SQL_DOC_READABILITY = """
+WITH b AS (
+  SELECT doc_id,
+         string_split(lower(trim(text)), ' ') AS w,
+         len(list_filter(string_split(lower(trim(text)), '.'),
+                         s -> trim(s) <> '')) AS ns
+  FROM documents
+), m AS (
+  SELECT doc_id, ns, CAST(len(w) AS BIGINT) AS nw,
+         CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS nc,
+         CAST(greatest(ns, 1) AS BIGINT) AS ns1
+  FROM b
+), n AS (
+  SELECT doc_id, ns, nw, nc, ns1,
+         47100 * nc * ns1 + 5000 * nw * nw - 214300 * nw * ns1 AS an,
+         10000 * nw * ns1 AS ad
+  FROM m
+)
+SELECT doc_id, CAST(ns AS INT) AS n_sents, CAST(nw AS INT) AS n_words,
+       (2000000 * nc + nw) // (2 * nw) AS cpw_micro,
+       (2000000 * nw + ns1) // (2 * ns1) AS wps_micro,
+       (2000000 * (an + 100 * ad) + ad) // (2 * ad) - 100000000 AS ari_micro
+FROM n
+"""
+
+
+# --------------------------------------------------------------------------
+# hapax legomena rate (§2.15 row 208): the fraction of vocabulary seen
+# exactly once — the lexical-richness twin of the Heaps curve (a corpus
+# whose hapax rate collapses is saturating or template-heavy).
+# --------------------------------------------------------------------------
+
+def q_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row (vocab, hapax, dis, rate_micro): vocabulary size, once-seen
+    and twice-seen type counts, hapax/vocab ×1e6 as exact int64 (see
+    _micro_ratio).  Two stacked combinable groupBys over the exploded
+    token stream — the word-count shuffle partial-aggregates map-side;
+    the type-frequency table is vocab-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split(F.lower(F.trim("text")), " ")).alias("w"))
+    wc = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    agg = wc.agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum((F.col("c") == 1).cast("long")).alias("hapax"),
+        F.sum((F.col("c") == 2).cast("long")).alias("dis"),
+    )
+    return agg.select(
+        "vocab", "hapax", "dis",
+        _micro_ratio(F.col("hapax"), F.col("vocab")).alias("rate_micro"),
+    )
+
+
+SQL_HAPAX_RATE = """
+WITH tok AS (
+  SELECT unnest(string_split(lower(trim(text)), ' ')) AS w FROM documents
+), wc AS (
+  SELECT w, count(*) AS c FROM tok GROUP BY w
+), a AS (
+  SELECT count(*) AS vocab,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+         CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis
+  FROM wc
+)
+SELECT vocab, hapax, dis,
+       (2000000 * hapax + vocab) // (2 * vocab) AS rate_micro
+FROM a
+"""
+
+
+# --------------------------------------------------------------------------
 # Heaps'-law vocabulary growth (§2.15 row 193): V(N) ≈ k·N^β over the
 # token stream in (doc_id, position) order — the curve that sizes
 # tokenizer vocabularies and predicts how much new text adds new types.
@@ -1207,4 +1336,6 @@ def registry():
         "token_cms_topk": (q_token_cms, SQL_TOKEN_CMS),
         "doc_nfc": (q_doc_nfc, SQL_DOC_NFC),
         "heaps_law": (q_heaps_law, SQL_HEAPS_LAW),
+        "doc_readability": (q_doc_readability, SQL_DOC_READABILITY),
+        "hapax_rate": (q_hapax_rate, SQL_HAPAX_RATE),
     }
