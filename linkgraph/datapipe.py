@@ -906,6 +906,105 @@ FROM b GROUP BY 1
 """
 
 
+def split_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance (§2.15 row 211) between the
+    train and val token-length distributions under doc_split's buckets —
+    the distribution-shift audit that catches a split whose hash
+    accidentally correlates with document length.  KS = max_x |F_t(x) −
+    F_v(x)| is computed EXACTLY: F_t − F_v = (ct·Nv − cv·Nt)/(Nt·Nv) has
+    an integer numerator, so the max and its location never touch a
+    double; ks_micro ships as int64 micro-units.  The cumulative window
+    runs over the LENGTH HISTOGRAM (distinct token counts — thousands,
+    not corpus-sized), the 100 TB shape; 2e6·|num| needs Nt·Nv < ~4e12,
+    decimal(38,0) beyond.  Output one row (n_train, n_val, ks_at,
+    ks_micro) where ks_at is the smallest length achieving the max."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        _md5_int(F.concat_ws(":", F.lit("split"), F.col("doc_id").cast("string"))),
+        F.lit(100),
+    )
+    split = (
+        F.when(bucket < _TEST_PCT, F.lit("test"))
+        .when(bucket < _TEST_PCT + _VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    x = F.size(F.split(F.lower(F.trim("text")), " ")).cast("long")
+    rows = d.select(split.alias("split"), x.alias("x")).where(
+        F.col("split") != "test"
+    )
+    hist = rows.groupBy("x").agg(
+        F.sum((F.col("split") == "train").cast("long")).alias("t"),
+        F.sum((F.col("split") == "val").cast("long")).alias("v"),
+    )
+    wc = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = hist.select(
+        "x",
+        F.sum("t").over(wc).alias("ct"),
+        F.sum("v").over(wc).alias("cv"),
+        F.sum("t").over(wall).alias("nt"),
+        F.sum("v").over(wall).alias("nv"),
+    )
+    diff = F.abs(F.col("ct") * F.col("nv") - F.col("cv") * F.col("nt"))
+    scored = cum.select("x", "nt", "nv", diff.alias("num"))
+    m = scored.select(
+        "x", "nt", "nv", "num",
+        F.max("num").over(wall).alias("mx"),
+    )
+    agg = m.agg(
+        F.max("nt").alias("n_train"),
+        F.max("nv").alias("n_val"),
+        F.min(F.when(F.col("num") == F.col("mx"), F.col("x"))).alias("ks_at"),
+        F.max("mx").alias("ksn"),
+    )
+    gd = F.col("n_train") * F.col("n_val")
+    a = F.lit(2000000).cast("long") * F.col("ksn") + gd
+    b = F.lit(2).cast("long") * gd
+    return agg.select(
+        "n_train", "n_val", "ks_at",
+        ((a - a % b) / b).cast("long").alias("ks_micro"),
+    )
+
+
+SQL_SPLIT_KS = f"""
+WITH b AS (
+  SELECT CASE
+           WHEN {_sql_md5_int("concat_ws(':', 'split', CAST(doc_id AS VARCHAR))")} % 100
+                < {_TEST_PCT} THEN 'test'
+           WHEN {_sql_md5_int("concat_ws(':', 'split', CAST(doc_id AS VARCHAR))")} % 100
+                < {_TEST_PCT + _VAL_PCT} THEN 'val'
+           ELSE 'train' END AS split,
+         CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS x
+  FROM documents
+), hist AS (
+  SELECT x,
+         CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS t,
+         CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS v
+  FROM b WHERE split <> 'test' GROUP BY x
+), cum AS (
+  SELECT x,
+         CAST(sum(t) OVER (ORDER BY x
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ct,
+         CAST(sum(v) OVER (ORDER BY x
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cv,
+         CAST(sum(t) OVER () AS BIGINT) AS nt,
+         CAST(sum(v) OVER () AS BIGINT) AS nv
+  FROM hist
+), scored AS (
+  SELECT x, nt, nv, abs(ct * nv - cv * nt) AS num,
+         max(abs(ct * nv - cv * nt)) OVER () AS mx
+  FROM cum
+)
+SELECT max(nt) AS n_train, max(nv) AS n_val,
+       min(CASE WHEN num = mx THEN x END) AS ks_at,
+       CAST((2000000 * max(mx) + max(nt) * max(nv))
+            // (2 * max(nt) * max(nv)) AS BIGINT) AS ks_micro
+FROM scored
+"""
+
+
 def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER canonicalization — the final step of a dedup
     pipeline: union the LSH pair list into connected clusters and pick each
@@ -2819,6 +2918,7 @@ WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {PP_TAU}
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
     return {
         "doc_split": (doc_split, SQL_DOC_SPLIT),
+        "split_ks": (split_ks, SQL_SPLIT_KS),
         "doc_split_leakfree": (doc_split_leakfree, SQL_DOC_SPLIT_LEAKFREE),
         "doc_shard_hrw": (doc_shard_hrw, SQL_DOC_SHARD_HRW),
         "doc_dedup_best": (doc_dedup_best, SQL_DOC_DEDUP_BEST),

@@ -97,6 +97,84 @@ FROM marked
 
 
 # --------------------------------------------------------------------------
+# degree Gini coefficient (§2.15 row 210): inequality of the out-degree
+# distribution, zeros included — the single-number skew audit that says
+# whether a hub split will pay before any CSR block is built.  G =
+# (2·Σᵢ i·dᵢ)/(n·Σd) − (n+1)/n over ascending-sorted degrees; ties make
+# the rank-sum order-free, so it is computed EXACTLY from the degree
+# histogram: a block of c equal values d starting after cb smaller ones
+# contributes d·(2·c·cb + c·(c+1)) to 2·Σ i·dᵢ.
+# --------------------------------------------------------------------------
+
+def q_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row (n_vertices, sum_deg, gini_micro): out-degree Gini of the
+    directed simple events graph, all vertices (zero out-degree included),
+    Gini shipped as exact int64 micro-units — G = (2S − (n+1)T)/(nT) with
+    2S, n, T integer reductions over the DEGREE HISTOGRAM, so the global
+    sort this usually needs collapses to a window over ~hundreds of
+    distinct degree values (histogram-sized, not graph-sized — the 100 TB
+    shape; int64 headroom to ~1e8 vertices, decimal(38,0) beyond)."""
+    dk = _directed_simple(spark, sf_dir)
+    verts = (
+        dk.select(F.col("s").alias("v"))
+        .unionByName(dk.select(F.col("t").alias("v")))
+        .distinct()
+    )
+    outd = dk.groupBy(F.col("s").alias("v")).agg(F.count(F.lit(1)).alias("od"))
+    deg = verts.join(outd, "v", "left").select(
+        F.coalesce("od", F.lit(0)).cast("long").alias("d")
+    )
+    hist = deg.groupBy("d").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.select(
+        "d", "c", F.coalesce(F.sum("c").over(w), F.lit(0)).alias("cb")
+    )
+    agg = cum.agg(
+        F.sum(
+            F.col("d") * (F.lit(2) * F.col("c") * F.col("cb")
+                          + F.col("c") * (F.col("c") + 1))
+        ).alias("s2"),
+        F.sum("c").alias("n"),
+        F.sum(F.col("d") * F.col("c")).alias("t"),
+    )
+    gn = F.col("s2") - (F.col("n") + 1) * F.col("t")
+    gd = F.col("n") * F.col("t")
+    a = F.lit(2000000).cast("long") * gn + gd
+    b = F.lit(2).cast("long") * gd
+    return agg.select(
+        F.col("n").alias("n_vertices"),
+        F.col("t").alias("sum_deg"),
+        ((a - a % b) / b).cast("long").alias("gini_micro"),
+    )
+
+
+SQL_DEGREE_GINI = (
+    "WITH "
+    + _GRAPH_CTES
+    + """,
+dk AS (SELECT DISTINCT s, t FROM ek WHERE s <> t),
+verts AS (SELECT s AS v FROM dk UNION SELECT t AS v FROM dk),
+outd AS (SELECT s AS v, count(*) AS od FROM dk GROUP BY s),
+deg AS (SELECT CAST(coalesce(outd.od, 0) AS BIGINT) AS d
+        FROM verts LEFT JOIN outd USING (v)),
+hist AS (SELECT d, count(*) AS c FROM deg GROUP BY d),
+cum AS (SELECT d, c,
+               coalesce(sum(c) OVER (ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        FROM hist),
+agg AS (SELECT CAST(sum(d * (2 * c * cb + c * (c + 1))) AS BIGINT) AS s2,
+               CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(d * c) AS BIGINT) AS t
+        FROM cum)
+SELECT n AS n_vertices, t AS sum_deg,
+       CAST((2000000 * (s2 - (n + 1) * t) + n * t) // (2 * n * t)
+            AS BIGINT) AS gini_micro
+FROM agg
+"""
+)
+
+
+# --------------------------------------------------------------------------
 # actor/tool type mixing matrix + discrete assortativity (Newman 2003
 # "Mixing patterns in networks": r = (Σe_ii − Σa_i·b_i)/(1 − Σa_i·b_i)
 # over the edge-type fraction matrix; a=row sums, b=col sums).  Payload-
@@ -3267,6 +3345,7 @@ def registry():
             SQL_COMMUNITY_CONDUCTANCE,
         ),
         "graph_reciprocity": (q_graph_reciprocity, SQL_GRAPH_RECIPROCITY),
+        "degree_gini": (q_degree_gini, SQL_DEGREE_GINI),
         "type_mixing": (q_type_mixing, SQL_TYPE_MIXING),
         "betweenness_pivots": (q_betweenness, SQL_BETWEENNESS),
         "bridge_edges": (q_bridge_edges, SQL_BRIDGE_EDGES),

@@ -1111,6 +1111,81 @@ FROM g GROUP BY event_type
 """
 
 
+def q_user_burstiness(spark, sf_dir):
+    """Per-user inter-event burstiness (§2.15 row 209) — Goh & Barabási's
+    B = (σ−μ)/(σ+μ) over the inter-event gap distribution: −1 is a
+    perfectly regular stream, 0 Poisson, →1 bursty.  Transcript pipelines
+    use it to separate scripted/agentic actors (regular cadence) from
+    humans (bursty).  Gaps are floor-second int64 diffs; the sufficient
+    statistics (n, Σg, and the dispersion D = n·Σg² − (Σg)²) are exact
+    integers on both engines, and B = (√D − Σg)/(√D + Σg) — the n's
+    cancel — is a sqrt/divide of identical doubles, so the 6-decimal
+    round is deterministic.  One user_id Exchange for the lag window,
+    then a combinable groupBy on the same key (same single-shuffle shape
+    as sessionize).  int64 headroom: n·Σg² stays under 2^63 to ~1e6
+    events/user at day-scale gaps; beyond that the two sums move to
+    decimal(38,0).  Output (user_id, n_gaps, sum_gap_s, disp,
+    burstiness)."""
+    ev = _t(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("s", "event_id")
+    w = ev.select(
+        "user_id",
+        "event_id",
+        # NTZ → TZ cast is identity under the session's pinned UTC tz
+        F.unix_seconds(F.col("ts").cast("timestamp")).alias("s"),
+    )
+    g = (
+        w.withColumn("gap", F.col("s") - F.lag("s").over(order))
+        .where(F.col("gap").isNotNull())
+    )
+    agg = g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap").alias("sum_gap_s"),
+        F.sum(F.col("gap") * F.col("gap")).alias("sq"),
+    ).where(F.col("n_gaps") >= 2)
+    disp = F.col("n_gaps") * F.col("sq") - F.col("sum_gap_s") * F.col("sum_gap_s")
+    rt = F.sqrt(disp.cast("double"))
+    sg = F.col("sum_gap_s").cast("double")
+    return agg.select(
+        "user_id",
+        "n_gaps",
+        "sum_gap_s",
+        disp.alias("disp"),
+        F.when(
+            rt + sg > 0, F.round((rt - sg) / (rt + sg), 6)
+        ).otherwise(F.lit(0.0)).alias("burstiness"),
+    )
+
+
+SQL_USER_BURSTINESS = """
+WITH w AS (
+  SELECT user_id,
+         epoch_ms(ts) // 1000 AS s,
+         lag(epoch_ms(ts) // 1000) OVER (
+           PARTITION BY user_id ORDER BY epoch_ms(ts) // 1000, event_id
+         ) AS prev
+  FROM events
+), g AS (
+  SELECT user_id, s - prev AS gap FROM w WHERE prev IS NOT NULL
+), a AS (
+  SELECT user_id, count(*) AS n_gaps,
+         CAST(sum(gap) AS BIGINT) AS sum_gap_s,
+         CAST(sum(gap * gap) AS BIGINT) AS sq
+  FROM g GROUP BY user_id HAVING count(*) >= 2
+), d AS (
+  SELECT user_id, n_gaps, sum_gap_s,
+         n_gaps * sq - sum_gap_s * sum_gap_s AS disp
+  FROM a
+)
+SELECT user_id, n_gaps, sum_gap_s, disp,
+       CASE WHEN sqrt(CAST(disp AS DOUBLE)) + sum_gap_s > 0
+            THEN round((sqrt(CAST(disp AS DOUBLE)) - sum_gap_s)
+                       / (sqrt(CAST(disp AS DOUBLE)) + sum_gap_s), 6)
+            ELSE 0.0 END AS burstiness
+FROM d
+"""
+
+
 SQL_SESSIONIZE = f"""
 WITH w AS (
   SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
@@ -1675,6 +1750,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sessionize_events": (q_sessionize, SQL_SESSIONIZE),
     "tool_latency": (q_tool_latency, SQL_TOOL_LATENCY),
     "tool_position": (q_tool_position, SQL_TOOL_POSITION),
+    "user_burstiness": (q_user_burstiness, SQL_USER_BURSTINESS),
     "posexplode_words": (q_posexplode, SQL_POSEXPLODE),
     "agg_strings_nation": (q_agg_strings, SQL_AGG_STRINGS),
     "percent_rank_cust": (q_percent_rank, SQL_PERCENT_RANK),

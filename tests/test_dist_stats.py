@@ -1,0 +1,113 @@
+"""Distribution-statistics audits (§2.15 rows 209-211) vs from-scratch
+numpy / pure-python references at sf0.001: inter-event burstiness, degree
+Gini, and the train/val two-sample KS distance."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import numpy as np
+import pytest
+
+from linkgraph.datapipe import split_ks
+from linkgraph.graphstats import _directed_simple, q_degree_gini
+from linkgraph.relational import q_user_burstiness
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_burstiness_matches_numpy(spark):
+    """B = (sigma - mu)/(sigma + mu) over floor-second gaps, per user."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "user_id", "event_id", "ts"
+    )
+    rows = ev.collect()
+    per_user = defaultdict(list)
+    for r in rows:
+        # floor-second UTC epoch, matching unix_seconds / epoch_ms // 1000
+        # (ts is TIMESTAMP_NTZ -> naive datetime; pin UTC explicitly so the
+        # test does not depend on the driver's local timezone)
+        s = math.floor(
+            r["ts"].replace(tzinfo=__import__("datetime").timezone.utc).timestamp()
+        )
+        per_user[r["user_id"]].append((s, r["event_id"]))
+    expect = {}
+    for u, evs in per_user.items():
+        evs.sort()
+        gaps = np.diff(np.array([s for s, _ in evs], dtype=np.int64))
+        if len(gaps) < 2:
+            continue
+        mu = gaps.mean()
+        sigma = gaps.std()  # population
+        expect[u] = 0.0 if sigma + mu == 0 else (sigma - mu) / (sigma + mu)
+    got = {
+        r["user_id"]: r for r in q_user_burstiness(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(expect)
+    for u, ref in expect.items():
+        assert got[u]["burstiness"] == pytest.approx(ref, abs=1e-6), u
+        gaps = np.diff(
+            np.array(sorted(s for s, _ in per_user[u]), dtype=np.int64)
+        )
+        n = len(gaps)
+        assert got[u]["n_gaps"] == n
+        assert got[u]["sum_gap_s"] == int(gaps.sum())
+        assert got[u]["disp"] == int(
+            n * int((gaps.astype(object) ** 2).sum()) - int(gaps.sum()) ** 2
+        )
+
+
+def test_degree_gini_matches_numpy(spark):
+    """Histogram-based Gini == the textbook sorted-rank formula."""
+    dk = [(r["s"], r["t"]) for r in _directed_simple(spark, SF_DIR).collect()]
+    outd = Counter(s for s, _ in dk)
+    verts = {v for e in dk for v in e}
+    d = np.sort(np.array([outd.get(v, 0) for v in verts], dtype=np.int64))
+    n = len(d)
+    ranks = np.arange(1, n + 1, dtype=np.int64)
+    # exact-integer textbook formula: G = (2*sum(i*d_i) - (n+1)*T) / (n*T),
+    # half-up micro rounding — the same arithmetic the query promises
+    s = int((ranks * d).sum())
+    t = int(d.sum())
+    gn, gd = 2 * s - (n + 1) * t, n * t
+    expect_micro = (2_000_000 * gn + gd) // (2 * gd)
+    row = q_degree_gini(spark, SF_DIR).first()
+    assert row["n_vertices"] == n
+    assert row["sum_deg"] == t
+    assert row["gini_micro"] == expect_micro
+    assert 0 <= row["gini_micro"] <= 1_000_000
+
+
+def test_split_ks_matches_numpy(spark):
+    """Exact integer KS == numpy ECDF max-gap on the same split."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    rows = con.execute(
+        "SELECT CAST(('0x' || substr(md5(concat_ws(':', 'split', "
+        "CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 100 AS b, "
+        "len(string_split(lower(trim(text)), ' ')) AS x FROM documents"
+    ).fetchall()
+    train = np.sort(np.array([x for b, x in rows if b >= 20], dtype=np.int64))
+    val = np.sort(
+        np.array([x for b, x in rows if 10 <= b < 20], dtype=np.int64)
+    )
+    xs = np.unique(np.concatenate([train, val]))
+    nt, nv = len(train), len(val)
+    ct = np.searchsorted(train, xs, side="right").astype(np.int64)
+    cv = np.searchsorted(val, xs, side="right").astype(np.int64)
+    # exact-integer ECDF gap: |F_t - F_v| = |ct*nv - cv*nt| / (nt*nv)
+    num = np.abs(ct * nv - cv * nt)
+    ksn = int(num.max())
+    expect_micro = (2_000_000 * ksn + nt * nv) // (2 * nt * nv)
+    row = split_ks(spark, SF_DIR).first()
+    assert row["n_train"] == nt
+    assert row["n_val"] == nv
+    assert row["ks_micro"] == expect_micro
+    # the reported location is the SMALLEST x achieving the max gap
+    assert row["ks_at"] == int(xs[np.argmax(num)])
