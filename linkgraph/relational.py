@@ -1186,6 +1186,133 @@ FROM d
 """
 
 
+def q_tool_runs(spark, sf_dir):
+    """Consecutive same-tool run-length profile (§2.15 row 212) — the
+    gaps-and-islands shape over the per-user event stream: a run is a
+    maximal stretch of identical event_type, found by a cumulative sum of
+    change markers (lag + running sum share ONE user_id sort, so the
+    whole op is a single Exchange + single Sort, then two combinable
+    groupBys).  Agentic transcripts show long same-tool runs (retry
+    loops); human streams alternate.  mean run length ships as exact
+    int64 micro-units.  Output (event_type, n_runs, total_len, max_run,
+    mean_run_micro)."""
+    ev = _t(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("us", "event_id")
+    w = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    marked = w.withColumn(
+        "chg",
+        F.when(
+            F.lag("event_type").over(order).isNull()
+            | (F.lag("event_type").over(order) != F.col("event_type")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    runs = (
+        marked.withColumn(
+            "run_id",
+            F.sum("chg").over(
+                order.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "run_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    agg = runs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_runs"),
+        F.sum("len").alias("total_len"),
+        F.max("len").alias("max_run"),
+    )
+    a = (
+        F.lit(2000000).cast("long") * F.col("total_len") + F.col("n_runs")
+    )
+    b = F.lit(2).cast("long") * F.col("n_runs")
+    return agg.select(
+        "event_type", "n_runs", "total_len", "max_run",
+        ((a - a % b) / b).cast("long").alias("mean_run_micro"),
+    )
+
+
+SQL_TOOL_RUNS = """
+WITH w AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) AS prev
+  FROM events
+), m AS (
+  SELECT user_id, event_type, us, event_id,
+         CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END AS chg
+  FROM w
+), r AS (
+  SELECT user_id, event_type,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS run_id
+  FROM m
+), runs AS (
+  SELECT user_id, run_id, event_type, count(*) AS len
+  FROM r GROUP BY user_id, run_id, event_type
+), agg AS (
+  SELECT event_type, count(*) AS n_runs,
+         CAST(sum(len) AS BIGINT) AS total_len,
+         CAST(max(len) AS BIGINT) AS max_run
+  FROM runs GROUP BY event_type
+)
+SELECT event_type, n_runs, total_len, max_run,
+       CAST((2000000 * total_len + n_runs) // (2 * n_runs) AS BIGINT)
+         AS mean_run_micro
+FROM agg
+"""
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix (§2.15 row 213): users cohorted by the
+    epoch-week of their first event; each cell counts distinct users from
+    cohort week W still active at week W+k.  The product-analytics
+    staple, and the engagement-decay audit of a transcript corpus.  All
+    cells are exact integer counts over exact floor-week int64 buckets
+    (epoch-seconds // 604800 — no calendar/dialect drift).  One user_id
+    Exchange for the per-user first-week window, one distinct + one
+    combinable groupBy.  Output (cohort_week, week_offset, n_users)."""
+    ev = _t(spark, sf_dir, "events")
+    s = F.unix_seconds(F.col("ts").cast("timestamp"))
+    week = ((s - s % 604800) / 604800).cast("long")
+    w = Window.partitionBy("user_id")
+    cells = (
+        ev.select("user_id", week.alias("week"))
+        .withColumn("cohort_week", F.min("week").over(w))
+        .select("user_id", "cohort_week", "week")
+        .distinct()
+    )
+    return (
+        cells.groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+SQL_COHORT_RETENTION = """
+WITH w AS (
+  SELECT user_id, epoch_ms(ts) // 1000 // 604800 AS week FROM events
+), c AS (
+  SELECT user_id, week,
+         min(week) OVER (PARTITION BY user_id) AS cohort_week
+  FROM w
+), cells AS (
+  SELECT DISTINCT user_id, cohort_week, week FROM c
+)
+SELECT cohort_week, week - cohort_week AS week_offset,
+       count(*) AS n_users
+FROM cells GROUP BY cohort_week, week - cohort_week
+"""
+
+
 SQL_SESSIONIZE = f"""
 WITH w AS (
   SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
@@ -1751,6 +1878,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "tool_latency": (q_tool_latency, SQL_TOOL_LATENCY),
     "tool_position": (q_tool_position, SQL_TOOL_POSITION),
     "user_burstiness": (q_user_burstiness, SQL_USER_BURSTINESS),
+    "tool_runs": (q_tool_runs, SQL_TOOL_RUNS),
+    "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
     "posexplode_words": (q_posexplode, SQL_POSEXPLODE),
     "agg_strings_nation": (q_agg_strings, SQL_AGG_STRINGS),
     "percent_rank_cust": (q_percent_rank, SQL_PERCENT_RANK),

@@ -12,7 +12,11 @@ import pytest
 
 from linkgraph.datapipe import split_ks
 from linkgraph.graphstats import _directed_simple, q_degree_gini
-from linkgraph.relational import q_user_burstiness
+from linkgraph.relational import (
+    q_cohort_retention,
+    q_tool_runs,
+    q_user_burstiness,
+)
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -111,3 +115,66 @@ def test_split_ks_matches_numpy(spark):
     assert row["ks_micro"] == expect_micro
     # the reported location is the SMALLEST x achieving the max gap
     assert row["ks_at"] == int(xs[np.argmax(num)])
+
+
+@pytest.fixture(scope="module")
+def user_streams(spark):
+    """Per-user event streams ordered by (epoch_us, event_id)."""
+    import datetime as dt
+
+    rows = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "user_id", "event_id", "event_type", "ts"
+    ).collect()
+    per_user = defaultdict(list)
+    for r in rows:
+        us = int(
+            r["ts"].replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000
+        )
+        per_user[r["user_id"]].append((us, r["event_id"], r["event_type"]))
+    for evs in per_user.values():
+        evs.sort()
+    return per_user
+
+
+def test_tool_runs_matches_pure_python(spark, user_streams):
+    """Run-length encoding of consecutive identical event types."""
+    stats = defaultdict(lambda: [0, 0, 0])  # type -> [n_runs, total, max]
+    for evs in user_streams.values():
+        i = 0
+        while i < len(evs):
+            j = i
+            while j < len(evs) and evs[j][2] == evs[i][2]:
+                j += 1
+            s = stats[evs[i][2]]
+            s[0] += 1
+            s[1] += j - i
+            s[2] = max(s[2], j - i)
+            i = j
+    got = {r["event_type"]: r for r in q_tool_runs(spark, SF_DIR).collect()}
+    assert set(got) == set(stats)
+    for t, (n, tot, mx) in stats.items():
+        assert got[t]["n_runs"] == n
+        assert got[t]["total_len"] == tot
+        assert got[t]["max_run"] == mx
+        assert got[t]["mean_run_micro"] == (2_000_000 * tot + n) // (2 * n)
+
+
+def test_cohort_retention_matches_pure_python(spark, user_streams):
+    """Distinct active users per (first-event floor-week, week offset)."""
+    cells = Counter()
+    for u, evs in user_streams.items():
+        weeks = sorted({us // 1_000_000 // 604800 for us, _, _ in evs})
+        for w in weeks:
+            cells[(weeks[0], w - weeks[0])] += 1
+    got = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for r in q_cohort_retention(spark, SF_DIR).collect()
+    }
+    assert got == dict(cells)
+    # offset-0 cell of each cohort counts the whole cohort
+    cohort_sizes = Counter(
+        min(us // 1_000_000 // 604800 for us, _, _ in evs)
+        for evs in user_streams.values()
+    )
+    for cw, size in cohort_sizes.items():
+        assert got[(cw, 0)] == size
