@@ -3331,6 +3331,102 @@ FROM deg
 """
 
 
+# --------------------------------------------------------------------------
+# edge embeddedness / neighborhood overlap (§2.15 row 214): Granovetter's
+# tie-strength audit.  For each undirected edge (u,v), overlap =
+# |N(u)∩N(v)| / |N(u)∪N(v)∖{u,v}|; local bridges (overlap 0) are the weak
+# ties that carry novel information, deeply-embedded edges (overlap → 1)
+# live inside communities.  Reported as an 11-bucket histogram (bucket =
+# ⌊10·overlap⌋, so bucket 10 = fully embedded) with exact integer
+# numerator/denominator sums — no double ever decides a bucket boundary.
+# --------------------------------------------------------------------------
+
+def q_edge_embeddedness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood-overlap histogram over the undirected simple events
+    graph.  Common-neighbor counts per edge use the k-truss support shape
+    (two self equi-joins on the edge set, count aggregated straight off
+    the closing join — the triangle pass is the minimum any exact method
+    pays and the edge never fans out beyond degree products); degrees are
+    one hash aggregate, the final groupBy is 11 rows.  The bucket index
+    ⌊10·cn/denom⌋ is exact int64 arithmetic (a − a%b)/b, denom =
+    deg(u)+deg(v)−2−cn; isolated edges (denom 0) land in bucket 0.
+    Output (bucket, n_edges, sum_cn, sum_denom)."""
+    dk = _directed_simple(spark, sf_dir)
+    und = (
+        dk.select(F.least("s", "t").alias("u"), F.greatest("s", "t").alias("v"))
+        .distinct()
+    )
+    full = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    x = full.select(F.col("u").alias("xu"), F.col("v").alias("xv"))
+    y = full.select(F.col("u").alias("yu"), F.col("v").alias("yv"))
+    sup = (
+        und.join(x, F.col("xu") == F.col("u"))
+        .join(y, (F.col("yu") == F.col("v")) & (F.col("yv") == F.col("xv")))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    deg = full.groupBy(F.col("u").alias("x")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    e = (
+        und.join(sup, ["u", "v"], "left")
+        .na.fill({"cn": 0})
+        .join(deg.select(F.col("x").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("x").alias("v"), F.col("deg").alias("dv")), "v")
+    )
+    denom = F.col("du") + F.col("dv") - F.lit(2) - F.col("cn")
+    a = F.lit(10).cast("long") * F.col("cn")
+    bucket = F.when(
+        denom > 0, ((a - a % denom) / denom).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        e.select(bucket.alias("bucket"), "cn", denom.alias("denom"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.sum("cn").alias("sum_cn"),
+            F.sum("denom").alias("sum_denom"),
+        )
+        .orderBy("bucket")
+    )
+
+
+SQL_EDGE_EMBEDDEDNESS = (
+    "WITH "
+    + _GRAPH_CTES
+    + """,
+und AS (
+  SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS v FROM ek WHERE s <> t
+), fl AS (
+  SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und
+), sup AS (
+  SELECT e.u, e.v, CAST(count(*) AS BIGINT) AS cn
+  FROM und e
+  JOIN fl x ON x.u = e.u
+  JOIN fl y ON y.u = e.v AND y.v = x.v
+  GROUP BY e.u, e.v
+), deg AS (
+  SELECT u AS x, CAST(count(*) AS BIGINT) AS deg FROM fl GROUP BY u
+), ee AS (
+  SELECT coalesce(s.cn, 0) AS cn,
+         du.deg + dv.deg - 2 - coalesce(s.cn, 0) AS denom
+  FROM und e
+  LEFT JOIN sup s ON s.u = e.u AND s.v = e.v
+  JOIN deg du ON du.x = e.u
+  JOIN deg dv ON dv.x = e.v
+)
+SELECT CAST(CASE WHEN denom > 0 THEN (10 * cn) // denom ELSE 0 END AS BIGINT)
+         AS bucket,
+       count(*) AS n_edges,
+       CAST(sum(cn) AS BIGINT) AS sum_cn,
+       CAST(sum(denom) AS BIGINT) AS sum_denom
+FROM ee GROUP BY 1 ORDER BY bucket
+"""
+)
+
+
 def registry():
     return {
         "densest_subgraph": (q_densest_subgraph, SQL_DENSEST_SUBGRAPH),
@@ -3370,4 +3466,5 @@ def registry():
         "triangle_communities": (q_triangle_communities, SQL_TRIANGLE_COMMUNITIES),
         "rank_stability": (q_rank_stability, SQL_RANK_STABILITY),
         "powerlaw_alpha": (q_powerlaw_alpha, SQL_POWERLAW_ALPHA),
+        "edge_embeddedness": (q_edge_embeddedness, SQL_EDGE_EMBEDDEDNESS),
     }

@@ -1319,6 +1319,96 @@ FROM curve, fit
 """
 
 
+# --------------------------------------------------------------------------
+# corpus distinct-n diversity (§2.15 row 215): the distinct-1/2/3 metrics
+# of Li et al. — distinct n-grams / total n-grams over the whole corpus.
+# The standard degenerate-text audit for generated corpora: self-repeating
+# model output collapses distinct-2/3 long before unigram stats move.
+# Complements doc_repetition (per-doc top-token share) and hapax_rate
+# (type-frequency tail) with a corpus-level phrase-diversity number.
+# --------------------------------------------------------------------------
+
+def q_doc_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three rows (n, total_grams, distinct_grams, distinct_micro) for
+    n = 1, 2, 3.  Each n is a bounded explode (≤ one gram per token) into
+    a count + count-distinct — the count partial-aggregates map-side and
+    the distinct dedups on the gram key, so the shuffle carries distinct
+    grams, not the corpus.  Docs shorter than n emit zero grams (guarded
+    sequence — Spark's sequence(1, 0) would step DOWN).  The ratio ships
+    as exact int64 micro-units (_micro_ratio), bit-identical cross-engine."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(F.split(F.lower(F.trim("text")), " ").alias("w"))
+    parts = []
+    for n in (1, 2, 3):
+        if n == 1:
+            grams = w.select(F.explode("w").alias("gram"))
+        else:
+            starts = F.when(
+                F.size("w") >= n,
+                F.sequence(F.lit(1), F.size("w") - (n - 1)),
+            ).otherwise(F.array().cast("array<int>"))
+            def _gram(k: int):
+                # one-arg lambda: F.transform would bind a second
+                # parameter to the array INDEX column, clobbering k
+                return lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at(F.col("w"), i + j) for j in range(k)],
+                )
+
+            grams = w.select(
+                F.explode(F.transform(starts, _gram(n))).alias("gram")
+            )
+        agg = grams.agg(
+            F.count(F.lit(1)).alias("total_grams"),
+            F.countDistinct("gram").alias("distinct_grams"),
+        ).select(
+            F.lit(n).cast("int").alias("n"),
+            "total_grams",
+            "distinct_grams",
+            F.when(
+                F.col("total_grams") > 0,
+                _micro_ratio(F.col("distinct_grams"), F.col("total_grams")),
+            ).otherwise(F.lit(0).cast("long")).alias("distinct_micro"),
+        )
+        parts.append(agg)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+SQL_DOC_DISTINCT_NGRAMS = """
+WITH w AS (
+  SELECT string_split(lower(trim(text)), ' ') AS w FROM documents
+), g1 AS (
+  SELECT unnest(w) AS gram FROM w
+), g2 AS (
+  SELECT unnest(list_transform(
+           generate_series(1, greatest(len(w) - 1, 0)),
+           i -> concat_ws(' ', w[i], w[i+1])
+         )) AS gram FROM w
+), g3 AS (
+  SELECT unnest(list_transform(
+           generate_series(1, greatest(len(w) - 2, 0)),
+           i -> concat_ws(' ', w[i], w[i+1], w[i+2])
+         )) AS gram FROM w
+), u AS (
+  SELECT 1 AS n, count(*) AS total_grams,
+         CAST(count(DISTINCT gram) AS BIGINT) AS distinct_grams FROM g1
+  UNION ALL
+  SELECT 2, count(*), CAST(count(DISTINCT gram) AS BIGINT) FROM g2
+  UNION ALL
+  SELECT 3, count(*), CAST(count(DISTINCT gram) AS BIGINT) FROM g3
+)
+SELECT CAST(n AS INT) AS n, total_grams, distinct_grams,
+       CASE WHEN total_grams > 0
+            THEN (2000000 * distinct_grams + total_grams)
+                   // (2 * total_grams)
+            ELSE 0 END AS distinct_micro
+FROM u
+"""
+
+
 def registry():
     return {
         "url_host_edges": (q_url_host_edges, SQL_URL_HOST_EDGES),
@@ -1338,4 +1428,5 @@ def registry():
         "heaps_law": (q_heaps_law, SQL_HEAPS_LAW),
         "doc_readability": (q_doc_readability, SQL_DOC_READABILITY),
         "hapax_rate": (q_hapax_rate, SQL_HAPAX_RATE),
+        "doc_distinct_ngrams": (q_doc_distinct_ngrams, SQL_DOC_DISTINCT_NGRAMS),
     }

@@ -1594,3 +1594,51 @@ def test_transition_entropy_matches_python(spark):
         assert out.loc[s, "n_next"] == len(ps)
         assert out.loc[s, "entropy_bits"] == pytest.approx(round(H, 6), abs=1e-6)
     assert set(out.index) == set(by_s)
+
+
+def test_edge_embeddedness_matches_networkx(spark, dk_edges):
+    """11-bucket neighborhood-overlap histogram vs an nx adjacency walk,
+    exact integer bucket boundaries included."""
+    import networkx as nx
+
+    from linkgraph.graphstats import q_edge_embeddedness
+
+    G = nx.Graph()
+    G.add_edges_from(dk_edges)
+    ref: Counter = Counter()
+    sums: Counter = Counter()
+    for u, v in G.edges():
+        cn = len(set(G[u]) & set(G[v]))
+        denom = G.degree[u] + G.degree[v] - 2 - cn
+        bucket = (10 * cn) // denom if denom > 0 else 0
+        ref[bucket] += 1
+        sums[(bucket, "cn")] += cn
+        sums[(bucket, "denom")] += denom
+    got = q_edge_embeddedness(spark, SF_DIR).collect()
+    assert {r["bucket"]: r["n_edges"] for r in got} == dict(ref)
+    for r in got:
+        assert r["sum_cn"] == sums[(r["bucket"], "cn")]
+        assert r["sum_denom"] == sums[(r["bucket"], "denom")]
+    # histogram covers every edge exactly once
+    assert sum(r["n_edges"] for r in got) == G.number_of_edges()
+
+
+def test_doc_distinct_ngrams_matches_python(spark, docs):
+    """Corpus distinct-1/2/3 totals, distincts, and exact micro ratios."""
+    from linkgraph.webpipe import q_doc_distinct_ngrams
+
+    out = {r["n"]: r for r in q_doc_distinct_ngrams(spark, SF_DIR).collect()}
+    assert set(out) == {1, 2, 3}
+    for n in (1, 2, 3):
+        total = 0
+        seen = set()
+        for text in docs.values():
+            w = text.strip().lower().split(" ")
+            grams = [" ".join(w[i : i + n]) for i in range(len(w) - n + 1)]
+            total += len(grams)
+            seen.update(grams)
+        r = out[n]
+        assert r["total_grams"] == total
+        assert r["distinct_grams"] == len(seen)
+        expect = (2_000_000 * len(seen) + total) // (2 * total) if total else 0
+        assert r["distinct_micro"] == expect
