@@ -688,6 +688,125 @@ HAVING count(*) >= {_IDX_MIN_DF}
 """
 
 
+# --------------------------------------------------------------------------
+# BM25 retrieval top-k (§2.15 row 217): Okapi BM25 over the inverted-index
+# shape — the sparse-retrieval baseline every RAG corpus build runs before
+# (or alongside) the embedding ANN path.  Query set = the token sets of
+# three FIXED documents (doc_id 0/1/2), so the fixture is deterministic at
+# every SF without collecting anything; scoring is the real qterm ⋈
+# postings join.
+# --------------------------------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_QUERY_DOCS = (0, 1, 2)
+_BM25_TOPK = 10
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 BM25 hits per query document.  The query-term table is three
+    docs' distinct tokens (broadcast, never corpus-sized); the score join
+    shards by term exactly like the posting-list build, so per-term
+    fan-out is bounded by df and the (query, doc) partial scores combine
+    map-side.  N/avgdl come from one 1-row broadcast aggregate, not a
+    collect.  Scores are rounded to 6 decimals on BOTH engines and the
+    top-k boundary orders by (rounded score desc, doc_id), so double
+    summation-order noise (~1e-15 relative) cannot flip the hash or the
+    k-th place.  Output (query_id, rank, doc_id, score)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(_words(F.col("text"))).alias("word"))
+        .where(F.col("word") != "")
+    )
+    tf = tok.groupBy("word", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    df_ = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    qterms = (
+        tok.where(F.col("doc_id").isin(*_BM25_QUERY_DOCS))
+        .select(F.col("doc_id").alias("query_id"), "word")
+        .distinct()
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_norm = (
+        F.col("tf") * (_BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + _BM25_K1
+            * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "word")
+        .join(F.broadcast(df_.join(qterms, "word").select("word", "df").distinct()), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(idf * tf_norm), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.select(
+            "query_id", F.row_number().over(w).alias("rank"), "doc_id", "score"
+        )
+        .where(F.col("rank") <= _BM25_TOPK)
+        .orderBy("query_id", "rank")
+    )
+
+
+SQL_BM25_TOPK = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word
+  FROM documents
+), tok2 AS (
+  SELECT doc_id, word FROM tok WHERE word <> ''
+), tf AS (
+  SELECT word, doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM tok2 GROUP BY word, doc_id
+), dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok2 GROUP BY doc_id
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+), dfr AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word
+), qterms AS (
+  SELECT DISTINCT doc_id AS query_id, word FROM tok2
+  WHERE doc_id IN {_BM25_QUERY_DOCS}
+), scored AS (
+  SELECT q.query_id, tf.doc_id,
+         round(sum(
+           ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * tf.tf * ({_BM25_K1} + 1)
+           / (tf.tf + {_BM25_K1}
+              * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl))
+         ), 6) AS score
+  FROM tf
+  JOIN qterms q ON q.word = tf.word
+  JOIN dfr d ON d.word = tf.word
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+FROM (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+)
+WHERE rank <= {_BM25_TOPK}
+ORDER BY query_id, rank
+"""
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint of the normalized text (md5-int64)."""
     d = load_table(spark, sf_dir, "documents")
@@ -2936,6 +3055,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "doc_langid": (doc_langid, SQL_DOC_LANGID),
         "doc_quality_filter": (doc_quality_filter, SQL_DOC_QUALITY_FILTER),
         "inverted_index": (inverted_index, SQL_INVERTED_INDEX),
+        "bm25_topk": (bm25_topk, SQL_BM25_TOPK),
         "langid_confusion": (langid_confusion, SQL_LANGID_CONFUSION),
         "word_pmi": (word_pmi, SQL_WORD_PMI),
         "doc_fingerprint": (doc_fingerprint, SQL_DOC_FINGERPRINT),

@@ -3427,6 +3427,125 @@ FROM ee GROUP BY 1 ORDER BY bucket
 )
 
 
+# --------------------------------------------------------------------------
+# densification power law (§2.15 row 216): Leskovec-Kleinberg-Faloutsos —
+# growing graphs densify as E(t) ∝ V(t)^a with a > 1, so average degree
+# RISES over time.  The audit that says whether an incremental pipeline's
+# per-snapshot cost model can assume constant degree (it cannot when
+# a ≈ 1.2-1.7, the empirically universal range).  Cumulative V/E counts
+# are exact int64 off first-seen weeks; the exponent is the closed-form
+# log-log least-squares slope over the (tiny) weekly curve.
+# --------------------------------------------------------------------------
+
+def q_densification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cumulative (vertices, edges) curve of the events graph with
+    the exact-integer average degree per snapshot — a RISING avg degree
+    is the densification law's observable (on this corpus the vertex set
+    saturates in week one while edges keep arriving, i.e. pure
+    densification).  First-seen timestamps: a turn edge exists when its
+    SECOND event lands (lead ts), a tool edge at its event's ts; a vertex
+    first appears with its first incident edge.  Per-edge/per-vertex
+    min-week is one combinable groupBy each; the two weekly histograms
+    are week-count-sized, so the cumulative windows run over tens of
+    rows, not the graph.  avgdeg_micro = ⌊1e6·cum_edges/cum_vertices⌉
+    exact int64 (the _micro_ratio trick), never a double.  Output
+    (week, cum_vertices, cum_edges, avgdeg_micro)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    turn = (
+        e.select(
+            F.col("event_type").alias("s"),
+            F.lead("event_type").over(w).alias("t"),
+            F.lead(us).over(w).alias("eus"),
+        )
+        .where(F.col("t").isNotNull())
+    )
+    tool = e.select(
+        F.concat(F.lit("user:"), F.col("user_id").cast("string")).alias("s"),
+        F.col("event_type").alias("t"),
+        us.alias("eus"),
+    )
+    week = ((F.col("eus") / F.lit(1_000_000)).cast("long") / 604800).cast("long")
+    ew = (
+        turn.unionByName(tool)
+        .where(F.col("s") != F.col("t"))
+        .select("s", "t", week.alias("wk"))
+    )
+    e_first = ew.groupBy("s", "t").agg(F.min("wk").alias("wk"))
+    v_first = (
+        ew.select(F.col("s").alias("x"), "wk")
+        .unionByName(ew.select(F.col("t").alias("x"), "wk"))
+        .groupBy("x")
+        .agg(F.min("wk").alias("wk"))
+    )
+    eh = e_first.groupBy("wk").agg(F.count(F.lit(1)).alias("ne"))
+    vh = v_first.groupBy("wk").agg(F.count(F.lit(1)).alias("nv"))
+    cur = (
+        eh.join(vh, ["wk"], "full")
+        .na.fill({"ne": 0, "nv": 0})
+    )
+    cum = Window.orderBy("wk").rowsBetween(Window.unboundedPreceding, 0)
+    curve = cur.select(
+        F.col("wk").alias("week"),
+        F.sum("nv").over(cum).alias("cum_vertices"),
+        F.sum("ne").over(cum).alias("cum_edges"),
+    )
+    a = (
+        F.lit(2000000).cast("long") * F.col("cum_edges")
+        + F.col("cum_vertices")
+    )
+    b = F.lit(2).cast("long") * F.col("cum_vertices")
+    return curve.select(
+        "week", "cum_vertices", "cum_edges",
+        ((a - a % b) / b).cast("long").alias("avgdeg_micro"),
+    ).orderBy("week")
+
+
+SQL_DENSIFICATION = """
+WITH base AS (
+  SELECT user_id, event_type, ts, event_id, epoch_us(ts) AS us FROM events
+), turn AS (
+  SELECT event_type AS s,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t,
+         lead(us) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS eus
+  FROM base
+), ew AS (
+  SELECT s, t, (eus // 1000000) // 604800 AS wk
+  FROM turn WHERE t IS NOT NULL AND s <> t
+  UNION ALL
+  SELECT 'user:' || CAST(user_id AS VARCHAR) AS s, event_type AS t,
+         (us // 1000000) // 604800 AS wk
+  FROM base WHERE 'user:' || CAST(user_id AS VARCHAR) <> event_type
+), ef AS (
+  SELECT s, t, min(wk) AS wk FROM ew GROUP BY s, t
+), vf AS (
+  SELECT x, min(wk) AS wk FROM (
+    SELECT s AS x, wk FROM ew UNION ALL SELECT t AS x, wk FROM ew
+  ) GROUP BY x
+), eh AS (SELECT wk, count(*) AS ne FROM ef GROUP BY wk),
+vh AS (SELECT wk, count(*) AS nv FROM vf GROUP BY wk),
+cur AS (
+  SELECT coalesce(eh.wk, vh.wk) AS week,
+         coalesce(nv, 0) AS nv, coalesce(ne, 0) AS ne
+  FROM eh FULL JOIN vh ON vh.wk = eh.wk
+), curve AS (
+  SELECT week,
+         CAST(sum(nv) OVER (ORDER BY week
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_vertices,
+         CAST(sum(ne) OVER (ORDER BY week
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_edges
+  FROM cur
+)
+SELECT week, cum_vertices, cum_edges,
+       (2000000 * cum_edges + cum_vertices) // (2 * cum_vertices)
+         AS avgdeg_micro
+FROM curve ORDER BY week
+"""
+
+
 def registry():
     return {
         "densest_subgraph": (q_densest_subgraph, SQL_DENSEST_SUBGRAPH),
@@ -3467,4 +3586,5 @@ def registry():
         "rank_stability": (q_rank_stability, SQL_RANK_STABILITY),
         "powerlaw_alpha": (q_powerlaw_alpha, SQL_POWERLAW_ALPHA),
         "edge_embeddedness": (q_edge_embeddedness, SQL_EDGE_EMBEDDEDNESS),
+        "densification_curve": (q_densification, SQL_DENSIFICATION),
     }

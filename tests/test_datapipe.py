@@ -1082,3 +1082,68 @@ def test_dedup_sources_matrix_recount(spark):
     }
     assert got_pairs == dict(pairs)
     assert got_clusters == dict(clusters)
+
+
+def test_bm25_topk_matches_python(spark):
+    """Top-10 BM25 per query doc == a from-scratch Okapi implementation
+    (same k1/b, same rounded-score-then-doc_id ranking)."""
+    import math
+    from collections import Counter
+
+    from linkgraph.datapipe import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_QUERY_DOCS,
+        _BM25_TOPK,
+        bm25_topk,
+    )
+    from linkgraph.io import load_table
+
+    docs = {
+        int(r["doc_id"]): [
+            w for w in r["text"].lower().strip().split(" ") if w
+        ]
+        for r in load_table(spark, SF, "documents").collect()
+    }
+    tf = {d: Counter(ws) for d, ws in docs.items()}
+    dl = {d: len(ws) for d, ws in docs.items()}
+    n_docs = len(docs)
+    avgdl = sum(dl.values()) / n_docs
+    df = Counter()
+    for c in tf.values():
+        df.update(c.keys())
+
+    want = {}
+    for q in _BM25_QUERY_DOCS:
+        qws = set(docs[q])
+        scores = {}
+        for d, c in tf.items():
+            s = 0.0
+            for w in qws & set(c):
+                idf = math.log(1.0 + (n_docs - df[w] + 0.5) / (df[w] + 0.5))
+                s += (
+                    idf
+                    * c[w]
+                    * (_BM25_K1 + 1)
+                    / (
+                        c[w]
+                        + _BM25_K1
+                        * (1 - _BM25_B + _BM25_B * dl[d] / avgdl)
+                    )
+                )
+            if s:
+                scores[d] = round(s, 6)
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        want[q] = [(r + 1, d) for r, (d, _s) in enumerate(top[:_BM25_TOPK])]
+
+    got = {}
+    rows = bm25_topk(spark, SF).collect()
+    for r in rows:
+        got.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"]))
+        assert r["score"] > 0
+    assert {q: sorted(v) for q, v in got.items()} == {
+        q: sorted(v) for q, v in want.items()
+    }
+    # ranks are contiguous 1..k per query (no gaps at the cut boundary)
+    for q in _BM25_QUERY_DOCS:
+        assert sorted(r for r, _d in got[q]) == list(range(1, len(got[q]) + 1))

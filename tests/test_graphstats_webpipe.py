@@ -1642,3 +1642,50 @@ def test_doc_distinct_ngrams_matches_python(spark, docs):
         assert r["distinct_grams"] == len(seen)
         expect = (2_000_000 * len(seen) + total) // (2 * total) if total else 0
         assert r["distinct_micro"] == expect
+
+
+def test_densification_matches_python(spark):
+    """Weekly cumulative V/E curve and exact avg-degree micro vs a pure
+    python first-seen walk over the event stream."""
+    from linkgraph.graphstats import q_densification
+    from linkgraph.io import load_table
+
+    import datetime as dt
+    from collections import defaultdict
+
+    rows = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    ).collect()
+    per_user = defaultdict(list)
+    for r in rows:
+        us = int(
+            r["ts"].replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000
+        )
+        per_user[r["user_id"]].append((us, r["event_id"], r["event_type"]))
+    e_first, v_first = {}, {}
+
+    def see(edge, wk):
+        if edge[0] == edge[1]:
+            return
+        if edge not in e_first or e_first[edge] > wk:
+            e_first[edge] = wk
+        for x in edge:
+            if x not in v_first or v_first[x] > wk:
+                v_first[x] = wk
+
+    for u, evs in per_user.items():
+        evs.sort()
+        for (aus, _, at), (bus, _, bt) in zip(evs, evs[1:]):
+            see((at, bt), bus // 1_000_000 // 604800)
+        for us, _, t in evs:
+            see((f"user:{u}", t), us // 1_000_000 // 604800)
+
+    weeks = sorted(set(e_first.values()) | set(v_first.values()))
+    got = q_densification(spark, SF_DIR).collect()
+    assert [r["week"] for r in got] == weeks
+    for r in got:
+        cv = sum(1 for w in v_first.values() if w <= r["week"])
+        ce = sum(1 for w in e_first.values() if w <= r["week"])
+        assert r["cum_vertices"] == cv
+        assert r["cum_edges"] == ce
+        assert r["avgdeg_micro"] == (2_000_000 * ce + cv) // (2 * cv)
