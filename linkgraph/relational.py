@@ -1313,6 +1313,76 @@ FROM cells GROUP BY cohort_week, week - cohort_week
 """
 
 
+_WAU_DAYS = 7
+_MAU_DAYS = 28
+
+
+def q_active_users(spark, sf_dir):
+    """Rolling active users (§2.15 row 218): per day, the distinct users
+    active that day (DAU), in the trailing 7 days (WAU), and the trailing
+    28 days (MAU), plus DAU/MAU stickiness as exact int64 micro-units —
+    the engagement dashboard every corpus-collection pipeline reports.
+    Exact distinct-over-window cannot pre-aggregate (the same user must
+    not double-count across days), so the standard exact shape is used:
+    dedup to one (user, day) row — the only corpus-sized shuffle — then
+    fan each row out to the ≤28 window days it supports via a range join
+    against the (tiny) day list and count distinct users per (day, span).
+    At 100 TB the fan-out is bounded ×28 on the DEDUPED table, orders of
+    magnitude below the raw event count; the approximate path would swap
+    the distinct for an HLL sketch union.  Days are exact int64 epoch
+    days (epoch-s // 86400).  Output (day, dau, wau, mau,
+    stickiness_micro)."""
+    ev = _t(spark, sf_dir, "events")
+    s = F.unix_seconds(F.col("ts").cast("timestamp"))
+    day = ((s - s % 86400) / 86400).cast("long")
+    ud = ev.select("user_id", day.alias("d")).distinct()
+    days = ud.select("d").distinct().select(F.col("d").alias("day"))
+    j = days.join(
+        ud,
+        (F.col("d") <= F.col("day"))
+        & (F.col("d") > F.col("day") - _MAU_DAYS),
+    )
+    agg = j.groupBy("day").agg(
+        F.count_distinct(
+            F.when(F.col("d") == F.col("day"), F.col("user_id"))
+        ).alias("dau"),
+        F.count_distinct(
+            F.when(F.col("d") > F.col("day") - _WAU_DAYS, F.col("user_id"))
+        ).alias("wau"),
+        F.count_distinct("user_id").alias("mau"),
+    )
+    a = F.lit(2000000).cast("long") * F.col("dau") + F.col("mau")
+    b = F.lit(2).cast("long") * F.col("mau")
+    return agg.select(
+        "day", "dau", "wau", "mau",
+        ((a - a % b) / b).cast("long").alias("stickiness_micro"),
+    ).orderBy("day")
+
+
+SQL_ACTIVE_USERS = f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_ms(ts) // 1000 // 86400 AS d FROM events
+), days AS (
+  SELECT DISTINCT d AS day FROM ud
+), j AS (
+  SELECT days.day, ud.user_id, ud.d
+  FROM days JOIN ud
+    ON ud.d <= days.day AND ud.d > days.day - {_MAU_DAYS}
+), agg AS (
+  SELECT day,
+         CAST(count(DISTINCT CASE WHEN d = day THEN user_id END) AS BIGINT)
+           AS dau,
+         CAST(count(DISTINCT CASE WHEN d > day - {_WAU_DAYS} THEN user_id END)
+              AS BIGINT) AS wau,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+  FROM j GROUP BY day
+)
+SELECT day, dau, wau, mau,
+       (2000000 * dau + mau) // (2 * mau) AS stickiness_micro
+FROM agg ORDER BY day
+"""
+
+
 SQL_SESSIONIZE = f"""
 WITH w AS (
   SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
@@ -1880,6 +1950,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "user_burstiness": (q_user_burstiness, SQL_USER_BURSTINESS),
     "tool_runs": (q_tool_runs, SQL_TOOL_RUNS),
     "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
+    "active_users": (q_active_users, SQL_ACTIVE_USERS),
     "posexplode_words": (q_posexplode, SQL_POSEXPLODE),
     "agg_strings_nation": (q_agg_strings, SQL_AGG_STRINGS),
     "percent_rank_cust": (q_percent_rank, SQL_PERCENT_RANK),

@@ -178,3 +178,25 @@ def test_cohort_retention_matches_pure_python(spark, user_streams):
     )
     for cw, size in cohort_sizes.items():
         assert got[(cw, 0)] == size
+
+
+def test_active_users_matches_pure_python(spark, user_streams):
+    """Exact DAU/WAU/MAU rolling distinct counts per epoch day."""
+    from linkgraph.relational import _MAU_DAYS, _WAU_DAYS, q_active_users
+
+    ud = set()
+    for u, evs in user_streams.items():
+        for us, _, _ in evs:
+            ud.add((u, us // 1_000_000 // 86400))
+    days = sorted({d for _, d in ud})
+    got = {r["day"]: r for r in q_active_users(spark, SF_DIR).collect()}
+    assert sorted(got) == days
+    for day in days:
+        dau = {u for u, d in ud if d == day}
+        wau = {u for u, d in ud if day - _WAU_DAYS < d <= day}
+        mau = {u for u, d in ud if day - _MAU_DAYS < d <= day}
+        r = got[day]
+        assert (r["dau"], r["wau"], r["mau"]) == (len(dau), len(wau), len(mau))
+        assert r["stickiness_micro"] == (
+            2_000_000 * len(dau) + len(mau)
+        ) // (2 * len(mau))
