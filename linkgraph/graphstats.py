@@ -3546,6 +3546,171 @@ FROM curve ORDER BY week
 """
 
 
+# --------------------------------------------------------------------------
+# directed triad census (Holland & Leinhardt; Milo et al. network motifs):
+# every triangle of the undirected projection classified by its directed
+# pattern — n_recip = number of reciprocal (bidirectional) dyads (0..3);
+# for all-one-way triangles the two classic motifs are split out:
+# 'cycle' (a->b->c->a, motif 030C) vs 'ffl' (feed-forward a->b, a->c,
+# b->c, motif 030T).  Scale shape: identical to the oriented triangle
+# 2-join (each dyad keyed low<high so every triangle is produced exactly
+# once); the dyad-direction flags ride along the join, and the census is
+# a combinable groupBy over <=7 keys — no new shuffle class vs triangles.
+# --------------------------------------------------------------------------
+
+def q_triad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed triad census over the events graph's triangles.  Output
+    (n_recip, kind, n_triads) with kind in ('cycle','ffl','mixed')."""
+    dk = _directed_simple(spark, sf_dir)
+    dy = (
+        dk.select(
+            F.least("s", "t").alias("u"),
+            F.greatest("s", "t").alias("v"),
+            (F.col("s") < F.col("t")).cast("int").alias("fw"),
+            (F.col("s") > F.col("t")).cast("int").alias("bw"),
+        )
+        .groupBy("u", "v")
+        .agg(F.max("fw").alias("f"), F.max("bw").alias("b"))
+    )
+    d1 = dy.select(
+        F.col("u").alias("x"), F.col("v").alias("y"),
+        F.col("f").alias("f1"), F.col("b").alias("b1"),
+    )
+    d2 = dy.select(
+        F.col("u").alias("y"), F.col("v").alias("z"),
+        F.col("f").alias("f2"), F.col("b").alias("b2"),
+    )
+    d3 = dy.select(
+        F.col("u").alias("x"), F.col("v").alias("z"),
+        F.col("f").alias("f3"), F.col("b").alias("b3"),
+    )
+    tri = d1.join(d2, "y").join(d3, ["x", "z"]).withColumn(
+        "n_recip",
+        (F.col("f1") * F.col("b1") + F.col("f2") * F.col("b2")
+         + F.col("f3") * F.col("b3")).cast("long"),
+    )
+    # with n_recip == 0 every dyad is one-way (f == 1-b), so the triad is a
+    # 3-cycle iff the low->mid and mid->high arrows agree and the low->high
+    # arrow opposes them: (f1,f2,f3) in {(1,1,0),(0,0,1)}.
+    kind = (
+        F.when(F.col("n_recip") > 0, F.lit("mixed"))
+        .when(
+            (F.col("f1") == F.col("f2")) & (F.col("f3") != F.col("f1")),
+            F.lit("cycle"),
+        )
+        .otherwise(F.lit("ffl"))
+    )
+    return (
+        tri.groupBy("n_recip", kind.alias("kind"))
+        .agg(F.count(F.lit(1)).alias("n_triads"))
+    )
+
+
+SQL_TRIAD_CENSUS = (
+    "WITH "
+    + _GRAPH_CTES
+    + """,
+tc_dy AS (
+  SELECT least(s, t) AS u, greatest(s, t) AS v,
+         max(CASE WHEN s < t THEN 1 ELSE 0 END) AS f,
+         max(CASE WHEN s > t THEN 1 ELSE 0 END) AS b
+  FROM (SELECT DISTINCT s, t FROM ek WHERE s <> t) GROUP BY 1, 2
+), tc_tri AS (
+  SELECT d1.f AS f1, d1.b AS b1, d2.f AS f2, d2.b AS b2,
+         d3.f AS f3, d3.b AS b3
+  FROM tc_dy d1
+  JOIN tc_dy d2 ON d2.u = d1.v
+  JOIN tc_dy d3 ON d3.u = d1.u AND d3.v = d2.v
+)
+SELECT CAST(f1*b1 + f2*b2 + f3*b3 AS BIGINT) AS n_recip,
+       CASE WHEN f1*b1 + f2*b2 + f3*b3 > 0 THEN 'mixed'
+            WHEN f1 = f2 AND f3 <> f1 THEN 'cycle'
+            ELSE 'ffl' END AS kind,
+       CAST(count(*) AS BIGINT) AS n_triads
+FROM tc_tri GROUP BY 1, 2
+"""
+)
+
+
+# --------------------------------------------------------------------------
+# one-iteration SimRank (Jeh & Widom 2002): with s0 = identity, the first
+# iteration collapses to normalized co-citation — s1(a,b) = C * |I(a) n
+# I(b)| / (|I(a)| * |I(b)|) over in-neighbor sets I(.).  Scale shape: the
+# co-citation pair fan-out is sum_x outdeg(x)^2 (each SOURCE emits its
+# out-neighbor pairs), bounded on this graph by the tiny event-type
+# alphabet; on a web graph the production guard is the same out-degree
+# cap / salting knob jaccard_pairs carries.  Counts and degrees stay
+# exact integers; the one double (C*inter/(da*db)) is formed with the
+# identical op order in both engines, so the top-k cut is bit-stable.
+# --------------------------------------------------------------------------
+
+_SIMRANK_C = 0.8
+_SIMRANK_TOPK = 20
+
+
+def q_simrank_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 vertex pairs by one-iteration SimRank.  Output
+    (a, b, n_common_in, in_deg_a, in_deg_b, simrank1)."""
+    dk = _directed_simple(spark, sf_dir)
+    indeg = dk.groupBy(F.col("t").alias("x")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    e1 = dk.select(F.col("s").alias("src"), F.col("t").alias("a"))
+    e2 = dk.select(F.col("s").alias("src"), F.col("t").alias("b"))
+    inter = (
+        e1.join(e2, "src")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common_in"))
+    )
+    scored = (
+        inter
+        .join(indeg.select(F.col("x").alias("a"), F.col("d").alias("da")), "a")
+        .join(indeg.select(F.col("x").alias("b"), F.col("d").alias("db")), "b")
+        .withColumn(
+            "score",
+            F.lit(_SIMRANK_C) * F.col("n_common_in")
+            / (F.col("da") * F.col("db")),
+        )
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), "a", "b")
+        .limit(_SIMRANK_TOPK)
+        .select(
+            "a", "b",
+            F.col("n_common_in").cast("long").alias("n_common_in"),
+            F.col("da").cast("long").alias("in_deg_a"),
+            F.col("db").cast("long").alias("in_deg_b"),
+            F.round("score", 6).alias("simrank1"),
+        )
+    )
+
+
+SQL_SIMRANK_PAIRS = (
+    "WITH "
+    + _GRAPH_CTES
+    + f""",
+sr_dk AS (SELECT DISTINCT s, t FROM ek WHERE s <> t),
+sr_deg AS (SELECT t AS x, count(*) AS d FROM sr_dk GROUP BY t),
+sr_int AS (
+  SELECT e1.t AS a, e2.t AS b, count(*) AS n_common_in
+  FROM sr_dk e1 JOIN sr_dk e2 ON e2.s = e1.s AND e1.t < e2.t
+  GROUP BY 1, 2
+)
+SELECT a, b, CAST(n_common_in AS BIGINT) AS n_common_in,
+       CAST(da.d AS BIGINT) AS in_deg_a, CAST(db.d AS BIGINT) AS in_deg_b,
+       round(CAST({_SIMRANK_C!r} AS DOUBLE) * n_common_in / (da.d * db.d), 6)
+         AS simrank1
+FROM sr_int
+JOIN sr_deg da ON da.x = a
+JOIN sr_deg db ON db.x = b
+ORDER BY CAST({_SIMRANK_C!r} AS DOUBLE) * n_common_in / (da.d * db.d) DESC,
+         a, b
+LIMIT {_SIMRANK_TOPK}
+"""
+)
+
+
 def registry():
     return {
         "densest_subgraph": (q_densest_subgraph, SQL_DENSEST_SUBGRAPH),
@@ -3587,4 +3752,6 @@ def registry():
         "powerlaw_alpha": (q_powerlaw_alpha, SQL_POWERLAW_ALPHA),
         "edge_embeddedness": (q_edge_embeddedness, SQL_EDGE_EMBEDDEDNESS),
         "densification_curve": (q_densification, SQL_DENSIFICATION),
+        "triad_census": (q_triad_census, SQL_TRIAD_CENSUS),
+        "simrank_pairs": (q_simrank_pairs, SQL_SIMRANK_PAIRS),
     }

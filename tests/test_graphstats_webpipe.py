@@ -1689,3 +1689,77 @@ def test_densification_matches_python(spark):
         assert r["cum_vertices"] == cv
         assert r["cum_edges"] == ce
         assert r["avgdeg_micro"] == (2_000_000 * ce + cv) // (2 * cv)
+
+
+def test_triad_census_matches_python(spark, dk_edges):
+    """Directed triad census vs a pure-python dyad-flag triangle walk:
+    per-triangle reciprocal-dyad count and cycle/ffl split, totals equal
+    the undirected triangle count."""
+    import networkx as nx
+
+    from linkgraph.graphstats import q_triad_census
+
+    es = set(dk_edges)
+    dy: dict[tuple, list] = {}
+    for s, t in es:
+        u, v = (s, t) if s < t else (t, s)
+        fl = dy.setdefault((u, v), [0, 0])
+        if s < t:
+            fl[0] = 1
+        else:
+            fl[1] = 1
+    adj: dict = {}
+    for u, v in dy:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    ref: Counter = Counter()
+    for (u, v), (f1, b1) in dy.items():
+        for w in adj[u] & adj[v]:
+            if not (w > v):
+                continue
+            f2, b2 = dy[(v, w)]
+            f3, b3 = dy[(u, w)]
+            m = f1 * b1 + f2 * b2 + f3 * b3
+            if m > 0:
+                kind = "mixed"
+            elif f1 == f2 and f3 != f1:
+                kind = "cycle"
+            else:
+                kind = "ffl"
+            ref[(m, kind)] += 1
+    got = {
+        (r["n_recip"], r["kind"]): r["n_triads"]
+        for r in q_triad_census(spark, SF_DIR).collect()
+    }
+    assert got == dict(ref)
+    G = nx.Graph()
+    G.add_edges_from(dk_edges)
+    assert sum(got.values()) == sum(nx.triangles(G).values()) // 3
+
+
+def test_simrank_pairs_matches_python(spark, dk_edges):
+    """Top-20 one-iteration SimRank pairs vs an exact python in-neighbor
+    intersection sweep (same IEEE double op order)."""
+    from linkgraph.graphstats import _SIMRANK_C, _SIMRANK_TOPK, q_simrank_pairs
+
+    inn: dict = {}
+    for s, t in set(dk_edges):
+        inn.setdefault(t, set()).add(s)
+    scored = []
+    keys = sorted(inn)
+    for i, a in enumerate(keys):
+        for b in keys[i + 1:]:
+            inter = len(inn[a] & inn[b])
+            if inter:
+                scored.append(
+                    (a, b, inter, len(inn[a]), len(inn[b]),
+                     _SIMRANK_C * inter / (len(inn[a]) * len(inn[b])))
+                )
+    scored.sort(key=lambda r: (-r[5], r[0], r[1]))
+    ref = scored[:_SIMRANK_TOPK]
+    got = q_simrank_pairs(spark, SF_DIR).collect()
+    assert len(got) == len(ref)
+    for r, (a, b, inter, da, db, sc) in zip(got, ref):
+        assert (r["a"], r["b"], r["n_common_in"]) == (a, b, inter)
+        assert (r["in_deg_a"], r["in_deg_b"]) == (da, db)
+        assert r["simrank1"] == pytest.approx(sc, abs=1e-6)
