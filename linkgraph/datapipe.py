@@ -329,6 +329,201 @@ FROM tok GROUP BY doc_id
 
 
 # --------------------------------------------------------------------------
+# SimHash near-dup PAIRS via pigeonhole band blocking (Manku/Jain/Sarma,
+# WWW'07 — the production web-dedup design): split the 60-bit signature
+# into 4 bands of 15 bits; any pair within Hamming distance 3 must agree
+# on >=1 whole band (4 bands > 3 flipped bits), so the band-bucket
+# equi-join is a LOSSLESS candidate generator and the exact
+# bit_count(xor) filter never misses a pair.  Scale shape: candidates =
+# sum over (band, value) buckets of |bucket|^2 — never the O(n^2) cross
+# join; a crawl-scale corpus adds a max-bucket guard exactly like the
+# MinHash LSH path (doc_near_dups).
+# --------------------------------------------------------------------------
+
+_SH_BANDS = 4
+_SH_BAND_BITS = 15          # 4 x 15 == SIMHASH_BITS
+_SH_HAM_MAX = 3             # bands - 1: the pigeonhole guarantee boundary
+
+
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All doc pairs with SimHash Hamming distance <= 3, found via the
+    4x15-bit pigeonhole band join.  Output (doc_a, doc_b, hamming)."""
+    sh = doc_simhash(spark, sf_dir)
+    mask = (1 << _SH_BAND_BITS) - 1
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(*[
+                F.shiftright(F.col("simhash"), _SH_BAND_BITS * j)
+                .bitwiseAND(F.lit(mask))
+                for j in range(_SH_BANDS)
+            ])
+        ).alias("band", "bval"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sha"),
+        "band", "bval",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("shb"),
+        "band", "bval",
+    )
+    cand = (
+        a.join(b, ["band", "bval"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sha", "shb")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("sha").bitwiseXOR(F.col("shb"))).cast("long"),
+        )
+        .where(F.col("hamming") <= _SH_HAM_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+SQL_SIMHASH_PAIRS = f"""
+WITH sp_sh AS ({SQL_DOC_SIMHASH}),
+sp_b AS (
+  SELECT doc_id, simhash, j AS band,
+         (simhash >> ({_SH_BAND_BITS} * j)) & {(1 << _SH_BAND_BITS) - 1} AS bval
+  FROM sp_sh, unnest(generate_series(0, {_SH_BANDS - 1})) AS t(j)
+), sp_c AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sha, b.simhash AS shb
+  FROM sp_b a
+  JOIN sp_b b ON b.band = a.band AND b.bval = a.bval AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sha, shb)) AS BIGINT) AS hamming
+FROM sp_c WHERE bit_count(xor(sha, shb)) <= {_SH_HAM_MAX}
+"""
+
+
+# --------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer/Wilkerson/Aiken SIGMOD'03 — the MOSS
+# local document fingerprinting algorithm): hash every word-5-gram, slide
+# a window of 4 consecutive gram hashes, and select the minimum of each
+# window (rightmost position on hash ties).  Guarantees every shared run
+# of >= w+k-1 words produces a shared fingerprint, with ~2/(w+1) density.
+# The tie rule is encoded IN the comparison key — hash15 || '#' ||
+# zero-padded (10^8 - pos) — so one plain min() window aggregate realizes
+# "min hash, rightmost position" identically in both engines.
+# Scale shape: grams explode per doc, ONE doc-keyed shuffle, then
+# partition-local window minima; the cross-doc share count is a narrow
+# equi-join on the 15-hex fingerprint (gram-count bounded, never n^2).
+# --------------------------------------------------------------------------
+
+_WINNOW_K = 5   # words per gram
+_WINNOW_W = 4   # grams per winnow window
+
+
+def doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed fingerprint audit per doc: window count, selected
+    fingerprints ((hash,pos) pairs), and how many of the doc's distinct
+    fingerprint hashes also appear in another doc.  Docs with fewer than
+    k+w-1 words have no full window and emit nothing (both engines).
+    Output (doc_id, n_windows, n_fp, n_fp_shared)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", _words(F.col("text")).alias("w"))
+    gram_h = F.transform(
+        _gram_starts(F.col("w"), _WINNOW_K),
+        lambda i: F.substring(
+            F.md5(F.concat_ws(
+                " ",
+                *[F.element_at(F.col("w"), i + j) for j in range(_WINNOW_K)],
+            )),
+            1, 15,
+        ),
+    )
+    grams = w.select(
+        "doc_id", F.posexplode(gram_h).alias("pos0", "h")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.concat(
+            F.col("h"), F.lit("#"),
+            F.lpad((F.lit(100_000_000) - F.col("pos0") - 1).cast("string"),
+                   8, "0"),
+        ).alias("key"),
+    )
+    frame = (
+        Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(0, _WINNOW_W - 1)
+    )
+    part = Window.partitionBy("doc_id")
+    wins = (
+        grams
+        .withColumn("mk", F.min("key").over(frame))
+        .withColumn("ng", F.count(F.lit(1)).over(part))
+        .where(F.col("pos") <= F.col("ng") - (_WINNOW_W - 1))
+    )
+    per_doc = wins.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.countDistinct("mk").alias("n_fp"),
+    )
+    fpd = wins.select(
+        "doc_id", F.substring("mk", 1, 15).alias("fp")
+    ).distinct()
+    share = fpd.groupBy("fp").agg(F.count(F.lit(1)).alias("nd"))
+    shared = (
+        fpd.join(share, "fp")
+        .where(F.col("nd") >= 2)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_fp_shared"))
+    )
+    return per_doc.join(shared, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_windows").cast("long").alias("n_windows"),
+        F.col("n_fp").cast("long").alias("n_fp"),
+        F.coalesce(F.col("n_fp_shared"), F.lit(0)).cast("long")
+        .alias("n_fp_shared"),
+    )
+
+
+SQL_DOC_WINNOW = f"""
+WITH wn_b AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+), wn_k AS (
+  SELECT doc_id, i AS pos,
+         substr(md5(concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])), 1, 15)
+           || '#' || lpad(CAST(100000000 - i AS VARCHAR), 8, '0') AS key
+  FROM (
+    SELECT doc_id, w,
+           unnest(generate_series(1, greatest(len(w) - {_WINNOW_K - 1}, 0))) AS i
+    FROM wn_b
+  )
+), wn_w AS (
+  SELECT doc_id, pos,
+         min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING)
+           AS mk,
+         count(*) OVER (PARTITION BY doc_id) AS ng
+  FROM wn_k
+), wn_win AS (
+  SELECT doc_id, mk FROM wn_w WHERE pos <= ng - {_WINNOW_W - 1}
+), wn_doc AS (
+  SELECT doc_id, count(*) AS n_windows, count(DISTINCT mk) AS n_fp
+  FROM wn_win GROUP BY doc_id
+), wn_fpd AS (
+  SELECT DISTINCT doc_id, substr(mk, 1, 15) AS fp FROM wn_win
+), wn_share AS (
+  SELECT fp, count(*) AS nd FROM wn_fpd GROUP BY fp
+), wn_sh AS (
+  SELECT f.doc_id, count(*) AS n_fp_shared
+  FROM wn_fpd f JOIN wn_share s USING (fp)
+  WHERE s.nd >= 2 GROUP BY f.doc_id
+)
+SELECT d.doc_id, CAST(d.n_windows AS BIGINT) AS n_windows,
+       CAST(d.n_fp AS BIGINT) AS n_fp,
+       CAST(coalesce(s.n_fp_shared, 0) AS BIGINT) AS n_fp_shared
+FROM wn_doc d LEFT JOIN wn_sh s USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
 # text statistics / quality / language
 # --------------------------------------------------------------------------
 
@@ -3037,6 +3232,8 @@ WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {PP_TAU}
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
     return {
         "doc_split": (doc_split, SQL_DOC_SPLIT),
+        "simhash_pairs": (simhash_pairs, SQL_SIMHASH_PAIRS),
+        "doc_winnow": (doc_winnow, SQL_DOC_WINNOW),
         "split_ks": (split_ks, SQL_SPLIT_KS),
         "doc_split_leakfree": (doc_split_leakfree, SQL_DOC_SPLIT_LEAKFREE),
         "doc_shard_hrw": (doc_shard_hrw, SQL_DOC_SHARD_HRW),

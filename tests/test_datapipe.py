@@ -1147,3 +1147,77 @@ def test_bm25_topk_matches_python(spark):
     # ranks are contiguous 1..k per query (no gaps at the cut boundary)
     for q in _BM25_QUERY_DOCS:
         assert sorted(r for r, _d in got[q]) == list(range(1, len(got[q]) + 1))
+
+
+def test_simhash_pairs_matches_bruteforce(spark):
+    """Pigeonhole band-join pairs == exact O(n^2) Hamming<=3 sweep over
+    the collected signatures (lossless-blocking guarantee)."""
+    from linkgraph.datapipe import _SH_HAM_MAX, doc_simhash, simhash_pairs
+
+    sf = "/root/testdata/sf0.01"   # sf0.001 has too few docs for pairs
+    sig = {
+        r["doc_id"]: r["simhash"]
+        for r in doc_simhash(spark, sf).collect()
+    }
+    ids = sorted(sig)
+    ref = {
+        (a, b): bin(sig[a] ^ sig[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(sig[a] ^ sig[b]).count("1") <= _SH_HAM_MAX
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_pairs(spark, sf).collect()
+    }
+    assert got == ref
+    assert len(got) > 0  # the fixture actually exercises the band join
+
+
+def test_doc_winnow_matches_python(spark):
+    """Window counts / fingerprint selection / cross-doc sharing vs a
+    from-scratch sequential winnowing pass (Schleimer et al. definition:
+    min hash per window, rightmost on ties)."""
+    import hashlib
+
+    from linkgraph.datapipe import _WINNOW_K, _WINNOW_W, doc_winnow
+    from linkgraph.io import load_table
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF, "documents")
+        .select("doc_id", "text").collect()
+    }
+    ref = {}
+    fps: dict = {}
+    for did, text in docs.items():
+        ws = text.strip().lower().split(" ")
+        grams = [
+            " ".join(ws[i: i + _WINNOW_K])
+            for i in range(len(ws) - _WINNOW_K + 1)
+        ]
+        hs = [hashlib.md5(g.encode()).hexdigest()[:15] for g in grams]
+        nwin = len(hs) - _WINNOW_W + 1
+        if nwin <= 0:
+            continue
+        sel = set()
+        for p in range(nwin):
+            mn = min(hs[p: p + _WINNOW_W])
+            rp = max(
+                j for j in range(p, p + _WINNOW_W) if hs[j] == mn
+            )
+            sel.add((mn, rp))
+        ref[did] = (nwin, sel)
+        fps[did] = {h for h, _ in sel}
+    shared_count = {}
+    for did, f in fps.items():
+        shared_count[did] = sum(
+            1 for h in f
+            if any(h in f2 for d2, f2 in fps.items() if d2 != did)
+        )
+    got = {r["doc_id"]: r for r in doc_winnow(spark, SF).collect()}
+    assert set(got) == set(ref)
+    for did, (nwin, sel) in ref.items():
+        assert got[did]["n_windows"] == nwin
+        assert got[did]["n_fp"] == len(sel)
+        assert got[did]["n_fp_shared"] == shared_count[did]
