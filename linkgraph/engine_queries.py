@@ -132,6 +132,52 @@ GROUP BY size
 """
 
 
+def engine_components_warm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CC (the streaming-ingest posture): converge hash-min on
+    the 90%-of-users subset graph, carry the labels by STABLE KEY
+    (incremental.comps_by_key), then warm-start on the full graph.
+    Dropping a user's events only removes that user's own turn/tool edges
+    (per-user lead() sequences never relink across users), so the subset's
+    edge set is a strict subset of the full graph's — the additive-delta
+    precondition warm_components_init requires.  The CC fixed point is
+    schedule-independent, so the output is identical to engine_components
+    and the SAME recursive-CTE oracle hash-checks the entire incremental
+    path (seed join + warm supersteps).  Output (vkey, comp_key)."""
+    from .incremental import comps_by_key, warm_components_init
+
+    ev = load_table(spark, sf_dir, "events")
+    old_g = events_graph(ev.where(F.col("user_id") % 10 != 0))
+    old_ctx = GraphContext.build(old_g, _P)
+    try:
+        old = run_program(old_ctx, ComponentsProgram(), max_iter=100)
+        if not old.converged:
+            raise RuntimeError("engine_components_warm: subset CC diverged")
+        prev = comps_by_key(old_g, old.state)
+    finally:
+        old_ctx.unpersist()
+
+    g = events_graph(ev)
+    ctx = GraphContext.build(g, _P)
+    try:
+        init = warm_components_init(ctx, g, prev)
+        res = run_program(
+            ctx, ComponentsProgram(), max_iter=100, init_state=init
+        )
+        if not res.converged:
+            raise RuntimeError("engine_components_warm: warm CC diverged")
+        v = g.vertices.select("vkey", "vid")
+        comp_key = v.select(
+            F.col("vid").alias("comp"), F.col("vkey").alias("comp_key")
+        )
+        return (
+            res.state.join(v, "vid")
+            .join(comp_key, "comp")
+            .select("vkey", "comp_key")
+        )
+    finally:
+        ctx.unpersist()
+
+
 def engine_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-colorability / odd-cycle audit per component: hash-min CC picks
     each component's root, then BipartiteProgram propagates the 2-bit
@@ -691,6 +737,7 @@ def registry():
 
     return {
         "engine_components": (engine_components, SQL_ENGINE_COMPONENTS),
+        "engine_components_warm": (engine_components_warm, SQL_ENGINE_COMPONENTS),
         "component_sizes": (engine_component_sizes, SQL_ENGINE_COMPONENT_SIZES),
         "engine_bipartite": (engine_bipartite, SQL_ENGINE_BIPARTITE),
         "engine_triangles": (engine_triangles, SQL_TRIANGLE_COUNT),

@@ -57,3 +57,59 @@ def warm_pagerank_init(
     return ctx.vertex_base.join(
         seeded.select("vid", (F.col("rank") / F.lit(total)).alias("rank")), "vid"
     ).select("vid", "part_id", "dangling", "rank")
+
+
+def comps_by_key(graph: GraphTables, state: DataFrame) -> DataFrame:
+    """Converged vid-keyed CC labels -> portable (vtype, vkey, rep_vtype,
+    rep_vkey): each vertex tagged with its component REPRESENTATIVE's stable
+    key (the min-vid member), since raw vids are not stable across builds."""
+    v = graph.vertices
+    rep = v.select(
+        F.col("vid").alias("comp"),
+        F.col("vtype").alias("rep_vtype"),
+        F.col("vkey").alias("rep_vkey"),
+    )
+    return (
+        state.join(v, "vid")
+        .join(rep, "comp")
+        .select("vtype", "vkey", "rep_vtype", "rep_vkey")
+    )
+
+
+def warm_components_init(
+    ctx: GraphContext, graph: GraphTables, prev_comps: DataFrame
+) -> DataFrame:
+    """Initial hash-min CC state seeded from a previous converged run.
+
+    Each seed label is the NEW vid of the vertex's OLD component
+    representative (resolved by stable key), clamped by ``least`` with the
+    vertex's own vid to keep the hash-min monotone invariant.  SOUND ONLY
+    FOR ADDITIONS (new conversations / edges): under additions a vertex is
+    still connected to its old representative, so every seed stays inside
+    the vertex's true new component and min-propagation converges to the
+    same fixed point as a cold run — in supersteps that track the DELTA's
+    diameter, not the graph's.  After deletions components can split, a
+    carried label may leak across the cut, and the caller must run cold
+    (mirrors the additive-only guarantee of incremental CC maintenance).
+
+    Shuffle shape: two key equi-joins onto the new vertex map — never
+    touches edges; at 10^12-turn scale the seed costs one vertex-sized
+    join per ingest batch instead of a full re-converge.
+    """
+    v = graph.vertices
+    rep_vid = v.select(
+        F.col("vtype").alias("rep_vtype"),
+        F.col("vkey").alias("rep_vkey"),
+        F.col("vid").alias("rep_new_vid"),
+    )
+    seeded = (
+        v.join(prev_comps, ["vtype", "vkey"], "left")
+        .join(rep_vid, ["rep_vtype", "rep_vkey"], "left")
+        .select(
+            "vid",
+            F.least(
+                F.col("vid"), F.coalesce("rep_new_vid", F.col("vid"))
+            ).alias("comp"),
+        )
+    )
+    return ctx.vertex_base.join(seeded, "vid").select("vid", "part_id", "comp")

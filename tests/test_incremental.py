@@ -96,3 +96,43 @@ def test_warm_start_handles_shrunken_graph(spark):
     assert warm1.supersteps <= cold1.supersteps
     ctx0.unpersist()
     ctx1.unpersist()
+
+
+def test_warm_components_same_labels_fewer_supersteps(spark):
+    """Incremental CC (additive delta): warm-seeded hash-min must produce
+    EXACTLY the cold run's labels on the grown graph, in no more
+    supersteps."""
+    from linkgraph.incremental import comps_by_key, warm_components_init
+    from linkgraph.pregel import ComponentsProgram
+
+    base_t = synth_transcripts(spark, n_conversations=60, seed=42)
+    extra_t = synth_transcripts(spark, n_conversations=6, seed=43).withColumn(
+        "conv_id", F.concat(F.lit("x"), F.col("conv_id"))
+    )
+    grown_t = base_t.unionByName(extra_t)
+
+    g0 = build_graph(base_t)
+    ctx0 = GraphContext.build(g0, P)
+    cold0 = run_program(ctx0, ComponentsProgram(), max_iter=100)
+    assert cold0.converged
+    prev = comps_by_key(g0, cold0.state)
+
+    g1 = build_graph(grown_t)
+    ctx1 = GraphContext.build(g1, P)
+    cold1 = run_program(ctx1, ComponentsProgram(), max_iter=100)
+    assert cold1.converged
+
+    warm_init = warm_components_init(ctx1, g1, prev)
+    # every seed must already sit inside the vertex's true new component
+    truth = {r["vid"]: r["comp"] for r in cold1.state.collect()}
+    for r in warm_init.collect():
+        assert truth[r["comp"]] == truth[r["vid"]]
+    warm1 = run_program(
+        ctx1, ComponentsProgram(), max_iter=100, init_state=warm_init
+    )
+    assert warm1.converged
+    assert warm1.supersteps <= cold1.supersteps
+    got = {r["vid"]: r["comp"] for r in warm1.state.collect()}
+    assert got == truth
+    ctx0.unpersist()
+    ctx1.unpersist()
