@@ -3229,6 +3229,236 @@ WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {PP_TAU}
 """
 
 
+# --------------------------------------------------------------------------
+# Reciprocal-rank fusion of sparse (BM25) and dense (embedding-cosine)
+# retrieval (§2.15 row 224): the standard hybrid-retrieval combiner for a
+# RAG / training-data selection pipeline.  Each system produces its own
+# per-query ranking independently; RRF fuses them as
+# score(d) = Σ_systems 1/(K + rank_system(d)) with K=60 (Cormack et al.),
+# which needs no score calibration between systems.  Fixture: the three
+# BM25 query documents double as the dense queries via the synthetic
+# doc_id == vec_id identification (the tables are generated in lockstep).
+# --------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_POOL = 50   # per-system candidate pool depth fed to the fusion
+_RRF_TOPK = 10
+
+
+def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: per query, take the
+    top-``_RRF_POOL`` BM25 hits and the top-``_RRF_POOL`` exact-cosine
+    hits, fuse with 1/(K+rank) + 1/(K+rank), and emit the fused top-10.
+
+    Scale posture: the sparse side is the bm25_topk shape (query terms of
+    3 fixed docs broadcast against the term-sharded tf table, partial-agg
+    scoring); the dense side is 3 broadcast query vectors against one
+    corpus scan (never corpus x corpus); the fusion itself joins two
+    (3 x POOL)-row tables — negligible at any scale.  Ranks inside each
+    system use rounded-score + doc_id ordering so the pool boundary and
+    the fused order are engine-independent.  Absent-from-a-system ranks
+    surface as 0 (not NULL) so the output schema is nullable-free.
+    Output (query_id, rank, doc_id, rrf_score, r_sparse, r_dense)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(_words(F.col("text"))).alias("word"))
+        .where(F.col("word") != "")
+    )
+    tf = tok.groupBy("word", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    df_ = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    qterms = (
+        tok.where(F.col("doc_id").isin(*_BM25_QUERY_DOCS))
+        .select(F.col("doc_id").alias("query_id"), "word")
+        .distinct()
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_norm = (
+        F.col("tf") * (_BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + _BM25_K1
+            * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    sparse_scored = (
+        tf.join(F.broadcast(qterms), "word")
+        .join(
+            F.broadcast(
+                df_.join(qterms, "word").select("word", "df").distinct()
+            ),
+            "word",
+        )
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .where(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(idf * tf_norm), 6).alias("score"))
+    )
+    ws = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    sparse = (
+        sparse_scored.select(
+            "query_id", "doc_id", F.row_number().over(ws).alias("r_sparse")
+        )
+        .where(F.col("r_sparse") <= _RRF_POOL)
+    )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    v = em.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    ).withColumn(
+        "nrm", F.sqrt(F.aggregate("e", F.lit(0.0), lambda a, x: a + x * x))
+    )
+    q = v.where(F.col("vec_id").isin(*_BM25_QUERY_DOCS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qe", "e", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+    )
+    dsims = (
+        F.broadcast(q)
+        .crossJoin(v)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            F.round(dot / (F.col("qn") * F.col("nrm")), 6).alias("cs"),
+        )
+    )
+    wd = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("doc_id"))
+    dense = (
+        dsims.select(
+            "query_id", "doc_id", F.row_number().over(wd).alias("r_dense")
+        )
+        .where(F.col("r_dense") <= _RRF_POOL)
+    )
+
+    fused = sparse.join(dense, ["query_id", "doc_id"], "full_outer")
+    contrib_s = F.when(
+        F.col("r_sparse").isNotNull(),
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_sparse")),
+    ).otherwise(F.lit(0.0))
+    contrib_d = F.when(
+        F.col("r_dense").isNotNull(),
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_dense")),
+    ).otherwise(F.lit(0.0))
+    scored = fused.select(
+        "query_id",
+        "doc_id",
+        F.round(contrib_s + contrib_d, 6).alias("rrf_score"),
+        F.coalesce(F.col("r_sparse"), F.lit(0)).cast("int").alias("r_sparse"),
+        F.coalesce(F.col("r_dense"), F.lit(0)).cast("int").alias("r_dense"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("doc_id")
+    )
+    return (
+        scored.select(
+            "query_id",
+            F.row_number().over(wf).alias("rank"),
+            "doc_id",
+            "rrf_score",
+            "r_sparse",
+            "r_dense",
+        )
+        .where(F.col("rank") <= _RRF_TOPK)
+        .orderBy("query_id", "rank")
+    )
+
+
+SQL_RRF_FUSION = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word
+  FROM documents
+), tok2 AS (
+  SELECT doc_id, word FROM tok WHERE word <> ''
+), tf AS (
+  SELECT word, doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM tok2 GROUP BY word, doc_id
+), dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok2 GROUP BY doc_id
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+), dfr AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word
+), qterms AS (
+  SELECT DISTINCT doc_id AS query_id, word FROM tok2
+  WHERE doc_id IN {_BM25_QUERY_DOCS}
+), sparse_scored AS (
+  SELECT q.query_id, tf.doc_id,
+         round(sum(
+           ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * tf.tf * ({_BM25_K1} + 1)
+           / (tf.tf + {_BM25_K1}
+              * (1 - {_BM25_B} + {_BM25_B} * dl.dl / s.avgdl))
+         ), 6) AS score
+  FROM tf
+  JOIN qterms q ON q.word = tf.word
+  JOIN dfr d ON d.word = tf.word
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  WHERE tf.doc_id <> q.query_id
+  GROUP BY q.query_id, tf.doc_id
+), sparse AS (
+  SELECT query_id, doc_id, r_sparse FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id) AS r_sparse
+    FROM sparse_scored
+  ) WHERE r_sparse <= {_RRF_POOL}
+), v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), dsims AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS doc_id,
+         round(list_cosine_similarity(q.e, v.e), 6) AS cs
+  FROM v q JOIN v ON v.vec_id <> q.vec_id
+  WHERE q.vec_id IN {_BM25_QUERY_DOCS}
+), dense AS (
+  SELECT query_id, doc_id, r_dense FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cs DESC, doc_id) AS r_dense
+    FROM dsims
+  ) WHERE r_dense <= {_RRF_POOL}
+), fused AS (
+  SELECT COALESCE(s.query_id, d.query_id) AS query_id,
+         COALESCE(s.doc_id, d.doc_id) AS doc_id,
+         round(
+           CASE WHEN s.r_sparse IS NULL THEN 0.0
+                ELSE 1.0 / ({_RRF_K} + s.r_sparse) END
+           + CASE WHEN d.r_dense IS NULL THEN 0.0
+                  ELSE 1.0 / ({_RRF_K} + d.r_dense) END, 6) AS rrf_score,
+         CAST(COALESCE(s.r_sparse, 0) AS INT) AS r_sparse,
+         CAST(COALESCE(d.r_dense, 0) AS INT) AS r_dense
+  FROM sparse s
+  FULL OUTER JOIN dense d
+    ON s.query_id = d.query_id AND s.doc_id = d.doc_id
+)
+SELECT query_id, CAST(rank AS INT) AS rank, doc_id, rrf_score,
+       r_sparse, r_dense
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf_score DESC, doc_id) AS rank
+  FROM fused
+)
+WHERE rank <= {_RRF_TOPK}
+ORDER BY query_id, rank
+"""
+
+
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
     return {
         "doc_split": (doc_split, SQL_DOC_SPLIT),
@@ -3253,6 +3483,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "doc_quality_filter": (doc_quality_filter, SQL_DOC_QUALITY_FILTER),
         "inverted_index": (inverted_index, SQL_INVERTED_INDEX),
         "bm25_topk": (bm25_topk, SQL_BM25_TOPK),
+        "rrf_fusion": (rrf_fusion, SQL_RRF_FUSION),
         "langid_confusion": (langid_confusion, SQL_LANGID_CONFUSION),
         "word_pmi": (word_pmi, SQL_WORD_PMI),
         "doc_fingerprint": (doc_fingerprint, SQL_DOC_FINGERPRINT),

@@ -1221,3 +1221,57 @@ def test_doc_winnow_matches_python(spark):
         assert got[did]["n_windows"] == nwin
         assert got[did]["n_fp"] == len(sel)
         assert got[did]["n_fp_shared"] == shared_count[did]
+
+
+def test_rrf_fusion_consistency_and_dense_ranks(spark):
+    """RRF output is internally consistent (score recomputable from the
+    reported per-system ranks, contiguous fused ranks, pool bounds) and the
+    dense-side ranks agree with a from-scratch numpy exact-cosine ranking."""
+    from linkgraph.datapipe import (
+        _BM25_QUERY_DOCS,
+        _RRF_K,
+        _RRF_POOL,
+        _RRF_TOPK,
+        rrf_fusion,
+    )
+    from linkgraph.io import load_table
+
+    out = rrf_fusion(spark, SF).toPandas()
+
+    # structural invariants
+    assert set(out["query_id"]) == set(_BM25_QUERY_DOCS)
+    for q, grp in out.groupby("query_id"):
+        assert list(grp.sort_values("rank")["rank"]) == list(
+            range(1, len(grp) + 1)
+        )
+        assert len(grp) <= _RRF_TOPK
+        s = grp.sort_values("rank")["rrf_score"].to_numpy()
+        assert (np.diff(s) <= 1e-12).all()  # non-increasing
+    assert ((out["r_sparse"] >= 0) & (out["r_sparse"] <= _RRF_POOL)).all()
+    assert ((out["r_dense"] >= 0) & (out["r_dense"] <= _RRF_POOL)).all()
+    # a fused doc must come from at least one system pool
+    assert ((out["r_sparse"] > 0) | (out["r_dense"] > 0)).all()
+
+    # score == 1/(K+r_sparse) + 1/(K+r_dense) over the present systems
+    want_score = np.where(
+        out["r_sparse"] > 0, 1.0 / (_RRF_K + out["r_sparse"]), 0.0
+    ) + np.where(out["r_dense"] > 0, 1.0 / (_RRF_K + out["r_dense"]), 0.0)
+    assert np.allclose(out["rrf_score"], np.round(want_score, 6), atol=5e-7)
+
+    # dense ranks match a numpy exact-cosine reference (rounded-sim,
+    # doc_id tiebreak — the same ordering contract as the engine)
+    em = load_table(spark, SF, "embeddings").toPandas()
+    ids = em["vec_id"].to_numpy(np.int64)
+    mat = np.stack([np.asarray(e, dtype=np.float64) for e in em["embedding"]])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    for q in _BM25_QUERY_DOCS:
+        qi = int(np.searchsorted(ids, q))
+        sims = np.round(mat @ mat[qi], 6)
+        cand = [(s, i) for s, i in zip(sims, ids) if i != q]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        rank_of = {i: r + 1 for r, (_s, i) in enumerate(cand[:_RRF_POOL])}
+        sub = out[(out["query_id"] == q) & (out["r_dense"] > 0)]
+        for _, row in sub.iterrows():
+            assert rank_of[int(row["doc_id"])] == int(row["r_dense"])
