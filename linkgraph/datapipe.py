@@ -3459,6 +3459,226 @@ ORDER BY query_id, rank
 """
 
 
+# --------------------------------------------------------------------------
+# Maximal-marginal-relevance diversified re-ranking (§2.15 row 225):
+# Carbonell-Goldstein SIGIR'98 — the greedy rerank every retrieval corpus
+# build uses to de-duplicate a result list before it reaches a context
+# window.  Greedy step: argmax_d  mu_rel*rel(d) - mu_div*max_{s in S}
+# sim(d, s); the first pick is pure relevance.  Sequential by nature, so
+# the Spark shape is a grouped VECTORIZED pandas map over per-query
+# candidate pools (bounded at _MMR_POOL rows — never corpus-sized), and
+# the oracle is the same greedy unrolled to _MMR_K picks in SQL.
+# --------------------------------------------------------------------------
+
+_MMR_REL = 0.7   # relevance weight  (emitted into BOTH engines' literals
+_MMR_DIV = 0.3   # diversity weight   via repr so the doubles are identical)
+_MMR_POOL = 20
+_MMR_K = 5
+
+
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-``_MMR_K`` per query over the exact-cosine
+    top-``_MMR_POOL`` candidate pool.
+
+    Scale posture: relevance = 3 broadcast query vectors against one
+    corpus scan; the sequential greedy runs inside ``applyInPandas`` on
+    20-row groups (numpy pairwise sims on a 20x20 block) — the work per
+    query is O(POOL^2) regardless of corpus size, and queries fan out
+    across partitions.  Cross-engine determinism: rel and candidate
+    pairwise sims are rounded to 6 decimals BEFORE the greedy, the score
+    arithmetic uses the same decimal literals both sides, and every
+    argmax tiebreaks by doc_id.  Output (query_id, rank, doc_id,
+    mmr_score, rel)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    v = em.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    ).withColumn(
+        "nrm", F.sqrt(F.aggregate("e", F.lit(0.0), lambda a, x: a + x * x))
+    )
+    q = v.where(F.col("vec_id").isin(*_BM25_QUERY_DOCS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qe", "e", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+    )
+    sims = (
+        F.broadcast(q)
+        .crossJoin(v)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            F.round(dot / (F.col("qn") * F.col("nrm")), 6).alias("rel"),
+            "e",
+            "nrm",
+        )
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("doc_id"))
+    cand = sims.withColumn("rk", F.row_number().over(wp)).where(
+        F.col("rk") <= _MMR_POOL
+    )
+
+    # pairwise candidate sims rounded JVM-side with F.round (the same
+    # half-up rounding DuckDB uses); the greedy UDF then works on inputs
+    # that are bit-identical across engines, so its score arithmetic —
+    # and therefore the emitted unrounded double — is too.
+    pdot = F.aggregate(
+        F.zip_with("e", "eb", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+    )
+    pairs = (
+        cand.select("query_id", "doc_id", "e", "nrm")
+        .join(
+            cand.select(
+                "query_id",
+                F.col("doc_id").alias("db"),
+                F.col("e").alias("eb"),
+                F.col("nrm").alias("nb"),
+            ),
+            "query_id",
+        )
+        .where(F.col("db") != F.col("doc_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            "db",
+            F.round(pdot / (F.col("nrm") * F.col("nb")), 6).alias("s"),
+        )
+    )
+    simarr = pairs.groupBy("query_id", "doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("db", "s"))).alias("sims")
+    )
+    g = cand.select("query_id", "doc_id", "rel").join(
+        simarr, ["query_id", "doc_id"]
+    )
+
+    mu_rel, mu_div, k = _MMR_REL, _MMR_DIV, _MMR_K
+
+    def _greedy(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        ids = pdf["doc_id"].to_numpy(np.int64)
+        rel = pdf["rel"].to_numpy(np.float64)
+        n = len(ids)
+        pos = {int(i): p for p, i in enumerate(ids)}
+        s = np.zeros((n, n), dtype=np.float64)
+        for i, row in enumerate(pdf["sims"]):
+            for ent in row:
+                s[i, pos[int(ent["db"])]] = float(ent["s"])
+        picked: list[int] = []
+        scores: list[float] = []
+        avail = np.ones(n, dtype=bool)
+        for step in range(min(k, n)):
+            if step == 0:
+                sc = rel.copy()
+            else:
+                ms = s[:, picked].max(axis=1)
+                sc = mu_rel * rel - mu_div * ms
+            sc_m = np.where(avail, sc, -np.inf)
+            best = int(np.flatnonzero(sc_m == sc_m.max())[0])  # doc_id tiebreak
+            picked.append(best)
+            scores.append(float(sc_m[best]))
+            avail[best] = False
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[0],
+                "rank": np.arange(1, len(picked) + 1, dtype=np.int32),
+                "doc_id": ids[picked],
+                "mmr_score": scores,
+                "rel": rel[picked],
+            }
+        )
+
+    return (
+        g.groupBy("query_id")
+        .applyInPandas(
+            _greedy,
+            "query_id long, rank int, doc_id long, mmr_score double, rel double",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _mmr_sql(k: int) -> str:
+    """Unrolled ``k``-pick greedy MMR oracle (same pools, literals,
+    rounding, and doc_id tiebreaks as the Spark side)."""
+    ctes = [
+        f"""v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+)""",
+        f"""cand AS (
+  SELECT query_id, doc_id, rel, e FROM (
+    SELECT q.vec_id AS query_id, v.vec_id AS doc_id,
+           round(list_cosine_similarity(q.e, v.e), 6) AS rel, v.e AS e,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(q.e, v.e), 6) DESC,
+                      v.vec_id) AS rk
+    FROM v q JOIN v ON v.vec_id <> q.vec_id
+    WHERE q.vec_id IN {_BM25_QUERY_DOCS}
+  ) WHERE rk <= {_MMR_POOL}
+)""",
+        """pairs AS (
+  SELECT a.query_id, a.doc_id AS da, b.doc_id AS db,
+         round(list_cosine_similarity(a.e, b.e), 6) AS s
+  FROM cand a JOIN cand b
+    ON a.query_id = b.query_id AND a.doc_id <> b.doc_id
+)""",
+        """pick1 AS (
+  SELECT query_id, doc_id, rel AS score, rel FROM (
+    SELECT query_id, doc_id, rel,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY rel DESC, doc_id) AS rn
+    FROM cand
+  ) WHERE rn = 1
+)""",
+        "sel1 AS (SELECT query_id, doc_id FROM pick1)",
+    ]
+    for i in range(2, k + 1):
+        ctes.append(
+            f"""pick{i} AS (
+  SELECT query_id, doc_id, score, rel FROM (
+    SELECT c.query_id, c.doc_id,
+           {_MMR_REL!r} * c.rel - {_MMR_DIV!r} * ms.m AS score, c.rel,
+           row_number() OVER (
+             PARTITION BY c.query_id
+             ORDER BY {_MMR_REL!r} * c.rel - {_MMR_DIV!r} * ms.m DESC,
+                      c.doc_id) AS rn
+    FROM cand c
+    JOIN (
+      SELECT p.query_id, p.da AS doc_id, max(p.s) AS m
+      FROM pairs p JOIN sel{i - 1} s
+        ON p.query_id = s.query_id AND p.db = s.doc_id
+      GROUP BY p.query_id, p.da
+    ) ms ON ms.query_id = c.query_id AND ms.doc_id = c.doc_id
+    ANTI JOIN sel{i - 1} s2
+      ON s2.query_id = c.query_id AND s2.doc_id = c.doc_id
+  ) WHERE rn = 1
+)"""
+        )
+        ctes.append(
+            f"sel{i} AS (SELECT * FROM sel{i - 1} "
+            f"UNION ALL SELECT query_id, doc_id FROM pick{i})"
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT query_id, CAST({i} AS INT) AS rank, doc_id, "
+        f"score AS mmr_score, rel FROM pick{i}"
+        for i in range(1, k + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\nSELECT * FROM (\n" + unions
+        + "\n) ORDER BY query_id, rank"
+    )
+
+
+SQL_MMR_RERANK = _mmr_sql(_MMR_K)
+
+
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
     return {
         "doc_split": (doc_split, SQL_DOC_SPLIT),
@@ -3484,6 +3704,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "inverted_index": (inverted_index, SQL_INVERTED_INDEX),
         "bm25_topk": (bm25_topk, SQL_BM25_TOPK),
         "rrf_fusion": (rrf_fusion, SQL_RRF_FUSION),
+        "mmr_rerank": (mmr_rerank, SQL_MMR_RERANK),
         "langid_confusion": (langid_confusion, SQL_LANGID_CONFUSION),
         "word_pmi": (word_pmi, SQL_WORD_PMI),
         "doc_fingerprint": (doc_fingerprint, SQL_DOC_FINGERPRINT),

@@ -1275,3 +1275,63 @@ def test_rrf_fusion_consistency_and_dense_ranks(spark):
         sub = out[(out["query_id"] == q) & (out["r_dense"] > 0)]
         for _, row in sub.iterrows():
             assert rank_of[int(row["doc_id"])] == int(row["r_dense"])
+
+
+def test_mmr_rerank_greedy_optimality(spark):
+    """Each MMR pick is greedy-optimal: replaying the selection with a
+    from-scratch numpy rel/sim computation, the picked doc's MMR score is
+    >= every unpicked candidate's (within a rounding-boundary tolerance),
+    and the reported mmr_score matches the recomputed one."""
+    from linkgraph.datapipe import (
+        _BM25_QUERY_DOCS,
+        _MMR_DIV,
+        _MMR_POOL,
+        _MMR_REL,
+        mmr_rerank,
+    )
+    from linkgraph.io import load_table
+
+    out = mmr_rerank(spark, SF).toPandas()
+    em = load_table(spark, SF, "embeddings").toPandas()
+    ids = em["vec_id"].to_numpy(np.int64)
+    mat = np.stack([np.asarray(e, dtype=np.float64) for e in em["embedding"]])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    idx = {int(i): p for p, i in enumerate(ids)}
+    tol = 2e-6
+
+    assert set(out["query_id"]) == set(_BM25_QUERY_DOCS)
+    for q, grp in out.groupby("query_id"):
+        grp = grp.sort_values("rank")
+        assert list(grp["rank"]) == list(range(1, len(grp) + 1))
+        assert grp["doc_id"].is_unique
+
+        qi = idx[int(q)]
+        rel_all = np.round(mat @ mat[qi], 6)
+        cand = sorted(
+            ((r, int(i)) for r, i in zip(rel_all, ids) if int(i) != int(q)),
+            key=lambda t: (-t[0], t[1]),
+        )[: _MMR_POOL + 2]  # +2: tolerate pool-cut rounding boundaries
+        pool = {d for _r, d in cand}
+        rel = {d: r for r, d in cand}
+
+        sel: list[int] = []
+        for _, row in grp.iterrows():
+            d = int(row["doc_id"])
+            assert d in pool
+            def score(c):
+                if not sel:
+                    return rel[c]
+                ms = max(
+                    np.round(float(mat[idx[c]] @ mat[idx[s]]), 6) for s in sel
+                )
+                return _MMR_REL * rel[c] - _MMR_DIV * ms
+            got = score(d)
+            assert abs(got - row["mmr_score"]) < tol
+            best_other = max(
+                (score(c) for c in pool if c not in sel and c != d),
+                default=-np.inf,
+            )
+            assert got >= best_other - tol
+            sel.append(d)
