@@ -1409,9 +1409,104 @@ FROM u
 """
 
 
+# --------------------------------------------------------------------------
+# Anchor-text aggregation per target host (§2.15 row 226): the classic
+# web-graph inversion — text flows along hyperlinks from the CITING page
+# to the CITED host, and the aggregate of incoming anchor terms becomes a
+# ranking / training signal for the target (how Google indexed pages it
+# never crawled).  Link fixture (the webpipe discipline — the synthetic
+# corpus carries no links): every doc cites host h(doc_id%23).example
+# with its first 4 words as the anchor, and h((7*doc_id+3)%23).example
+# with words 5..8.
+# --------------------------------------------------------------------------
+
+_ANCHOR_TOPK = 5
+
+
+def q_host_anchor_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``_ANCHOR_TOPK`` incoming anchor terms per target host, with
+    per-host link/doc totals carried on each row.
+
+    Scale posture: the link fixture is a pure column expression; the term
+    flow is explode → one combinable groupBy((host, term)) whose result
+    is host-vocabulary-sized, not corpus-sized; the per-host top-k is a
+    window over that small aggregate; totals join back broadcast-sized.
+    Nothing in the plan grows faster than (hosts x anchor vocabulary).
+    Output (host, rk, term, n, n_links, n_docs)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.lower(F.trim("text")), " ")
+    host1 = F.concat(
+        F.lit("h"), (F.col("doc_id") % 23).cast("string"), F.lit(".example")
+    )
+    host2 = F.concat(
+        F.lit("h"),
+        ((F.col("doc_id") * 7 + 3) % 23).cast("string"),
+        F.lit(".example"),
+    )
+    links = d.select(
+        "doc_id", host1.alias("host"), F.slice(w, 1, 4).alias("anchor")
+    ).unionAll(
+        d.select(
+            "doc_id", host2.alias("host"), F.slice(w, 5, 4).alias("anchor")
+        )
+    )
+    terms = links.select(
+        "doc_id", "host", F.explode("anchor").alias("term")
+    ).where(F.col("term") != "")
+    counts = terms.groupBy("host", "term").agg(F.count(F.lit(1)).alias("n"))
+    totals = links.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    wk = Window.partitionBy("host").orderBy(F.desc("n"), F.asc("term"))
+    return (
+        counts.withColumn("rk", F.row_number().over(wk))
+        .where(F.col("rk") <= _ANCHOR_TOPK)
+        .join(F.broadcast(totals), "host")
+        .select("host", "rk", "term", "n", "n_links", "n_docs")
+    )
+
+
+SQL_HOST_ANCHOR_TERMS = f"""
+WITH w AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents
+), links AS (
+  SELECT doc_id,
+         'h' || CAST(doc_id % 23 AS VARCHAR) || '.example' AS host,
+         list_slice(ws, 1, 4) AS anchor
+  FROM w
+  UNION ALL
+  SELECT doc_id,
+         'h' || CAST((doc_id * 7 + 3) % 23 AS VARCHAR) || '.example' AS host,
+         list_slice(ws, 5, 8) AS anchor
+  FROM w
+), terms AS (
+  SELECT doc_id, host, t.term
+  FROM links, unnest(anchor) AS t(term)
+  WHERE t.term <> ''
+), counts AS (
+  SELECT host, term, CAST(count(*) AS BIGINT) AS n
+  FROM terms GROUP BY host, term
+), totals AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_links,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM links GROUP BY host
+)
+SELECT c.host, CAST(rk AS INT) AS rk, term, n, n_links, n_docs
+FROM (
+  SELECT host, term, n,
+         row_number() OVER (PARTITION BY host
+                            ORDER BY n DESC, term) AS rk
+  FROM counts
+) c JOIN totals t ON t.host = c.host
+WHERE rk <= {_ANCHOR_TOPK}
+"""
+
+
 def registry():
     return {
         "url_host_edges": (q_url_host_edges, SQL_URL_HOST_EDGES),
+        "host_anchor_terms": (q_host_anchor_terms, SQL_HOST_ANCHOR_TERMS),
         "url_blocklist": (q_url_blocklist, SQL_URL_BLOCKLIST),
         "doc_pii": (q_doc_pii, SQL_DOC_PII),
         "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),

@@ -1763,3 +1763,40 @@ def test_simrank_pairs_matches_python(spark, dk_edges):
         assert (r["a"], r["b"], r["n_common_in"]) == (a, b, inter)
         assert (r["in_deg_a"], r["in_deg_b"]) == (da, db)
         assert r["simrank1"] == pytest.approx(sc, abs=1e-6)
+
+
+def test_host_anchor_terms_matches_python(spark, docs):
+    """Per-host top-5 anchor terms == a from-scratch Counter over the same
+    deterministic link fixture (first-4 / words-5..8 anchors)."""
+    from collections import Counter as C
+
+    from linkgraph.webpipe import _ANCHOR_TOPK, q_host_anchor_terms
+
+    counts: dict[str, C] = {}
+    links: dict[str, int] = {}
+    citing: dict[str, set] = {}
+    for d, text in docs.items():
+        ws = text.strip().lower().split(" ")
+        for host, anchor in (
+            (f"h{d % 23}.example", ws[0:4]),
+            (f"h{(d * 7 + 3) % 23}.example", ws[4:8]),
+        ):
+            links[host] = links.get(host, 0) + 1
+            citing.setdefault(host, set()).add(d)
+            counts.setdefault(host, C()).update(w for w in anchor if w)
+
+    want = {}
+    for host, c in counts.items():
+        top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:_ANCHOR_TOPK]
+        want[host] = [
+            (rk + 1, t, n, links[host], len(citing[host]))
+            for rk, (t, n) in enumerate(top)
+        ]
+
+    got: dict[str, list] = {}
+    for r in q_host_anchor_terms(spark, SF_DIR).collect():
+        got.setdefault(r["host"], []).append(
+            (r["rk"], r["term"], r["n"], r["n_links"], r["n_docs"])
+        )
+    got = {h: sorted(v) for h, v in got.items()}
+    assert got == want
