@@ -1099,6 +1099,118 @@ FROM j
 """
 
 
+# --------------------------------------------------------------------------
+# kNN label-consistency audit (§2.15 row 227): for every vector, how many
+# of its k=5 exact-cosine nearest neighbours carry the SAME label — the
+# standard embedding-space dataset-quality probe (label noise shows up as
+# low agreement; a clean, separable labelling approaches 1.0).  Aggregated
+# per label in exact integer micro-units so the cross-engine hash never
+# touches a summed double.
+# --------------------------------------------------------------------------
+
+_PURITY_MICRO = 1_000_000
+
+
+def emb_knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label kNN agreement: n_vecs, summed same-label neighbour count,
+    mean agreement in integer micro-units, and the count of "pure" (all k
+    agree) and "isolated" (none agree) vectors.
+
+    The all-pairs scoring here is the exact-oracle scope (same contract as
+    ann_topk_cosine / knn_graph_mutual); the 100 TB path feeds the SAME
+    per-vector top-k from the LSH/IVF candidate generators instead of the
+    cross join — the audit aggregate downstream of the kNN is one
+    combinable groupBy(label).  Output (label, n_vecs, sum_agree,
+    agree_micro, n_pure, n_isolated)."""
+    from .io import load_table
+
+    v = _vectors(spark, sf_dir)
+    lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    a = v.select(
+        F.col("vec_id").alias("a"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    bb = v.select(F.col("vec_id").alias("b"), "e", "nrm")
+    pairs = (
+        a.crossJoin(bb)
+        .where(F.col("a") != F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.round(_dot() / (F.col("qn") * F.col("nrm")), 6).alias("c"),
+        )
+    )
+    w = Window.partitionBy("a").orderBy(F.desc("c"), F.asc("b"))
+    topk = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= KNN_K)
+        .select("a", "b")
+    )
+    la = F.broadcast(lab.select(F.col("vec_id").alias("a"), F.col("label").alias("la")))
+    lb = F.broadcast(lab.select(F.col("vec_id").alias("b"), F.col("label").alias("lb")))
+    per_vec = (
+        topk.join(la, "a")
+        .join(lb, "b")
+        .groupBy("a", "la")
+        .agg(
+            F.sum((F.col("lb") == F.col("la")).cast("long")).alias("agree"),
+            F.count(F.lit(1)).alias("k_eff"),
+        )
+    )
+    return (
+        per_vec.groupBy(F.col("la").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("agree").alias("sum_agree"),
+            F.floor(
+                F.lit(_PURITY_MICRO) * F.sum("agree") / F.sum("k_eff")
+            ).cast("long").alias("agree_micro"),
+            F.sum((F.col("agree") == F.col("k_eff")).cast("long")).alias("n_pure"),
+            F.sum((F.col("agree") == 0).cast("long")).alias("n_isolated"),
+        )
+        .orderBy("label")
+    )
+
+
+SQL_EMB_KNN_LABEL_PURITY = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), p AS (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         round(list_cosine_similarity(a.e, b.e), 6) AS c
+  FROM v a JOIN v b ON a.vec_id <> b.vec_id
+), topk AS (
+  SELECT a, b FROM (
+    SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY c DESC, b) AS rn
+    FROM p
+  ) WHERE rn <= {KNN_K}
+), per_vec AS (
+  SELECT t.a, ea.label AS la,
+         CAST(sum(CASE WHEN eb.label = ea.label THEN 1 ELSE 0 END) AS BIGINT)
+           AS agree,
+         CAST(count(*) AS BIGINT) AS k_eff
+  FROM topk t
+  JOIN embeddings ea ON ea.vec_id = t.a
+  JOIN embeddings eb ON eb.vec_id = t.b
+  GROUP BY t.a, ea.label
+)
+SELECT la AS label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(agree) AS BIGINT) AS sum_agree,
+       CAST(floor({_PURITY_MICRO} * sum(agree) / sum(k_eff)) AS BIGINT)
+         AS agree_micro,
+       CAST(sum(CASE WHEN agree = k_eff THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pure,
+       CAST(sum(CASE WHEN agree = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_isolated
+FROM per_vec
+GROUP BY la
+ORDER BY la
+"""
+
+
 def registry():
     return {
         "emb_drift": (emb_drift, SQL_EMB_DRIFT),
@@ -1114,4 +1226,5 @@ def registry():
         "ann_pq_recall": (ann_pq_recall, SQL_ANN_PQ_RECALL),
         "emb_semdedup": (emb_semdedup, SQL_EMB_SEMDEDUP),
         "knn_graph_mutual": (knn_graph_mutual, SQL_KNN_GRAPH_MUTUAL),
+        "emb_knn_label_purity": (emb_knn_label_purity, SQL_EMB_KNN_LABEL_PURITY),
     }

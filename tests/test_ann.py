@@ -362,3 +362,52 @@ def test_emb_drift_matches_numpy(spark):
     # is unconstrained — only well-definedness is invariant here
     assert -1.0 <= row["cos_means"] <= 1.0
     assert row["l2_shift"] >= 0.0
+
+
+def test_emb_knn_label_purity_matches_numpy(spark):
+    """Per-label kNN agreement == a from-scratch numpy exact-cosine
+    reference (same rounded-sim + vec_id-tiebreak neighbour ranking)."""
+    import numpy as np
+
+    from linkgraph.ann import KNN_K, _PURITY_MICRO, emb_knn_label_purity
+    from linkgraph.io import load_table
+
+    sf = "/root/testdata/sf0.001"
+    em = load_table(spark, sf, "embeddings").toPandas()
+    ids = em["vec_id"].to_numpy(np.int64)
+    labels = dict(zip(ids, em["label"].to_numpy(np.int64)))
+    mat = np.stack([np.asarray(e, dtype=np.float64) for e in em["embedding"]])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+
+    per_label: dict[int, list[tuple[int, int]]] = {}
+    sims = np.round(mat @ mat.T, 6)
+    for i, a in enumerate(ids):
+        cand = sorted(
+            ((sims[i, j], int(b)) for j, b in enumerate(ids) if b != a),
+            key=lambda t: (-t[0], t[1]),
+        )[:KNN_K]
+        agree = sum(1 for _s, b in cand if labels[b] == labels[int(a)])
+        per_label.setdefault(labels[int(a)], []).append((agree, len(cand)))
+
+    want = {}
+    for lab, rows in per_label.items():
+        sa = sum(a for a, _k in rows)
+        sk = sum(k for _a, k in rows)
+        want[lab] = (
+            len(rows),
+            sa,
+            int(np.floor(_PURITY_MICRO * sa / sk)),
+            sum(1 for a, k in rows if a == k),
+            sum(1 for a, _k in rows if a == 0),
+        )
+
+    got = {
+        r["label"]: (
+            r["n_vecs"], r["sum_agree"], r["agree_micro"],
+            r["n_pure"], r["n_isolated"],
+        )
+        for r in emb_knn_label_purity(spark, sf).collect()
+    }
+    assert got == want
