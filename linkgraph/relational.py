@@ -1907,6 +1907,95 @@ FROM stats
 SQL_KMV_DISTINCT = _sql_kmv()
 
 
+# --------------------------------------------------------------------------
+# Market-basket association rules (§2.15 row 228): support / lift for part
+# pairs co-ordered in the same order — the classic co-purchase signal (and
+# the same co-occurrence shape as "trained-together document pairs" in a
+# corpus).  All outputs are exact integers (lift in micro-units) so the
+# cross-engine hash never sees a summed double.
+# --------------------------------------------------------------------------
+
+_BASKET_MIN_PAIR = 2   # min co-occurrence count (prunes the singleton tail)
+_BASKET_TOPK = 20
+
+
+def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``_BASKET_TOPK`` part pairs by lift among pairs co-ordered in
+    >= ``_BASKET_MIN_PAIR`` orders.
+
+    Scale posture: baskets are DISTINCT (order, part) rows; the pair
+    fan-out is a per-order self-join bounded by basket-size² (TPC-H ~7
+    lines/order; a production guard caps basket size exactly like the
+    jaccard_pairs max_deg knob), never parts² or orders²; per-part counts
+    broadcast back onto the (already aggregated) pair table; the total
+    order count is a 1-row broadcast aggregate, not a collect.
+    lift = P(a,b) / (P(a)P(b)) emitted as floor(1e6 * n_ab * N / (n_a *
+    n_b)) — identical integer/double ops both engines.  Output (part_a,
+    part_b, n_ab, n_a, n_b, n_orders, lift_micro)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    tot = li.agg(F.countDistinct("ok").alias("n_orders"))
+    per_part = li.groupBy("pk").agg(F.count(F.lit(1)).alias("n_p"))
+    a = li.select("ok", F.col("pk").alias("part_a"))
+    b = li.select("ok", F.col("pk").alias("part_b"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= _BASKET_MIN_PAIR)
+    )
+    na = F.broadcast(per_part.select(F.col("pk").alias("part_a"), F.col("n_p").alias("n_a")))
+    nb = F.broadcast(per_part.select(F.col("pk").alias("part_b"), F.col("n_p").alias("n_b")))
+    return (
+        pairs.join(na, "part_a")
+        .join(nb, "part_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            "n_orders",
+            F.floor(
+                F.lit(1_000_000) * F.col("n_ab") * F.col("n_orders")
+                / (F.col("n_a") * F.col("n_b"))
+            ).cast("long").alias("lift_micro"),
+        )
+        .orderBy(F.desc("lift_micro"), "part_a", "part_b")
+        .limit(_BASKET_TOPK)
+    )
+
+
+SQL_BASKET_LIFT = f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+), tot AS (
+  SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM li
+), per_part AS (
+  SELECT pk, CAST(count(*) AS BIGINT) AS n_p FROM li GROUP BY pk
+), pairs AS (
+  SELECT a.pk AS part_a, b.pk AS part_b, CAST(count(*) AS BIGINT) AS n_ab
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY a.pk, b.pk
+  HAVING count(*) >= {_BASKET_MIN_PAIR}
+)
+SELECT part_a, part_b, n_ab, na.n_p AS n_a, nb.n_p AS n_b, t.n_orders,
+       CAST(floor(1000000 * n_ab * t.n_orders
+                  / (na.n_p * nb.n_p)) AS BIGINT) AS lift_micro
+FROM pairs
+JOIN per_part na ON na.pk = part_a
+JOIN per_part nb ON nb.pk = part_b
+CROSS JOIN tot t
+ORDER BY lift_micro DESC, part_a, part_b
+LIMIT {_BASKET_TOPK}
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "filter_project": (q_filter_project, SQL_FILTER_PROJECT),
     "dropdup": (q_dropdup, SQL_DROPDUP),
@@ -1945,6 +2034,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ntile_customers": (q_ntile_customers, SQL_NTILE_CUSTOMERS),
     "stats_agg": (q_stats_agg, SQL_STATS_AGG),
     "sessionize_events": (q_sessionize, SQL_SESSIONIZE),
+    "basket_lift": (q_basket_lift, SQL_BASKET_LIFT),
     "tool_latency": (q_tool_latency, SQL_TOOL_LATENCY),
     "tool_position": (q_tool_position, SQL_TOOL_POSITION),
     "user_burstiness": (q_user_burstiness, SQL_USER_BURSTINESS),

@@ -329,3 +329,57 @@ def test_tool_position_matches_python(spark):
         )
     # relative positions live in (0, 1]
     assert (out["mean_relpos"] > 0).all() and (out["mean_relpos"] <= 1).all()
+
+
+def test_basket_lift_matches_python(spark):
+    """Top-20 lift pairs == a from-scratch itertools/Counter reference."""
+    from collections import Counter
+    from itertools import combinations
+
+    from linkgraph.io import load_table
+    from linkgraph.relational import (
+        _BASKET_MIN_PAIR,
+        _BASKET_TOPK,
+        q_basket_lift,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    li = (
+        load_table(spark, sf, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    )
+    baskets: dict[int, set] = {}
+    for r in li:
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    n_orders = len(baskets)
+    per_part: Counter = Counter()
+    pair_cnt: Counter = Counter()
+    for parts in baskets.values():
+        per_part.update(parts)
+        pair_cnt.update(combinations(sorted(parts), 2))
+
+    import math
+
+    rows = []
+    for (a, b), n_ab in pair_cnt.items():
+        if n_ab < _BASKET_MIN_PAIR:
+            continue
+        lift_micro = math.floor(
+            1_000_000 * n_ab * n_orders / (per_part[a] * per_part[b])
+        )
+        rows.append((lift_micro, a, b, n_ab, per_part[a], per_part[b]))
+    rows.sort(key=lambda t: (-t[0], t[1], t[2]))
+    want = [
+        (a, b, n_ab, na, nb, n_orders, lm)
+        for lm, a, b, n_ab, na, nb in rows[:_BASKET_TOPK]
+    ]
+
+    got = [
+        (
+            r["part_a"], r["part_b"], r["n_ab"], r["n_a"], r["n_b"],
+            r["n_orders"], r["lift_micro"],
+        )
+        for r in q_basket_lift(spark, sf).collect()
+    ]
+    assert got == want
