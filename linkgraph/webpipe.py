@@ -1503,10 +1503,109 @@ WHERE rk <= {_ANCHOR_TOPK}
 """
 
 
+# --------------------------------------------------------------------------
+# Crawl-budget apportionment (§2.15 row 229): split a fixed per-cycle
+# fetch budget across hosts proportionally to their pending-URL counts
+# using the largest-remainder (Hamilton) method — the deterministic
+# politeness scheduler a crawler runs every cycle.  Exact integer math
+# end-to-end: base = floor(B*n/N), leftovers go to the largest integer
+# remainders (B*n - base*N) with host tiebreak, so Σ alloc == B always.
+# --------------------------------------------------------------------------
+
+_CRAWL_BUDGET = 1000
+
+
+def q_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder crawl-budget apportionment over the URL fixture's
+    per-host pending counts.
+
+    Scale posture: per-host counts are one combinable groupBy over the
+    extracted host stream; N and Σ base are 1-row broadcast aggregates
+    (no collect); the remainder ranking is a window over the HOSTS-sized
+    aggregate, not the URL stream — at 100 TB hosts number in the
+    millions while URLs number in the trillions, and only the former is
+    sorted.  Output (host, n_urls, base_alloc, extra, alloc)."""
+    d = _with_urls(load_table(spark, sf_dir, "documents"))
+    hosts = d.select(
+        F.explode(
+            F.regexp_extract_all("text2", F.lit(_URL_RE), F.lit(1))
+        ).alias("host")
+    )
+    counts = hosts.groupBy("host").agg(F.count(F.lit(1)).alias("n_urls"))
+    tot = counts.agg(F.sum("n_urls").alias("n_total"))
+    based = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "base_alloc",
+            F.floor(
+                F.lit(_CRAWL_BUDGET) * F.col("n_urls") / F.col("n_total")
+            ).cast("long"),
+        )
+        .withColumn(
+            "rem",
+            F.lit(_CRAWL_BUDGET) * F.col("n_urls")
+            - F.col("base_alloc") * F.col("n_total"),
+        )
+    )
+    leftover = based.agg(
+        (F.lit(_CRAWL_BUDGET) - F.sum("base_alloc")).alias("n_extra")
+    )
+    wr = Window.orderBy(F.desc("rem"), F.asc("host"))
+    return (
+        based.withColumn("rk", F.row_number().over(wr))
+        .crossJoin(F.broadcast(leftover))
+        .select(
+            "host",
+            "n_urls",
+            "base_alloc",
+            (F.col("rk") <= F.col("n_extra")).cast("long").alias("extra"),
+            (
+                F.col("base_alloc")
+                + (F.col("rk") <= F.col("n_extra")).cast("long")
+            ).alias("alloc"),
+        )
+    )
+
+
+SQL_CRAWL_BUDGET = f"""
+WITH d AS (SELECT doc_id, {_SQL_TEXT2} AS text2 FROM documents),
+hosts AS (
+  SELECT h AS host
+  FROM d, unnest(regexp_extract_all(text2, '{_URL_RE}', 1)) AS t(h)
+), counts AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_urls FROM hosts GROUP BY host
+), tot AS (
+  SELECT CAST(sum(n_urls) AS BIGINT) AS n_total FROM counts
+), based AS (
+  SELECT host, n_urls,
+         CAST(floor({_CRAWL_BUDGET} * n_urls / t.n_total) AS BIGINT)
+           AS base_alloc,
+         {_CRAWL_BUDGET} * n_urls
+           - CAST(floor({_CRAWL_BUDGET} * n_urls / t.n_total) AS BIGINT)
+             * t.n_total AS rem
+  FROM counts CROSS JOIN tot t
+), leftover AS (
+  SELECT {_CRAWL_BUDGET} - CAST(sum(base_alloc) AS BIGINT) AS n_extra
+  FROM based
+)
+SELECT host, n_urls, base_alloc,
+       CAST(CASE WHEN rk <= l.n_extra THEN 1 ELSE 0 END AS BIGINT) AS extra,
+       base_alloc
+         + CAST(CASE WHEN rk <= l.n_extra THEN 1 ELSE 0 END AS BIGINT)
+         AS alloc
+FROM (
+  SELECT host, n_urls, base_alloc,
+         row_number() OVER (ORDER BY rem DESC, host) AS rk
+  FROM based
+) CROSS JOIN leftover l
+"""
+
+
 def registry():
     return {
         "url_host_edges": (q_url_host_edges, SQL_URL_HOST_EDGES),
         "host_anchor_terms": (q_host_anchor_terms, SQL_HOST_ANCHOR_TERMS),
+        "crawl_budget": (q_crawl_budget, SQL_CRAWL_BUDGET),
         "url_blocklist": (q_url_blocklist, SQL_URL_BLOCKLIST),
         "doc_pii": (q_doc_pii, SQL_DOC_PII),
         "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),

@@ -1800,3 +1800,37 @@ def test_host_anchor_terms_matches_python(spark, docs):
         )
     got = {h: sorted(v) for h, v in got.items()}
     assert got == want
+
+
+def test_crawl_budget_apportionment(spark, docs):
+    """Hamilton largest-remainder invariants + exact match vs a
+    from-scratch python apportionment over the same host counts."""
+    from collections import Counter as C
+
+    from linkgraph.webpipe import _CRAWL_BUDGET, q_crawl_budget
+
+    counts: C = C()
+    for d in docs:
+        counts[f"h{d % 23}.example"] += 1
+        counts[f"h{(d * 7 + 3) % 23}.example"] += 1
+    n_total = sum(counts.values())
+    base = {h: _CRAWL_BUDGET * n // n_total for h, n in counts.items()}
+    rem = {h: _CRAWL_BUDGET * n - base[h] * n_total for h, n in counts.items()}
+    n_extra = _CRAWL_BUDGET - sum(base.values())
+    extras = {
+        h for h, _r in sorted(rem.items(), key=lambda kv: (-kv[1], kv[0]))[:n_extra]
+    }
+    want = {
+        h: (counts[h], base[h], int(h in extras), base[h] + int(h in extras))
+        for h in counts
+    }
+
+    rows = q_crawl_budget(spark, SF_DIR).collect()
+    got = {
+        r["host"]: (r["n_urls"], r["base_alloc"], r["extra"], r["alloc"])
+        for r in rows
+    }
+    assert got == want
+    # the budget is spent exactly, and every alloc is base or base+1
+    assert sum(r["alloc"] for r in rows) == _CRAWL_BUDGET
+    assert all(r["alloc"] - r["base_alloc"] in (0, 1) for r in rows)
