@@ -3711,9 +3711,68 @@ LIMIT {_SIMRANK_TOPK}
 )
 
 
+# --------------------------------------------------------------------------
+# Frequent event-type trigrams (§2.15 row 230): workflow-pattern mining
+# over each user's time-ordered event stream — the agent-telemetry analog
+# of frequent tool-call sequences ("search → read → edit").  One window
+# shuffle (two stacked lead()s share it), one combinable trigram groupBy,
+# one top-k sort of the tiny trigram aggregate.
+# --------------------------------------------------------------------------
+
+_SEQ_TOPK = 20
+
+
+def q_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``_SEQ_TOPK`` event-type trigrams across all per-user streams,
+    with occurrence count and distinct-user support.  Ordering inside a
+    stream is the stable (ts, event_id) key, so both engines see the same
+    sequences.  Output (g1, g2, g3, n, n_users)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        e.select(
+            "user_id",
+            F.col("event_type").alias("g1"),
+            F.lead("event_type", 1).over(w).alias("g2"),
+            F.lead("event_type", 2).over(w).alias("g3"),
+        )
+        .where(F.col("g3").isNotNull())
+    )
+    return (
+        tri.groupBy("g1", "g2", "g3")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("n"), "g1", "g2", "g3")
+        .limit(_SEQ_TOPK)
+    )
+
+
+SQL_EVENT_TRIGRAMS = f"""
+WITH tri AS (
+  SELECT user_id,
+         event_type AS g1,
+         lead(event_type, 1) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS g2,
+         lead(event_type, 2) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS g3
+  FROM events
+)
+SELECT g1, g2, g3, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM tri
+WHERE g3 IS NOT NULL
+GROUP BY g1, g2, g3
+ORDER BY n DESC, g1, g2, g3
+LIMIT {_SEQ_TOPK}
+"""
+
+
 def registry():
     return {
         "densest_subgraph": (q_densest_subgraph, SQL_DENSEST_SUBGRAPH),
+        "event_trigrams": (q_event_trigrams, SQL_EVENT_TRIGRAMS),
         "engine_matching": (q_engine_matching, SQL_ENGINE_MATCHING),
         "percolation_giant": (q_percolation_giant, SQL_PERCOLATION_GIANT),
         "vertex_cover": (q_vertex_cover, SQL_VERTEX_COVER),

@@ -1834,3 +1834,39 @@ def test_crawl_budget_apportionment(spark, docs):
     # the budget is spent exactly, and every alloc is base or base+1
     assert sum(r["alloc"] for r in rows) == _CRAWL_BUDGET
     assert all(r["alloc"] - r["base_alloc"] in (0, 1) for r in rows)
+
+
+def test_event_trigrams_matches_python(spark):
+    """Top-20 trigrams == a from-scratch per-user sequence walk."""
+    from collections import Counter as C
+
+    from linkgraph.graphstats import _SEQ_TOPK, q_event_trigrams
+    from linkgraph.io import load_table
+
+    rows = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    streams: dict[int, list] = {}
+    for r in rows:
+        streams.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], r["event_type"])
+        )
+    cnt: C = C()
+    users: dict[tuple, set] = {}
+    for u, evs in streams.items():
+        evs.sort()
+        types = [t for _ts, _id, t in evs]
+        for i in range(len(types) - 2):
+            g = tuple(types[i : i + 3])
+            cnt[g] += 1
+            users.setdefault(g, set()).add(u)
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:_SEQ_TOPK]
+    want = [(g[0], g[1], g[2], n, len(users[g])) for g, n in ranked]
+
+    got = [
+        (r["g1"], r["g2"], r["g3"], r["n"], r["n_users"])
+        for r in q_event_trigrams(spark, SF_DIR).collect()
+    ]
+    assert got == want
