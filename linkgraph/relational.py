@@ -1996,6 +1996,93 @@ LIMIT {_BASKET_TOPK}
 """
 
 
+# --------------------------------------------------------------------------
+# RFM customer segmentation (§2.15 row 231): recency / frequency /
+# monetary quintiles — the standard behavioural scoring every activation
+# pipeline computes, and a model for any "rank users by engagement
+# dimensions" feature job.  Monetary is summed in exact integer cents
+# (per-row floor(100*price)) so no distributed double sum enters the
+# hash; every ntile orders with a custkey tiebreak so the quintile
+# boundaries are engine-independent.
+# --------------------------------------------------------------------------
+
+
+def q_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer RFM quintile scores.
+
+    Scale posture: ONE combinable groupBy(custkey) builds all three
+    metrics; the reference date is a 1-row broadcast aggregate; the three
+    ntile windows run over the customer-level aggregate (not the order
+    stream) — at 100 TB that is a customers-sized sort, and the standard
+    production variant replaces ntile with approx-quantile cut points to
+    avoid even that.  Output (custkey, recency_days, frequency,
+    monetary_cents, r_q, f_q, m_q, rfm)."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.to_date("o_orderdate")).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+            "monetary_cents"
+        ),
+    )
+    ref = o.agg(F.max(F.to_date("o_orderdate")).alias("ref_date"))
+    base = per_cust.crossJoin(F.broadcast(ref)).select(
+        "custkey",
+        F.datediff("ref_date", "last_order").alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+    )
+    wr = Window.orderBy(F.asc("recency_days"), F.asc("custkey"))
+    wf = Window.orderBy(F.desc("frequency"), F.asc("custkey"))
+    wm = Window.orderBy(F.desc("monetary_cents"), F.asc("custkey"))
+    return base.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(5).over(wr).alias("r_q"),
+        F.ntile(5).over(wf).alias("f_q"),
+        F.ntile(5).over(wm).alias("m_q"),
+    ).withColumn(
+        "rfm",
+        F.concat(
+            F.col("r_q").cast("string"),
+            F.col("f_q").cast("string"),
+            F.col("m_q").cast("string"),
+        ),
+    )
+
+
+SQL_RFM_SCORES = """
+WITH per_cust AS (
+  SELECT o_custkey AS custkey,
+         max(CAST(o_orderdate AS DATE)) AS last_order,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+  FROM orders GROUP BY o_custkey
+), ref AS (
+  SELECT max(CAST(o_orderdate AS DATE)) AS ref_date FROM orders
+), base AS (
+  SELECT custkey,
+         CAST(date_diff('day', last_order, r.ref_date) AS INT)
+           AS recency_days,
+         frequency, monetary_cents
+  FROM per_cust CROSS JOIN ref r
+)
+SELECT custkey, recency_days, frequency, monetary_cents,
+       CAST(ntile(5) OVER (ORDER BY recency_days ASC, custkey) AS INT) AS r_q,
+       CAST(ntile(5) OVER (ORDER BY frequency DESC, custkey) AS INT) AS f_q,
+       CAST(ntile(5) OVER (ORDER BY monetary_cents DESC, custkey) AS INT)
+         AS m_q,
+       CAST(ntile(5) OVER (ORDER BY recency_days ASC, custkey) AS VARCHAR)
+         || CAST(ntile(5) OVER (ORDER BY frequency DESC, custkey) AS VARCHAR)
+         || CAST(ntile(5) OVER (ORDER BY monetary_cents DESC, custkey)
+                 AS VARCHAR) AS rfm
+FROM base
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "filter_project": (q_filter_project, SQL_FILTER_PROJECT),
     "dropdup": (q_dropdup, SQL_DROPDUP),
@@ -2035,6 +2122,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "stats_agg": (q_stats_agg, SQL_STATS_AGG),
     "sessionize_events": (q_sessionize, SQL_SESSIONIZE),
     "basket_lift": (q_basket_lift, SQL_BASKET_LIFT),
+    "rfm_scores": (q_rfm_scores, SQL_RFM_SCORES),
     "tool_latency": (q_tool_latency, SQL_TOOL_LATENCY),
     "tool_position": (q_tool_position, SQL_TOOL_POSITION),
     "user_burstiness": (q_user_burstiness, SQL_USER_BURSTINESS),

@@ -3,6 +3,7 @@ the driver's DuckDB gate — these pin the properties a hash compare can't
 express (conservation, gap bounds, packing of sessions).
 """
 
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -383,3 +384,33 @@ def test_basket_lift_matches_python(spark):
         for r in q_basket_lift(spark, sf).collect()
     ]
     assert got == want
+
+
+def test_rfm_scores_quintiles(spark):
+    """RFM invariants: quintiles are balanced the ANSI-ntile way, scores
+    are monotone in their metric, and the segment string recombines the
+    three scores."""
+    from linkgraph.relational import q_rfm_scores
+
+    out = q_rfm_scores(spark, "/root/testdata/sf0.001").toPandas()
+    n = len(out)
+    base, extra = divmod(n, 5)
+    for col, metric, asc in (
+        ("r_q", "recency_days", True),
+        ("f_q", "frequency", False),
+        ("m_q", "monetary_cents", False),
+    ):
+        sizes = out[col].value_counts().to_dict()
+        assert set(sizes) == set(range(1, 6))
+        # first (n mod 5) buckets get the extra row (ANSI ntile)
+        assert all(
+            sizes[q] == base + (1 if q <= extra else 0) for q in range(1, 6)
+        )
+        # monotone: a strictly better metric value never lands in a
+        # strictly worse quintile
+        s = out.sort_values([metric, "custkey"], ascending=[asc, True])
+        assert (np.diff(s[col].to_numpy()) >= 0).all()
+    assert (
+        out["rfm"]
+        == out["r_q"].astype(str) + out["f_q"].astype(str) + out["m_q"].astype(str)
+    ).all()
