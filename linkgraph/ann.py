@@ -1211,6 +1211,110 @@ ORDER BY la
 """
 
 
+# --------------------------------------------------------------------------
+# Per-label anchor-cosine outlier audit (§2.15 row 232): for every label,
+# measure each member's cosine to the label's ANCHOR vector (its
+# min-vec_id member — a deterministic medoid proxy that needs no
+# distributed double-summed centroid) and flag members whose cosine falls
+# below a fixed threshold.  The label-noise companion to
+# emb_knn_label_purity: purity asks "do my neighbours agree with me",
+# this asks "am I even near my own cluster".  All aggregates are exact
+# integers (per-row micro-cosines summed as int64), so nothing
+# order-dependent enters the hash.
+# --------------------------------------------------------------------------
+
+_OUTLIER_TAU_MICRO = 0  # cosine < 0 to your own label's anchor => outlier
+
+
+def emb_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label anchor-cosine stats: member count, exact integer-micro
+    mean/min cosine to the label anchor, and the outlier count below
+    ``_OUTLIER_TAU_MICRO``.
+
+    Scale posture: anchors are one groupBy(label) min + a labels-sized
+    broadcast join (labels ≪ vectors); each member computes ONE cosine
+    (per-row deterministic fold, identical op order both engines, floored
+    to int64 micro-units); the audit is one combinable groupBy(label)
+    over exact integers.  No cross join, no double sum.  Output (label,
+    n_vecs, mean_cos_micro, min_cos_micro, n_outliers)."""
+    from .io import load_table
+
+    em = load_table(spark, sf_dir, "embeddings")
+    v = em.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    ).withColumn(
+        "nrm", F.sqrt(F.aggregate("e", F.lit(0.0), lambda a, x: a + x * x))
+    )
+    anchor_ids = v.groupBy("label").agg(F.min("vec_id").alias("anchor_id"))
+    anchors = (
+        anchor_ids.join(
+            v.select(
+                F.col("vec_id").alias("anchor_id"),
+                F.col("e").alias("ae"),
+                F.col("nrm").alias("an"),
+            ),
+            "anchor_id",
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("e", "ae", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+    )
+    scored = (
+        v.join(F.broadcast(anchors), "label")
+        .select(
+            "label",
+            "vec_id",
+            F.floor(
+                F.lit(1_000_000) * dot / (F.col("nrm") * F.col("an"))
+            ).cast("long").alias("cos_micro"),
+        )
+    )
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.floor(F.sum("cos_micro") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("mean_cos_micro"),
+            F.min("cos_micro").alias("min_cos_micro"),
+            F.sum(
+                (F.col("cos_micro") < _OUTLIER_TAU_MICRO).cast("long")
+            ).alias("n_outliers"),
+        )
+        .orderBy("label")
+    )
+
+
+SQL_EMB_LABEL_OUTLIERS = f"""
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), anchors AS (
+  SELECT label, min(vec_id) AS anchor_id FROM v GROUP BY label
+), av AS (
+  SELECT a.label, v.e AS ae
+  FROM anchors a JOIN v ON v.vec_id = a.anchor_id
+), scored AS (
+  SELECT v.label, v.vec_id,
+         CAST(floor(1000000 * list_cosine_similarity(v.e, av.ae)) AS BIGINT)
+           AS cos_micro
+  FROM v JOIN av ON av.label = v.label
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(floor(sum(cos_micro) / count(*)) AS BIGINT) AS mean_cos_micro,
+       min(cos_micro) AS min_cos_micro,
+       CAST(sum(CASE WHEN cos_micro < {_OUTLIER_TAU_MICRO} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM scored
+GROUP BY label
+ORDER BY label
+"""
+
+
 def registry():
     return {
         "emb_drift": (emb_drift, SQL_EMB_DRIFT),
@@ -1227,4 +1331,5 @@ def registry():
         "emb_semdedup": (emb_semdedup, SQL_EMB_SEMDEDUP),
         "knn_graph_mutual": (knn_graph_mutual, SQL_KNN_GRAPH_MUTUAL),
         "emb_knn_label_purity": (emb_knn_label_purity, SQL_EMB_KNN_LABEL_PURITY),
+        "emb_label_outliers": (emb_label_outliers, SQL_EMB_LABEL_OUTLIERS),
     }

@@ -411,3 +411,41 @@ def test_emb_knn_label_purity_matches_numpy(spark):
         for r in emb_knn_label_purity(spark, sf).collect()
     }
     assert got == want
+
+
+def test_emb_label_outliers_matches_numpy(spark):
+    """Per-label anchor-cosine stats == a from-scratch numpy reference."""
+    import numpy as np
+
+    from linkgraph.ann import _OUTLIER_TAU_MICRO, emb_label_outliers
+    from linkgraph.io import load_table
+
+    sf = "/root/testdata/sf0.001"
+    em = load_table(spark, sf, "embeddings").toPandas()
+    ids = em["vec_id"].to_numpy(np.int64)
+    labels = em["label"].to_numpy(np.int64)
+    mat = np.stack([np.asarray(e, dtype=np.float64) for e in em["embedding"]])
+    nrm = np.linalg.norm(mat, axis=1)
+
+    want = {}
+    for lab in np.unique(labels):
+        sel = labels == lab
+        sub_ids, sub = ids[sel], mat[sel]
+        anchor = sub[np.argmin(sub_ids)]
+        an = np.linalg.norm(anchor)
+        cos = sub @ anchor / (nrm[sel] * an)
+        micro = np.floor(1_000_000 * cos).astype(np.int64)
+        want[int(lab)] = (
+            int(sel.sum()),
+            int(np.floor(micro.sum() / len(micro))),
+            int(micro.min()),
+            int((micro < _OUTLIER_TAU_MICRO).sum()),
+        )
+
+    got = {
+        r["label"]: (
+            r["n_vecs"], r["mean_cos_micro"], r["min_cos_micro"], r["n_outliers"]
+        )
+        for r in emb_label_outliers(spark, sf).collect()
+    }
+    assert got == want
