@@ -723,6 +723,8 @@ def registry():
         SQL_RANDOM_WALKS,
         SQL_TEMPORAL_PATHS2,
         SQL_TOOL_COUSAGE,
+        _sql_link_negatives,
+        q_link_negatives,
         q_adamic_adar,
         q_clustering_coeff,
         q_degree_hist,
@@ -765,4 +767,5 @@ def registry():
         "node2vec_walks": (q_node2vec_walks, SQL_NODE2VEC_WALKS),
         "tool_cousage": (q_tool_cousage, SQL_TOOL_COUSAGE),
         "temporal_paths2": (q_temporal_paths2, SQL_TEMPORAL_PATHS2),
+        "link_negatives": (q_link_negatives, _sql_link_negatives()),
     }

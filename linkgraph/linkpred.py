@@ -951,3 +951,154 @@ def _node2vec_sql(steps: int) -> str:
 
 
 SQL_NODE2VEC_WALKS = _node2vec_sql(_N2V_STEPS)
+
+
+# --------------------------------------------------------------------------
+# Negative edge sampling (§2.15 row 233): deterministic hash-derived
+# non-edge pairs per vertex — the training-data counterpart of link
+# prediction (every GNN / embedding trainer needs K negatives per positive,
+# and at 10^12 edges they must come from pure column math, not an RNG).
+# Candidate j of vertex u targets the vertex whose dense vid is
+# md5(u ':' j) mod |V|; self-hits and true edges are anti-joined away, the
+# first _NEG_K survivors (by draw index) are kept.
+# --------------------------------------------------------------------------
+
+_NEG_K = 3        # negatives kept per vertex
+_NEG_DRAWS = 8    # candidate draws per vertex (survives collisions)
+
+
+def q_link_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Up to ``_NEG_K`` deterministic negative (non-adjacent) partners per
+    vertex of the undirected events graph.
+
+    Scale posture: candidates are |V| x _NEG_DRAWS rows joined back to the
+    vertex table on a hash-uniform vid (no skew) and anti-joined against
+    the distinct edge set on the (least, greatest) key — three narrow
+    equi-joins and two combinable aggregates; |V| is a 1-row broadcast.
+    The dense vid here is the oracle-shared row_number assignment (a
+    vertices-sized sort, vertices ≪ edges); the engine's distributed
+    assignment (derive.py) is the production path.  Output (vkey, rn,
+    neg_key)."""
+    from .datapipe import _md5_int
+    from .io import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    turn = (
+        e.select(
+            F.col("event_type").alias("s"),
+            F.lead("event_type").over(w).alias("t"),
+        )
+        .where(F.col("t").isNotNull())
+    )
+    ek = turn.unionByName(
+        e.select(
+            F.concat(F.lit("user:"), F.col("user_id").cast("string")).alias("s"),
+            F.col("event_type").alias("t"),
+        )
+    )
+    uv = (
+        ek.where(F.col("s") != F.col("t"))
+        .select(
+            F.least("s", "t").alias("pu"), F.greatest("s", "t").alias("pv")
+        )
+        .distinct()
+    )
+    verts = (
+        ek.select(F.col("s").alias("vkey"))
+        .unionByName(ek.select(F.col("t").alias("vkey")))
+        .distinct()
+    )
+    vid_w = Window.orderBy("vkey")
+    vmap = verts.select(
+        "vkey", (F.row_number().over(vid_w) - 1).cast("long").alias("vid")
+    )
+    nv = vmap.agg(F.count(F.lit(1)).alias("n"))
+    cand = (
+        vmap.select("vkey")
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "vkey",
+            F.explode(F.sequence(F.lit(1), F.lit(_NEG_DRAWS))).alias("j"),
+            "n",
+        )
+        .select(
+            "vkey",
+            "j",
+            F.pmod(
+                _md5_int(
+                    F.concat(F.col("vkey"), F.lit(":"), F.col("j").cast("string"))
+                ),
+                F.col("n"),
+            ).alias("nid"),
+        )
+    )
+    withkey = (
+        cand.join(
+            vmap.select(F.col("vid").alias("nid"), F.col("vkey").alias("neg_key")),
+            "nid",
+        )
+        .where(F.col("neg_key") != F.col("vkey"))
+        .withColumn("pu", F.least("vkey", "neg_key"))
+        .withColumn("pv", F.greatest("vkey", "neg_key"))
+        .join(uv, ["pu", "pv"], "left_anti")
+        .groupBy("vkey", "neg_key")
+        .agg(F.min("j").alias("j"))
+    )
+    rk = Window.partitionBy("vkey").orderBy("j", "neg_key")
+    return (
+        withkey.withColumn("rn", F.row_number().over(rk))
+        .where(F.col("rn") <= _NEG_K)
+        .select("vkey", "rn", "neg_key")
+    )
+
+
+def _sql_link_negatives() -> str:
+    from .datapipe import _sql_md5_int
+
+    h = _sql_md5_int("vkey || ':' || CAST(j AS VARCHAR)")
+    return f"""
+WITH base AS (
+  SELECT user_id, event_type, ts, event_id FROM events
+), turn AS (
+  SELECT event_type AS s,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t
+  FROM base
+), ek AS (
+  SELECT s, t FROM turn WHERE t IS NOT NULL
+  UNION ALL
+  SELECT 'user:' || CAST(user_id AS VARCHAR) AS s, event_type AS t FROM base
+), uv AS (
+  SELECT DISTINCT least(s, t) AS pu, greatest(s, t) AS pv
+  FROM ek WHERE s <> t
+), vmap AS (
+  SELECT vkey, CAST(row_number() OVER (ORDER BY vkey) - 1 AS BIGINT) AS vid
+  FROM (SELECT DISTINCT vkey
+        FROM (SELECT s AS vkey FROM ek UNION ALL SELECT t AS vkey FROM ek))
+), nv AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM vmap
+), cand AS (
+  SELECT vkey, g.j, ({h}) % nv.n AS nid
+  FROM vmap, nv,
+       LATERAL (SELECT unnest(generate_series(1, {_NEG_DRAWS})) AS j) g
+), withkey AS (
+  SELECT c.vkey, m.vkey AS neg_key, CAST(min(c.j) AS BIGINT) AS j
+  FROM cand c
+  JOIN vmap m ON m.vid = c.nid
+  WHERE m.vkey <> c.vkey
+    AND NOT EXISTS (
+      SELECT 1 FROM uv
+      WHERE uv.pu = least(c.vkey, m.vkey)
+        AND uv.pv = greatest(c.vkey, m.vkey))
+  GROUP BY c.vkey, m.vkey
+)
+SELECT vkey, CAST(rn AS INT) AS rn, neg_key
+FROM (
+  SELECT vkey, neg_key,
+         row_number() OVER (PARTITION BY vkey ORDER BY j, neg_key) AS rn
+  FROM withkey
+)
+WHERE rn <= {_NEG_K}
+"""
+
+

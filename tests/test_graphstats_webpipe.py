@@ -1870,3 +1870,50 @@ def test_event_trigrams_matches_python(spark):
         for r in q_event_trigrams(spark, SF_DIR).collect()
     ]
     assert got == want
+
+
+def test_link_negatives_are_true_negatives(spark):
+    """Every sampled negative is a genuine non-edge, never a self-pair,
+    at most _NEG_K per vertex, and the draw is deterministic (re-run
+    equality)."""
+    from linkgraph.io import load_table
+    from linkgraph.linkpred import _NEG_K, q_link_negatives
+
+    out = q_link_negatives(spark, SF_DIR).toPandas()
+
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    streams: dict[int, list] = {}
+    for r in ev:
+        streams.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], r["event_type"])
+        )
+    edges = set()
+    verts = set()
+    for u, evs in streams.items():
+        evs.sort()
+        uk = f"user:{u}"
+        verts.add(uk)
+        types = [t for _ts, _id, t in evs]
+        verts.update(types)
+        for t in types:
+            if uk != t:
+                edges.add((min(uk, t), max(uk, t)))
+        for a, b in zip(types, types[1:]):
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+
+    assert (out["vkey"] != out["neg_key"]).all()
+    for _i, r in out.iterrows():
+        pair = (min(r["vkey"], r["neg_key"]), max(r["vkey"], r["neg_key"]))
+        assert pair not in edges
+        assert r["neg_key"] in verts
+    assert out.groupby("vkey")["rn"].max().le(_NEG_K).all()
+
+    again = q_link_negatives(spark, SF_DIR).toPandas()
+    assert out.sort_values(["vkey", "rn"]).reset_index(drop=True).equals(
+        again.sort_values(["vkey", "rn"]).reset_index(drop=True)
+    )
