@@ -2083,6 +2083,68 @@ FROM base
 """
 
 
+# --------------------------------------------------------------------------
+# Time-decayed activity score (§2.15 row 234): per-user engagement with a
+# half-life — the standard recency-weighted feature every ranking /
+# retention model consumes.  Each event contributes 2^(-age_days/H)
+# FLOORED TO INT64 MICRO-UNITS before the sum, so the aggregate is an
+# exact integer (order-independent) and only per-row libm calls — which
+# both engines round identically in practice (same contract as the bm25
+# ln()) — touch doubles.
+# --------------------------------------------------------------------------
+
+_DECAY_HALFLIFE_D = 7
+
+
+def q_decayed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user half-life-decayed activity score.
+
+    Scale posture: ONE combinable groupBy(user_id) over per-row column
+    math; the reference date is a 1-row broadcast aggregate; no window,
+    no collect.  Output (user_id, n_events, last_age_days,
+    score_micro)."""
+    e = load_table(spark, sf_dir, "events")
+    ref = e.agg(F.max(F.to_date("ts")).alias("ref_date"))
+    aged = e.crossJoin(F.broadcast(ref)).select(
+        "user_id",
+        F.datediff("ref_date", F.to_date("ts")).alias("age_days"),
+    )
+    contrib = F.floor(
+        F.lit(1_000_000)
+        * F.pow(F.lit(2.0), -F.col("age_days") / F.lit(_DECAY_HALFLIFE_D))
+    ).cast("long")
+    return (
+        aged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("age_days").alias("last_age_days"),
+            F.sum(contrib).alias("score_micro"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_DECAYED_ACTIVITY = f"""
+WITH ref AS (
+  SELECT max(CAST(ts AS DATE)) AS ref_date FROM events
+), aged AS (
+  SELECT user_id,
+         CAST(date_diff('day', CAST(ts AS DATE), r.ref_date) AS INT)
+           AS age_days
+  FROM events CROSS JOIN ref r
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(age_days) AS last_age_days,
+       CAST(sum(CAST(floor(
+         1000000 * power(2.0, -age_days / CAST({_DECAY_HALFLIFE_D} AS DOUBLE))
+       ) AS BIGINT)) AS BIGINT) AS score_micro
+FROM aged
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "filter_project": (q_filter_project, SQL_FILTER_PROJECT),
     "dropdup": (q_dropdup, SQL_DROPDUP),
@@ -2123,6 +2185,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sessionize_events": (q_sessionize, SQL_SESSIONIZE),
     "basket_lift": (q_basket_lift, SQL_BASKET_LIFT),
     "rfm_scores": (q_rfm_scores, SQL_RFM_SCORES),
+    "decayed_activity": (q_decayed_activity, SQL_DECAYED_ACTIVITY),
     "tool_latency": (q_tool_latency, SQL_TOOL_LATENCY),
     "tool_position": (q_tool_position, SQL_TOOL_POSITION),
     "user_burstiness": (q_user_burstiness, SQL_USER_BURSTINESS),

@@ -414,3 +414,37 @@ def test_rfm_scores_quintiles(spark):
         out["rfm"]
         == out["r_q"].astype(str) + out["f_q"].astype(str) + out["m_q"].astype(str)
     ).all()
+
+
+def test_decayed_activity_matches_python(spark):
+    """Exact integer-micro decay sums == a from-scratch python replay."""
+    import math
+
+    from linkgraph.io import load_table
+    from linkgraph.relational import _DECAY_HALFLIFE_D, q_decayed_activity
+
+    ev = (
+        load_table(spark, SF, "events").select("user_id", "ts").collect()
+    )
+    ref = max(r["ts"].date() for r in ev)
+    per_user: dict[int, list[int]] = {}
+    for r in ev:
+        per_user.setdefault(r["user_id"], []).append(
+            (ref - r["ts"].date()).days
+        )
+    want = {
+        u: (
+            len(ages),
+            min(ages),
+            sum(
+                math.floor(1_000_000 * 2.0 ** (-a / _DECAY_HALFLIFE_D))
+                for a in ages
+            ),
+        )
+        for u, ages in per_user.items()
+    }
+    got = {
+        r["user_id"]: (r["n_events"], r["last_age_days"], r["score_micro"])
+        for r in q_decayed_activity(spark, SF).collect()
+    }
+    assert got == want
