@@ -1315,6 +1315,91 @@ ORDER BY label
 """
 
 
+# --------------------------------------------------------------------------
+# Int8 scalar-quantization audit (§2.15 row 235): the symmetric per-dim
+# int8 quantization every vector index applies for a 4x memory cut —
+# q = clamp(round(127*x/scale)), scale = max|x| per dimension.  This row
+# measures what that costs: per-dim scale, saturation count, and exact
+# integer-micro reconstruction-error stats (per-value floor before any
+# sum, so the aggregate is order-independent).
+# --------------------------------------------------------------------------
+
+
+def emb_int8_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension int8 quantization audit.
+
+    Scale posture: posexplode → ONE groupBy(dim) for scales (64 rows,
+    broadcast back) → per-value column math → ONE combinable groupBy(dim)
+    for the audit; never materializes a quantized copy.  Output (dim,
+    n_vals, scale_micro, n_sat, max_err_micro, sum_err_micro)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    vals = em.select(
+        "vec_id",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("dim", "x"),
+    )
+    scales = vals.groupBy("dim").agg(F.max(F.abs("x")).alias("s"))
+    q_raw = F.round(F.lit(127.0) * F.col("x") / F.col("s"), 0)
+    q = F.greatest(F.lit(-127.0), F.least(F.lit(127.0), q_raw))
+    err = F.abs(F.col("x") - q * F.col("s") / F.lit(127.0))
+    return (
+        vals.join(F.broadcast(scales), "dim")
+        .select(
+            "dim",
+            F.floor(F.lit(1_000_000) * F.col("s")).cast("long").alias(
+                "scale_micro"
+            ),
+            (F.abs(q) == 127.0).cast("long").alias("sat"),
+            F.floor(F.lit(1_000_000) * err).cast("long").alias("err_micro"),
+        )
+        .groupBy("dim", "scale_micro")
+        .agg(
+            F.count(F.lit(1)).alias("n_vals"),
+            F.sum("sat").alias("n_sat"),
+            F.max("err_micro").alias("max_err_micro"),
+            F.sum("err_micro").alias("sum_err_micro"),
+        )
+        .select(
+            "dim", "n_vals", "scale_micro", "n_sat",
+            "max_err_micro", "sum_err_micro",
+        )
+        .orderBy("dim")
+    )
+
+
+SQL_EMB_INT8_AUDIT = """
+WITH vals AS (
+  SELECT vec_id, t.i - 1 AS dim, CAST(e[t.i] AS DOUBLE) AS x
+  FROM (SELECT vec_id,
+               list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+        FROM embeddings),
+       LATERAL (SELECT unnest(generate_series(1, len(e))) AS i) t
+), scales AS (
+  SELECT dim, max(abs(x)) AS s FROM vals GROUP BY dim
+), scored AS (
+  SELECT v.dim,
+         CAST(floor(1000000 * s.s) AS BIGINT) AS scale_micro,
+         CASE WHEN abs(greatest(-127.0, least(127.0,
+                round(127.0 * v.x / s.s)))) = 127.0
+              THEN 1 ELSE 0 END AS sat,
+         CAST(floor(1000000 * abs(
+           v.x - greatest(-127.0, least(127.0, round(127.0 * v.x / s.s)))
+                 * s.s / 127.0)) AS BIGINT) AS err_micro
+  FROM vals v JOIN scales s ON s.dim = v.dim
+)
+SELECT dim,
+       CAST(count(*) AS BIGINT) AS n_vals,
+       scale_micro,
+       CAST(sum(sat) AS BIGINT) AS n_sat,
+       max(err_micro) AS max_err_micro,
+       CAST(sum(err_micro) AS BIGINT) AS sum_err_micro
+FROM scored
+GROUP BY dim, scale_micro
+ORDER BY dim
+"""
+
+
 def registry():
     return {
         "emb_drift": (emb_drift, SQL_EMB_DRIFT),
@@ -1332,4 +1417,5 @@ def registry():
         "knn_graph_mutual": (knn_graph_mutual, SQL_KNN_GRAPH_MUTUAL),
         "emb_knn_label_purity": (emb_knn_label_purity, SQL_EMB_KNN_LABEL_PURITY),
         "emb_label_outliers": (emb_label_outliers, SQL_EMB_LABEL_OUTLIERS),
+        "emb_int8_audit": (emb_int8_audit, SQL_EMB_INT8_AUDIT),
     }

@@ -449,3 +449,36 @@ def test_emb_label_outliers_matches_numpy(spark):
         for r in emb_label_outliers(spark, sf).collect()
     }
     assert got == want
+
+
+def test_emb_int8_audit_matches_numpy(spark):
+    """Int8 audit == a from-scratch numpy symmetric quantizer."""
+    import numpy as np
+
+    from linkgraph.ann import emb_int8_audit
+    from linkgraph.io import load_table
+
+    sf = "/root/testdata/sf0.001"
+    em = load_table(spark, sf, "embeddings").toPandas()
+    mat = np.stack(
+        [np.asarray(e, dtype=np.float64) for e in em["embedding"]]
+    )
+    s = np.abs(mat).max(axis=0)
+    q = np.clip(np.round(127.0 * mat / s), -127.0, 127.0)
+    err = np.abs(mat - q * s / 127.0)
+    err_micro = np.floor(1_000_000 * err).astype(np.int64)
+    sat = (np.abs(q) == 127.0).astype(np.int64)
+
+    got = {r["dim"]: r for r in emb_int8_audit(spark, sf).collect()}
+    assert set(got) == set(range(mat.shape[1]))
+    for d in range(mat.shape[1]):
+        r = got[d]
+        assert r["n_vals"] == mat.shape[0]
+        assert r["scale_micro"] == int(np.floor(1_000_000 * s[d]))
+        assert r["n_sat"] == int(sat[:, d].sum())
+        assert r["max_err_micro"] == int(err_micro[:, d].max())
+        assert r["sum_err_micro"] == int(err_micro[:, d].sum())
+        # quantization never saturates more than the two extreme points
+        # unless the distribution is degenerate; at least the max |x|
+        # itself always saturates
+        assert r["n_sat"] >= 1
