@@ -2145,6 +2145,79 @@ ORDER BY user_id
 """
 
 
+# --------------------------------------------------------------------------
+# Interval-concurrency sweep (§2.15 row 236): how many orders are "open"
+# (placed but not yet fully shipped) on each day — the classic +1/-1
+# boundary-event sweep that turns interval overlap counting into a
+# cumulative sum, used for everything from backlog curves to concurrent-
+# session counts.  Intervals: [o_orderdate, max(l_shipdate)] inclusive.
+# --------------------------------------------------------------------------
+
+
+def q_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily open-order count at every change point.
+
+    Scale posture: interval endpoints come from ONE combinable
+    groupBy(orderkey) over lineitem + a broadcast-able join to orders;
+    the sweep aggregates +1/-1 deltas per day (combinable) and runs ONE
+    cumulative window over the CHANGE-POINT-sized aggregate (days, not
+    orders) — the standard trick that makes interval concurrency scale.
+    Output (day, delta, n_open)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"), F.to_date("o_orderdate").alias("start_d")
+    )
+    ship = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.max(F.to_date("l_shipdate")).alias("end_d"))
+    )
+    # the synthetic data can ship "before" the order date; an order is
+    # open at least on its order day, so clamp the interval end up to it
+    iv = o.join(ship, "ok").withColumn(
+        "end_d", F.greatest("end_d", "start_d")
+    )
+    deltas = iv.select(
+        F.col("start_d").alias("day"), F.lit(1).cast("long").alias("d")
+    ).unionByName(
+        iv.select(
+            F.date_add("end_d", 1).alias("day"), F.lit(-1).cast("long").alias("d")
+        )
+    )
+    per_day = deltas.groupBy("day").agg(F.sum("d").alias("delta"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "delta",
+        F.sum("delta").over(w).alias("n_open"),
+    ).orderBy("day")
+
+
+SQL_ORDER_BACKLOG = """
+WITH iv AS (
+  SELECT o.o_orderkey,
+         CAST(o.o_orderdate AS DATE) AS start_d,
+         greatest(max(CAST(l.l_shipdate AS DATE)),
+                  CAST(o.o_orderdate AS DATE)) AS end_d
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE)
+), deltas AS (
+  SELECT start_d AS day, CAST(1 AS BIGINT) AS d FROM iv
+  UNION ALL
+  SELECT CAST(end_d + INTERVAL 1 DAY AS DATE) AS day,
+         CAST(-1 AS BIGINT) AS d FROM iv
+), per_day AS (
+  SELECT CAST(day AS DATE) AS day, CAST(sum(d) AS BIGINT) AS delta
+  FROM deltas GROUP BY day
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, delta,
+       CAST(sum(delta) OVER (ORDER BY day
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS n_open
+FROM per_day
+ORDER BY day
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "filter_project": (q_filter_project, SQL_FILTER_PROJECT),
     "dropdup": (q_dropdup, SQL_DROPDUP),
@@ -2186,6 +2259,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "basket_lift": (q_basket_lift, SQL_BASKET_LIFT),
     "rfm_scores": (q_rfm_scores, SQL_RFM_SCORES),
     "decayed_activity": (q_decayed_activity, SQL_DECAYED_ACTIVITY),
+    "order_backlog": (q_order_backlog, SQL_ORDER_BACKLOG),
     "tool_latency": (q_tool_latency, SQL_TOOL_LATENCY),
     "tool_position": (q_tool_position, SQL_TOOL_POSITION),
     "user_burstiness": (q_user_burstiness, SQL_USER_BURSTINESS),

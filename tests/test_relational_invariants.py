@@ -448,3 +448,38 @@ def test_decayed_activity_matches_python(spark):
         for r in q_decayed_activity(spark, SF).collect()
     }
     assert got == want
+
+
+def test_order_backlog_sweep_invariants(spark):
+    """Sweep conservation: deltas sum to zero, n_open is the prefix sum,
+    never negative, and the peak matches a brute-force interval count."""
+    from linkgraph.io import load_table
+    from linkgraph.relational import q_order_backlog
+
+    out = q_order_backlog(spark, SF).toPandas()
+    assert int(out["delta"].sum()) == 0
+    assert (out["n_open"] >= 0).all()
+    assert (out["delta"].cumsum() == out["n_open"]).all()
+
+    o = {
+        r["o_orderkey"]: r["o_orderdate"].date()
+        for r in load_table(spark, SF, "orders").collect()
+    }
+    ends: dict[int, object] = {}
+    for r in (
+        load_table(spark, SF, "lineitem")
+        .select("l_orderkey", "l_shipdate")
+        .collect()
+    ):
+        d = r["l_shipdate"].date()
+        k = r["l_orderkey"]
+        if k not in ends or d > ends[k]:
+            ends[k] = d
+    ivs = [(o[k], max(ends[k], o[k])) for k in ends if k in o]
+
+    import datetime
+
+    peak_row = out.loc[out["n_open"].idxmax()]
+    peak_day = datetime.date.fromisoformat(peak_row["day"])
+    brute = sum(1 for s, e in ivs if s <= peak_day <= e)
+    assert brute == peak_row["n_open"]
