@@ -2218,6 +2218,111 @@ ORDER BY day
 """
 
 
+# --------------------------------------------------------------------------
+# Z-order layout audit (§2.15 row 237): interleave the bits of two scan
+# dimensions (customer bucket x order-month) into a Morton key — the
+# clustering trick behind Delta/Iceberg Z-ORDER — and measure what a file
+# layout sorted by that key buys: how many of the 256 z-files a
+# two-dimensional box predicate has to open, vs how many a
+# single-dimension sort would.  Pure integer bit math, identical both
+# engines.
+# --------------------------------------------------------------------------
+
+_Z_BITS = 4          # 4 bits per dimension -> 8-bit Morton key, 256 cells
+_Z_FILE_SHIFT = 0    # file id == z-cell (1 cell per file at this scale)
+# the audited box predicate: cust bucket in [4, 7] x month bucket in [2, 5]
+_Z_BOX = (4, 7, 2, 5)
+
+
+def _morton(x, y, bits: int):
+    """Interleave ``bits`` low bits of integer columns x (even positions)
+    and y (odd positions) with statically unrolled shift/mask terms."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def _sql_morton(x: str, y: str, bits: int) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order vs single-dimension layout audit over orders.
+
+    Dimensions: cust_b = custkey mod 16, month_b = (month-1) mod 16.  For
+    each z-cell (file): row count, whether the box predicate touches it,
+    and the same flag for a custkey-sorted layout (which must open EVERY
+    file whose cust bucket matches, regardless of month).  The aggregate
+    Σ touched_z vs Σ touched_1d is the scan-pruning win Z-ORDER exists
+    for.  Scale posture: one pure-column projection + ONE combinable
+    groupBy(zkey) — the audit never sorts the data, it reasons about the
+    layout arithmetically.  Output (zkey, n_rows, z_touched,
+    d1_touched)."""
+    o = load_table(spark, sf_dir, "orders")
+    lo_c, hi_c, lo_m, hi_m = _Z_BOX
+    cust_b = F.pmod(F.col("o_custkey"), F.lit(16)).cast("long")
+    month_b = F.pmod(F.month("o_orderdate") - 1, F.lit(16)).cast("long")
+    rows = o.select(
+        _morton(cust_b, month_b, _Z_BITS).alias("zkey"),
+        cust_b.alias("cb"),
+        month_b.alias("mb"),
+    )
+    return (
+        rows.groupBy("zkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max(
+                (
+                    (F.col("cb") >= lo_c)
+                    & (F.col("cb") <= hi_c)
+                    & (F.col("mb") >= lo_m)
+                    & (F.col("mb") <= hi_m)
+                ).cast("long")
+            ).alias("z_touched"),
+            F.max(
+                ((F.col("cb") >= lo_c) & (F.col("cb") <= hi_c)).cast("long")
+            ).alias("d1_touched"),
+        )
+        .orderBy("zkey")
+    )
+
+
+def _sql_zorder() -> str:
+    lo_c, hi_c, lo_m, hi_m = _Z_BOX
+    z = _sql_morton("cb", "mb", _Z_BITS)
+    return f"""
+WITH rows_ AS (
+  SELECT CAST(o_custkey % 16 AS BIGINT) AS cb,
+         CAST((month(o_orderdate) - 1) % 16 AS BIGINT) AS mb
+  FROM orders
+), keyed AS (
+  SELECT CAST({z} AS BIGINT) AS zkey, cb, mb FROM rows_
+)
+SELECT zkey,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(max(CASE WHEN cb BETWEEN {lo_c} AND {hi_c}
+                      AND mb BETWEEN {lo_m} AND {hi_m}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS z_touched,
+       CAST(max(CASE WHEN cb BETWEEN {lo_c} AND {hi_c}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS d1_touched
+FROM keyed
+GROUP BY zkey
+ORDER BY zkey
+"""
+
+
+SQL_ZORDER_LAYOUT = _sql_zorder()
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "filter_project": (q_filter_project, SQL_FILTER_PROJECT),
     "dropdup": (q_dropdup, SQL_DROPDUP),
@@ -2260,6 +2365,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "rfm_scores": (q_rfm_scores, SQL_RFM_SCORES),
     "decayed_activity": (q_decayed_activity, SQL_DECAYED_ACTIVITY),
     "order_backlog": (q_order_backlog, SQL_ORDER_BACKLOG),
+    "zorder_layout": (q_zorder_layout, SQL_ZORDER_LAYOUT),
     "tool_latency": (q_tool_latency, SQL_TOOL_LATENCY),
     "tool_position": (q_tool_position, SQL_TOOL_POSITION),
     "user_burstiness": (q_user_burstiness, SQL_USER_BURSTINESS),

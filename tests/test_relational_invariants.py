@@ -483,3 +483,46 @@ def test_order_backlog_sweep_invariants(spark):
     peak_day = datetime.date.fromisoformat(peak_row["day"])
     brute = sum(1 for s, e in ivs if s <= peak_day <= e)
     assert brute == peak_row["n_open"]
+
+
+def test_zorder_layout_pruning_win(spark):
+    """Morton-key audit: z-keys round-trip the bit interleave, touched
+    flags match a python replay, and the z-layout opens no more files
+    than the 1-D layout (the pruning win Z-ORDER exists for)."""
+    from linkgraph.io import load_table
+    from linkgraph.relational import _Z_BITS, _Z_BOX, q_zorder_layout
+
+    out = q_zorder_layout(spark, SF).toPandas()
+
+    def morton(x, y):
+        z = 0
+        for i in range(_Z_BITS):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    lo_c, hi_c, lo_m, hi_m = _Z_BOX
+    cells: dict[int, list] = {}
+    for r in load_table(spark, SF, "orders").select(
+        "o_custkey", "o_orderdate"
+    ).collect():
+        cb = r["o_custkey"] % 16
+        mb = (r["o_orderdate"].month - 1) % 16
+        cells.setdefault(morton(cb, mb), []).append((cb, mb))
+    want = {
+        z: (
+            len(v),
+            int(any(lo_c <= cb <= hi_c and lo_m <= mb <= hi_m for cb, mb in v)),
+            int(any(lo_c <= cb <= hi_c for cb, _mb in v)),
+        )
+        for z, v in cells.items()
+    }
+    got = {
+        r["zkey"]: (r["n_rows"], r["z_touched"], r["d1_touched"])
+        for _i, r in out.iterrows()
+    }
+    assert got == want
+    assert out["z_touched"].sum() <= out["d1_touched"].sum()
+    # the box is a strict 2-D restriction, so with data in every month
+    # bucket the z layout must be strictly better here
+    assert out["z_touched"].sum() < out["d1_touched"].sum()
