@@ -2323,6 +2323,75 @@ ORDER BY zkey
 SQL_ZORDER_LAYOUT = _sql_zorder()
 
 
+# --------------------------------------------------------------------------
+# Last-touch attribution (§2.15 row 238): credit every purchase to the
+# user's most recent PRIOR touch event (click/view), falling back to
+# 'direct' — the canonical marketing-attribution carry-forward, and the
+# same last-non-null-forward-fill shape as gap-filling sensor streams.
+# Revenue is attributed in exact integer cents (per-row floor).
+# --------------------------------------------------------------------------
+
+_TOUCH_TYPES = ("click", "view")
+_CONV_TYPE = "purchase"
+
+
+def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel conversion counts and attributed revenue.
+
+    Scale posture: ONE user-keyed window (last ignore-nulls carry-forward
+    over the stable (ts, event_id) order) + one combinable channel
+    groupBy; no self-join of conversions against touches — the forward
+    fill does attribution in a single pass, which is what survives 10^12
+    events.  Output (channel, n_conversions, revenue_cents)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    touch = F.when(
+        F.col("event_type").isin(*_TOUCH_TYPES), F.col("event_type")
+    )
+    attributed = e.select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+    ).where(F.col("event_type") == _CONV_TYPE)
+    return (
+        attributed.select(
+            F.coalesce("last_touch", F.lit("direct")).alias("channel"),
+            "cents",
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+        .orderBy("channel")
+    )
+
+
+SQL_LAST_TOUCH_ATTRIBUTION = f"""
+WITH filled AS (
+  SELECT event_type,
+         CAST(floor(value * 100) AS BIGINT) AS cents,
+         last_value(CASE WHEN event_type IN {_TOUCH_TYPES}
+                         THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS last_touch
+  FROM events
+)
+SELECT COALESCE(last_touch, 'direct') AS channel,
+       CAST(count(*) AS BIGINT) AS n_conversions,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents
+FROM filled
+WHERE event_type = '{_CONV_TYPE}'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "filter_project": (q_filter_project, SQL_FILTER_PROJECT),
     "dropdup": (q_dropdup, SQL_DROPDUP),
@@ -2366,6 +2435,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "decayed_activity": (q_decayed_activity, SQL_DECAYED_ACTIVITY),
     "order_backlog": (q_order_backlog, SQL_ORDER_BACKLOG),
     "zorder_layout": (q_zorder_layout, SQL_ZORDER_LAYOUT),
+    "last_touch_attribution": (q_last_touch_attribution, SQL_LAST_TOUCH_ATTRIBUTION),
     "tool_latency": (q_tool_latency, SQL_TOOL_LATENCY),
     "tool_position": (q_tool_position, SQL_TOOL_POSITION),
     "user_burstiness": (q_user_burstiness, SQL_USER_BURSTINESS),

@@ -526,3 +526,48 @@ def test_zorder_layout_pruning_win(spark):
     # the box is a strict 2-D restriction, so with data in every month
     # bucket the z layout must be strictly better here
     assert out["z_touched"].sum() < out["d1_touched"].sum()
+
+
+def test_last_touch_attribution_matches_python(spark):
+    """Carry-forward attribution == a per-user python replay; every
+    purchase is attributed exactly once."""
+    import math
+
+    from linkgraph.io import load_table
+    from linkgraph.relational import (
+        _CONV_TYPE,
+        _TOUCH_TYPES,
+        q_last_touch_attribution,
+    )
+
+    ev = (
+        load_table(spark, SF, "events")
+        .select("user_id", "ts", "event_id", "event_type", "value")
+        .collect()
+    )
+    streams: dict[int, list] = {}
+    for r in ev:
+        streams.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], r["event_type"], r["value"])
+        )
+    want: dict[str, list] = {}
+    n_purch = 0
+    for _u, s in streams.items():
+        s.sort(key=lambda t: (t[0], t[1]))
+        last = None
+        for _ts, _id, typ, val in s:
+            if typ in _TOUCH_TYPES:
+                last = typ
+            if typ == _CONV_TYPE:
+                n_purch += 1
+                ch = last or "direct"
+                want.setdefault(ch, [0, 0])
+                want[ch][0] += 1
+                want[ch][1] += math.floor(val * 100)
+
+    got = {
+        r["channel"]: [r["n_conversions"], r["revenue_cents"]]
+        for r in q_last_touch_attribution(spark, SF).collect()
+    }
+    assert got == want
+    assert sum(v[0] for v in got.values()) == n_purch
