@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from .flagship import events_graph
 from .graph_oracles import (
     bfs_fixed_sql,
+    msbfs_fixed_sql,
     bowtie_fixed_sql,
     eigenvector_fixed_sql,
     harmonic_fixed_sql,
@@ -374,6 +375,36 @@ def engine_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_ENGINE_BFS = bfs_fixed_sql(_BFS_STEPS)
+
+_MSBFS_SEEDS = 4
+
+
+def engine_msbfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS (closest-facility distance) in ONE engine
+    traversal: all ``_MSBFS_SEEDS`` seeds (vids 0..3 == the 4 lowest
+    vkeys under sorted assignment) start at distance 0 and the frontier
+    expands once — dist(v) = hops to the NEAREST seed.  The point vs
+    engine_harmonic's per-landmark loop: k facilities cost ONE superstep
+    sweep, not k, because BFSProgram's min-combine already merges
+    frontiers; this is the scale shape for k-nearest-facility labelling
+    at 10^12 edges.  Output (vkey, dist) for reached vertices,
+    hash-checked against graph_oracles.msbfs_fixed_sql."""
+    g, ctx = _events_ctx(spark, sf_dir)
+    try:
+        src = spark.createDataFrame(
+            [(i,) for i in range(_MSBFS_SEEDS)], "vid long"
+        )
+        res = run_program(ctx, BFSProgram(src), fixed_iters=_BFS_STEPS)
+        return (
+            res.state.where(F.col("dist") < F.lit(int(BFS_INF)))
+            .join(g.vertices.select("vid", "vkey"), "vid")
+            .select("vkey", "dist")
+        )
+    finally:
+        ctx.unpersist()
+
+
+SQL_ENGINE_MSBFS = msbfs_fixed_sql(_BFS_STEPS, _MSBFS_SEEDS)
 
 _HARMONIC_SEEDS = 3
 
@@ -748,6 +779,7 @@ def registry():
         "engine_kcore": (engine_kcore, kcore_fixed_sql(3, 8)),
         "engine_onion": (engine_onion, onion_fixed_sql(3, 8)),
         "engine_bfs": (engine_bfs, SQL_ENGINE_BFS),
+        "engine_msbfs": (engine_msbfs, SQL_ENGINE_MSBFS),
         "engine_harmonic": (engine_harmonic, SQL_ENGINE_HARMONIC),
         "engine_scc": (engine_scc, SQL_ENGINE_SCC),
         "bowtie": (q_bowtie, bowtie_fixed_sql(_BFS_STEPS)),

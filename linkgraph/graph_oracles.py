@@ -235,6 +235,41 @@ def bfs_fixed_sql(k: int) -> str:
     )
 
 
+def msbfs_fixed_sql(k: int, n_seeds: int) -> str:
+    """Unrolled k-superstep MULTI-source BFS (seeds = the ``n_seeds``
+    lowest vkeys, all at distance 0) over the undirected simple events
+    graph — mirrors pregel.BFSProgram run with a multi-row source frame:
+    dist(v) = hops to the NEAREST seed (closest-facility assignment)."""
+    ctes = [
+        _GRAPH_CTES,
+        "und AS (SELECT DISTINCT a, b FROM ("
+        "SELECT s AS a, t AS b FROM ek WHERE s <> t "
+        "UNION ALL SELECT t AS a, s AS b FROM ek WHERE s <> t))",
+        f"seeds AS (SELECT vkey FROM v ORDER BY vkey LIMIT {n_seeds})",
+        "d0 AS (SELECT v.vkey, CASE WHEN s.vkey IS NOT NULL "
+        "THEN 0 ELSE NULL END AS dist "
+        "FROM v LEFT JOIN seeds s USING (vkey))",
+    ]
+    for i in range(1, k + 1):
+        p = f"d{i - 1}"
+        ctes.append(
+            f"m{i} AS (SELECT u.a AS vkey, min(p.dist) + 1 AS nd "
+            f"FROM und u JOIN {p} p ON p.vkey = u.b "
+            f"WHERE p.dist IS NOT NULL GROUP BY u.a)"
+        )
+        ctes.append(
+            f"d{i} AS (SELECT p.vkey, CASE "
+            f"WHEN p.dist IS NULL THEN m.nd "
+            f"WHEN m.nd IS NULL THEN p.dist "
+            f"ELSE least(p.dist, m.nd) END AS dist "
+            f"FROM {p} p LEFT JOIN m{i} m USING (vkey))"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT vkey, CAST(dist AS BIGINT) AS dist FROM d{k} WHERE dist IS NOT NULL"
+    )
+
+
 def sssp_fixed_sql(k: int) -> str:
     """Unrolled k-superstep Bellman-Ford (source = min vkey) over the
     DIRECTED weighted events edges (w = multiplicity); output

@@ -678,3 +678,29 @@ def test_neighbor_sample_matches_python(spark):
     }
     assert got == want
     assert max(got.values()) <= _NS_FANOUT
+
+
+def test_engine_msbfs_matches_networkx(spark):
+    """Multi-source BFS == networkx multi_source_shortest_path_length on
+    the same undirected events graph (seeds = 4 lowest vkeys), run to
+    convergence depth."""
+    import networkx as nx
+
+    from linkgraph.engine_queries import _MSBFS_SEEDS, engine_msbfs
+    from linkgraph.flagship import events_graph
+    from linkgraph.io import load_table
+
+    sf = "/root/testdata/sf0.001"
+    g = events_graph(load_table(spark, sf, "events"))
+    edges = g.edges.select("src", "dst").distinct().collect()
+    verts = {r["vid"]: r["vkey"] for r in g.vertices.collect()}
+    G = nx.Graph()
+    G.add_nodes_from(verts)
+    G.add_edges_from((r["src"], r["dst"]) for r in edges if r["src"] != r["dst"])
+    seeds = sorted(verts, key=lambda v: verts[v])[:_MSBFS_SEEDS]
+    dist = nx.multi_source_dijkstra_path_length(G, seeds, weight=None)
+    want = {
+        verts[v]: int(d) for v, d in dist.items() if d <= 6  # _BFS_STEPS
+    }
+    got = {r["vkey"]: r["dist"] for r in engine_msbfs(spark, sf).collect()}
+    assert got == want
