@@ -3679,6 +3679,147 @@ def _mmr_sql(k: int) -> str:
 SQL_MMR_RERANK = _mmr_sql(_MMR_K)
 
 
+# --------------------------------------------------------------------------
+# Content-defined chunking (§2.15 row 240): split each token stream at
+# positions where the hash of the trailing 4-token window ≡ 0 (mod 16) —
+# the rolling-boundary trick (FastCDC / rsync / LBFS) that makes chunk
+# boundaries SELF-ALIGNING: two documents sharing a token run converge to
+# identical chunks after at most one window, unlike fixed-size chunking
+# where a 1-token insertion shifts every later chunk.  A deterministic
+# shared tail is appended to every doc (the fixture discipline) so the
+# cross-doc chunk-sharing machinery provably fires.
+# --------------------------------------------------------------------------
+
+_CDC_W = 4         # trailing-window width (tokens)
+_CDC_MOD = 16      # boundary when window-hash % 16 == 0 (avg 16-token chunks)
+_CDC_TAIL = (
+    "standard footer alpha bravo charlie delta echo foxtrot golf hotel "
+    "india juliet kilo lima mike november"
+)
+
+
+def doc_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document content-defined chunking summary with cross-doc chunk
+    sharing.
+
+    Scale posture: ONE doc-keyed window shuffle carries the 3 lag()s, the
+    boundary flag, and the exclusive cumsum that assigns chunk ids; chunk
+    fingerprints reduce by (doc, chunk) then by fp — both combinable; the
+    share join is a narrow int64-fp equi-join.  Nothing is quadratic and
+    the payload never re-shuffles after the first window.  Output
+    (doc_id, n_tokens, n_chunks, max_chunk_toks, n_shared_chunks)."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.concat(F.lower(F.trim("text")), F.lit(" " + _CDC_TAIL)).alias("t2"),
+    )
+    words = base.select(
+        "doc_id", F.posexplode(F.split("t2", " ")).alias("pos", "w")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    gram = F.concat_ws(
+        " ",
+        F.lag("w", 3).over(win),
+        F.lag("w", 2).over(win),
+        F.lag("w", 1).over(win),
+        F.col("w"),
+    )
+    flagged = words.select(
+        "doc_id",
+        "pos",
+        "w",
+        (
+            (F.col("pos") >= _CDC_W - 1)
+            & (F.pmod(_md5_int(gram), F.lit(_CDC_MOD)) == 0)
+        ).cast("long").alias("boundary"),
+    )
+    chunked = flagged.select(
+        "doc_id",
+        "pos",
+        "w",
+        F.coalesce(
+            F.sum("boundary").over(
+                win.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("chunk"),
+    )
+    chunks = (
+        chunked.groupBy("doc_id", "chunk")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            _md5_int(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                        lambda s: s["w"],
+                    ),
+                    " ",
+                )
+            ).alias("fp"),
+        )
+    )
+    share = chunks.groupBy("fp").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    tagged = chunks.join(share, "fp")
+    return (
+        tagged.groupBy("doc_id")
+        .agg(
+            F.sum("n_toks").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.max("n_toks").alias("max_chunk_toks"),
+            F.sum((F.col("n_docs") >= 2).cast("long")).alias(
+                "n_shared_chunks"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_DOC_CDC_CHUNKS = f"""
+WITH base AS (
+  SELECT doc_id, lower(trim(text)) || ' {_CDC_TAIL}' AS t2 FROM documents
+), words AS (
+  SELECT doc_id, g.i - 1 AS pos, w[g.i] AS w
+  FROM (SELECT doc_id, string_split(t2, ' ') AS w FROM base),
+       LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g
+), flagged AS (
+  SELECT doc_id, pos, w,
+         CASE WHEN pos >= {_CDC_W - 1}
+               AND ({_sql_md5_int(
+                   "lag(w, 3) OVER dw || ' ' || lag(w, 2) OVER dw || ' ' || "
+                   "lag(w, 1) OVER dw || ' ' || w"
+               )}) % {_CDC_MOD} = 0
+              THEN 1 ELSE 0 END AS boundary
+  FROM words
+  WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)
+), chunked AS (
+  SELECT doc_id, pos, w,
+         COALESCE(sum(boundary) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+  FROM flagged
+), chunks AS (
+  SELECT doc_id, chunk,
+         CAST(count(*) AS BIGINT) AS n_toks,
+         {_sql_md5_int("string_agg(w, ' ' ORDER BY pos)")} AS fp
+  FROM chunked GROUP BY doc_id, chunk
+), share AS (
+  SELECT fp, count(DISTINCT doc_id) AS n_docs FROM chunks GROUP BY fp
+)
+SELECT c.doc_id,
+       CAST(sum(c.n_toks) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       max(c.n_toks) AS max_chunk_toks,
+       CAST(sum(CASE WHEN s.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared_chunks
+FROM chunks c JOIN share s ON s.fp = c.fp
+GROUP BY c.doc_id
+ORDER BY c.doc_id
+"""
+
+
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
     return {
         "doc_split": (doc_split, SQL_DOC_SPLIT),
@@ -3705,6 +3846,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "bm25_topk": (bm25_topk, SQL_BM25_TOPK),
         "rrf_fusion": (rrf_fusion, SQL_RRF_FUSION),
         "mmr_rerank": (mmr_rerank, SQL_MMR_RERANK),
+        "doc_cdc_chunks": (doc_cdc_chunks, SQL_DOC_CDC_CHUNKS),
         "langid_confusion": (langid_confusion, SQL_LANGID_CONFUSION),
         "word_pmi": (word_pmi, SQL_WORD_PMI),
         "doc_fingerprint": (doc_fingerprint, SQL_DOC_FINGERPRINT),

@@ -1335,3 +1335,61 @@ def test_mmr_rerank_greedy_optimality(spark):
             )
             assert got >= best_other - tol
             sel.append(d)
+
+
+def test_doc_cdc_chunks_matches_python(spark):
+    """CDC chunking == a from-scratch sequential rolling-boundary replay,
+    and the shared tail provably produces cross-doc chunk sharing."""
+    import hashlib
+
+    from linkgraph.datapipe import (
+        _CDC_MOD,
+        _CDC_TAIL,
+        _CDC_W,
+        doc_cdc_chunks,
+    )
+    from linkgraph.io import load_table
+
+    def h15(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    docs = {
+        r["doc_id"]: (r["text"].strip().lower() + " " + _CDC_TAIL).split(" ")
+        for r in load_table(spark, SF, "documents").collect()
+    }
+    fp_docs: dict[int, set] = {}
+    stats = {}
+    per_doc_fps = {}
+    for d, ws in docs.items():
+        chunks, cur = [], []
+        for i, w in enumerate(ws):
+            cur.append(w)
+            if i >= _CDC_W - 1 and h15(" ".join(ws[i - 3 : i + 1])) % _CDC_MOD == 0:
+                chunks.append(cur)
+                cur = []
+        if cur:
+            chunks.append(cur)
+        fps = [h15(" ".join(c)) for c in chunks]
+        per_doc_fps[d] = fps
+        for f in fps:
+            fp_docs.setdefault(f, set()).add(d)
+        stats[d] = (len(ws), len(chunks), max(len(c) for c in chunks))
+
+    want = {
+        d: (
+            n_toks,
+            n_chunks,
+            mx,
+            sum(1 for f in per_doc_fps[d] if len(fp_docs[f]) >= 2),
+        )
+        for d, (n_toks, n_chunks, mx) in stats.items()
+    }
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_chunks"], r["max_chunk_toks"],
+            r["n_shared_chunks"],
+        )
+        for r in doc_cdc_chunks(spark, SF).collect()
+    }
+    assert got == want
+    assert any(v[3] > 0 for v in got.values())  # the fixture tail shares
