@@ -26,6 +26,7 @@ from .flagship import events_graph
 from .graph_oracles import (
     bfs_fixed_sql,
     msbfs_fixed_sql,
+    kcenter_fixed_sql,
     bowtie_fixed_sql,
     eigenvector_fixed_sql,
     harmonic_fixed_sql,
@@ -406,6 +407,55 @@ def engine_msbfs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_ENGINE_MSBFS = msbfs_fixed_sql(_BFS_STEPS, _MSBFS_SEEDS)
 
+_KCENTER_K = 3
+
+
+def engine_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gonzalez farthest-first k-center over the undirected events graph:
+    center 1 = vid 0 (min vkey); each next center = the farthest finite-
+    distance vertex (ties -> min vkey) of a multi-source BFS from the
+    centers so far; final output = closest-center distance per vertex
+    with an is_center flag.  The greedy gives the classic 2-approximation
+    for the k-center objective.
+
+    Scale posture: k-1 engine traversals + a final one, each ONE
+    frontier-sparse superstep sweep regardless of center count (msbfs
+    min-combine); the per-round argmax is a bounded 1-row collect — the
+    same contract as engine_diameter2sweep's source picks.  Output
+    (vkey, dist, is_center)."""
+    g, ctx = _events_ctx(spark, sf_dir)
+    try:
+        vmap = g.vertices.select("vid", "vkey")
+        centers = [0]
+        for _round in range(_KCENTER_K - 1):
+            src = spark.createDataFrame([(c,) for c in centers], "vid long")
+            res = run_program(ctx, BFSProgram(src), fixed_iters=_BFS_STEPS)
+            far = (
+                res.state.where(F.col("dist") < F.lit(int(BFS_INF)))
+                .join(vmap, "vid")
+                .orderBy(F.desc("dist"), F.asc("vkey"))
+                .limit(1)
+                .collect()
+            )
+            centers.append(int(far[0]["vid"]))
+        src = spark.createDataFrame([(c,) for c in centers], "vid long")
+        res = run_program(ctx, BFSProgram(src), fixed_iters=_BFS_STEPS)
+        cset = {int(c) for c in centers}
+        return (
+            res.state.where(F.col("dist") < F.lit(int(BFS_INF)))
+            .join(vmap, "vid")
+            .select(
+                "vkey",
+                "dist",
+                F.col("vid").isin(*cset).cast("long").alias("is_center"),
+            )
+        )
+    finally:
+        ctx.unpersist()
+
+
+SQL_ENGINE_KCENTER = kcenter_fixed_sql(_BFS_STEPS, _KCENTER_K)
+
 _HARMONIC_SEEDS = 3
 
 
@@ -780,6 +830,7 @@ def registry():
         "engine_onion": (engine_onion, onion_fixed_sql(3, 8)),
         "engine_bfs": (engine_bfs, SQL_ENGINE_BFS),
         "engine_msbfs": (engine_msbfs, SQL_ENGINE_MSBFS),
+        "engine_kcenter": (engine_kcenter, SQL_ENGINE_KCENTER),
         "engine_harmonic": (engine_harmonic, SQL_ENGINE_HARMONIC),
         "engine_scc": (engine_scc, SQL_ENGINE_SCC),
         "bowtie": (q_bowtie, bowtie_fixed_sql(_BFS_STEPS)),

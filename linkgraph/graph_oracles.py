@@ -270,6 +270,79 @@ def msbfs_fixed_sql(k: int, n_seeds: int) -> str:
     )
 
 
+def _bfs_unroll_ctes(tag: str, seeds_cte: str, k: int) -> list[str]:
+    """k-superstep BFS CTE chain seeded from ``seeds_cte`` (a 1-column
+    vkey CTE); requires ``und(a, b)`` and ``v(vkey, vid)`` in scope.
+    Final distances land in ``d{tag}{k}``."""
+    ctes = [
+        f"d{tag}0 AS (SELECT v.vkey, CASE WHEN s.vkey IS NOT NULL "
+        f"THEN 0 ELSE NULL END AS dist "
+        f"FROM v LEFT JOIN {seeds_cte} s USING (vkey))",
+    ]
+    for i in range(1, k + 1):
+        p = f"d{tag}{i - 1}"
+        ctes.append(
+            f"m{tag}{i} AS (SELECT u.a AS vkey, min(p.dist) + 1 AS nd "
+            f"FROM und u JOIN {p} p ON p.vkey = u.b "
+            f"WHERE p.dist IS NOT NULL GROUP BY u.a)"
+        )
+        ctes.append(
+            f"d{tag}{i} AS (SELECT p.vkey, CASE "
+            f"WHEN p.dist IS NULL THEN m.nd "
+            f"WHEN m.nd IS NULL THEN p.dist "
+            f"ELSE least(p.dist, m.nd) END AS dist "
+            f"FROM {p} p LEFT JOIN m{tag}{i} m USING (vkey))"
+        )
+    return ctes
+
+
+def kcenter_fixed_sql(k_steps: int, n_centers: int) -> str:
+    """Gonzalez farthest-first k-center oracle: center 1 = min vkey; each
+    next center = the max-finite-distance vertex (ties -> min vkey) of a
+    fresh ``k_steps``-superstep multi-source BFS from the centers so far;
+    output = final closest-center distances with an is_center flag."""
+    ctes = [
+        _GRAPH_CTES,
+        "und AS (SELECT DISTINCT a, b FROM ("
+        "SELECT s AS a, t AS b FROM ek WHERE s <> t "
+        "UNION ALL SELECT t AS a, s AS b FROM ek WHERE s <> t))",
+        "c1 AS (SELECT min(vkey) AS vkey FROM v)",
+    ]
+    seeds = "c1"
+    for c in range(2, n_centers + 1):
+        tag = f"r{c - 1}"
+        ctes += _bfs_unroll_ctes(tag, seeds, k_steps)
+        ctes.append(
+            f"p{c} AS (SELECT vkey FROM d{tag}{k_steps} "
+            f"WHERE dist IS NOT NULL ORDER BY dist DESC, vkey LIMIT 1)"
+        )
+        ctes.append(
+            f"c{c} AS (SELECT vkey FROM {seeds} "
+            f"UNION ALL SELECT vkey FROM p{c})"
+        )
+        seeds = f"c{c}"
+    ctes += _bfs_unroll_ctes("fin", seeds, k_steps)
+    sql = "WITH " + ",\n".join(ctes)
+    # DuckDB re-expands plain CTEs at every reference; n_centers unrolled
+    # BFS chains each referencing `und` would re-open the events parquet
+    # per level and trip the fd limit (same fix as graphstats' 2-sweep).
+    for name in ("base", "ek", "v", "und"):
+        sql = sql.replace(f"{name} AS (", f"{name} AS MATERIALIZED (", 1)
+    for c in range(2, 100):
+        if f"p{c} AS (" not in sql:
+            break
+        sql = sql.replace(f"p{c} AS (", f"p{c} AS MATERIALIZED (", 1)
+    return (
+        sql
+        + f"""
+SELECT d.vkey, CAST(d.dist AS BIGINT) AS dist,
+       CAST(CASE WHEN s.vkey IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS is_center
+FROM dfin{k_steps} d LEFT JOIN {seeds} s USING (vkey)
+WHERE d.dist IS NOT NULL"""
+    )
+
+
 def sssp_fixed_sql(k: int) -> str:
     """Unrolled k-superstep Bellman-Ford (source = min vkey) over the
     DIRECTED weighted events edges (w = multiplicity); output
