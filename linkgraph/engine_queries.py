@@ -27,6 +27,7 @@ from .graph_oracles import (
     bfs_fixed_sql,
     msbfs_fixed_sql,
     kcenter_fixed_sql,
+    ltcascade_fixed_sql,
     bowtie_fixed_sql,
     eigenvector_fixed_sql,
     harmonic_fixed_sql,
@@ -48,6 +49,7 @@ from .pregel import (
     GraphContext,
     KatzProgram,
     LabelPropProgram,
+    LTCascadeProgram,
     PageRankProgram,
     PersonalizedPageRankProgram,
     SSSPProgram,
@@ -456,6 +458,59 @@ def engine_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_ENGINE_KCENTER = kcenter_fixed_sql(_BFS_STEPS, _KCENTER_K)
 
+_LT_SEEDS = 5
+
+
+def engine_ltcascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic linear-threshold influence cascade on the engine
+    (pregel.LTCascadeProgram): seeds = 5 smallest vkeys, threshold
+    theta(v) = 1 + (md5int(vkey) % max(1, deg(v) div 2)) over the
+    UNDIRECTED simple graph (unit weights), fixed 6 supersteps.
+    Frontier-sparse in the strongest sense — each edge scatters at most
+    once over the whole run, so cascade cost tracks the influenced
+    subgraph, not iterations x E.  Output (vkey, rnd, infl) for vertices
+    activated within the horizon; exact-int64 hash vs the unrolled
+    oracle."""
+    g, ctx = _events_ctx(spark, sf_dir)
+    try:
+        vmap = g.vertices.select("vid", "vkey")
+        seeds = vmap.orderBy("vkey").limit(_LT_SEEDS).select("vid")
+        e = g.edges.where(F.col("src") != F.col("dst")).select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        ).distinct()
+        deg = (
+            e.select(F.col("u").alias("vid"))
+            .unionByName(e.select(F.col("v").alias("vid")))
+            .groupBy("vid")
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        )
+        th = (
+            vmap.join(deg, "vid")
+            .select(
+                "vid",
+                (
+                    F.lit(1)
+                    + F.pmod(
+                        F.conv(F.substring(F.md5("vkey"), 1, 15), 16, 10).cast("long"),
+                        F.greatest(F.lit(1), F.expr("deg div 2")),
+                    )
+                ).alias("theta"),
+            )
+        )
+        res = run_program(
+            ctx, LTCascadeProgram(seeds, th), fixed_iters=_BFS_STEPS
+        )
+        return (
+            res.state.where(F.col("rnd") < F.lit(int(BFS_INF)))
+            .join(vmap, "vid")
+            .select("vkey", "rnd", "infl")
+        )
+    finally:
+        ctx.unpersist()
+
+
+SQL_ENGINE_LTCASCADE = ltcascade_fixed_sql(_BFS_STEPS, _LT_SEEDS)
+
 _HARMONIC_SEEDS = 3
 
 
@@ -831,6 +886,7 @@ def registry():
         "engine_bfs": (engine_bfs, SQL_ENGINE_BFS),
         "engine_msbfs": (engine_msbfs, SQL_ENGINE_MSBFS),
         "engine_kcenter": (engine_kcenter, SQL_ENGINE_KCENTER),
+        "engine_ltcascade": (engine_ltcascade, SQL_ENGINE_LTCASCADE),
         "engine_harmonic": (engine_harmonic, SQL_ENGINE_HARMONIC),
         "engine_scc": (engine_scc, SQL_ENGINE_SCC),
         "bowtie": (q_bowtie, bowtie_fixed_sql(_BFS_STEPS)),

@@ -343,6 +343,59 @@ WHERE d.dist IS NOT NULL"""
     )
 
 
+def ltcascade_fixed_sql(k: int, n_seeds: int) -> str:
+    """Unrolled k-superstep linear-threshold cascade over the UNDIRECTED
+    simple events graph (unit weights): seeds = the ``n_seeds``
+    lexicographically-smallest vkeys active at round 0; an inactive vertex
+    activates at superstep i when its count of neighbors active by i-1
+    reaches its threshold
+    theta(v) = 1 + (md5int(vkey) % max(1, deg(v) // 2)) (never activates
+    if deg = 0).
+    Mirrors pregel.LTCascadeProgram with fixed_iters=k; all-int64, so the
+    hash comparison is exact."""
+    ctes = [
+        _GRAPH_CTES,
+        "und AS (SELECT DISTINCT a, b FROM ("
+        "SELECT s AS a, t AS b FROM ek WHERE s <> t "
+        "UNION ALL SELECT t AS a, s AS b FROM ek WHERE s <> t))",
+        "degv AS (SELECT a AS vkey, CAST(count(*) AS BIGINT) AS deg "
+        "FROM und GROUP BY a)",
+        "th AS (SELECT v.vkey, CASE WHEN d.deg > 0 THEN 1 + "
+        "(CAST(('0x' || substr(md5(v.vkey), 1, 15)) AS BIGINT) "
+        "% greatest(1, d.deg // 2)) "
+        "ELSE NULL END AS theta FROM v LEFT JOIN degv d USING (vkey))",
+        f"s0 AS (SELECT vkey FROM v ORDER BY vkey LIMIT {n_seeds})",
+        "a0 AS (SELECT v.vkey, CASE WHEN s.vkey IS NOT NULL THEN 0 END AS rnd, "
+        "CAST(0 AS BIGINT) AS infl FROM v LEFT JOIN s0 s USING (vkey))",
+    ]
+    for i in range(1, k + 1):
+        p = f"a{i - 1}"
+        ctes.append(
+            f"m{i} AS (SELECT u.a AS vkey, CAST(count(*) AS BIGINT) AS ms "
+            f"FROM und u JOIN {p} p ON p.vkey = u.b "
+            f"WHERE p.rnd = {i - 1} GROUP BY u.a)"
+        )
+        ctes.append(
+            f"a{i} AS (SELECT p.vkey, CASE "
+            f"WHEN p.rnd IS NOT NULL THEN p.rnd "
+            f"WHEN p.infl + coalesce(m.ms, 0) >= t.theta THEN {i} END AS rnd, "
+            f"p.infl + coalesce(m.ms, 0) AS infl "
+            f"FROM {p} p LEFT JOIN m{i} m USING (vkey) JOIN th t USING (vkey))"
+        )
+    sql = "WITH " + ",\n".join(ctes)
+    # k unrolled levels each referencing `und`/`th` — materialize so DuckDB
+    # does not re-open the events parquet per level (fd limit, same fix as
+    # kcenter_fixed_sql).
+    for name in ("base", "ek", "v", "und", "th"):
+        sql = sql.replace(f"{name} AS (", f"{name} AS MATERIALIZED (", 1)
+    return (
+        sql
+        + f"""
+SELECT a.vkey, CAST(a.rnd AS BIGINT) AS rnd, CAST(a.infl AS BIGINT) AS infl
+FROM a{k} a WHERE a.rnd IS NOT NULL"""
+    )
+
+
 def sssp_fixed_sql(k: int) -> str:
     """Unrolled k-superstep Bellman-Ford (source = min vkey) over the
     DIRECTED weighted events edges (w = multiplicity); output

@@ -1278,6 +1278,175 @@ class SSSPProgram:
         return stats["changes"] == 0
 
 
+LT_NEVER = np.int64(1) << 62  # threshold sentinel: vertex can never activate
+
+
+class LTCascadeProgram:
+    """Deterministic linear-threshold influence cascade over the UNDIRECTED
+    simple graph (Kempe-Kleinberg-Tardos LT model with fixed integer
+    thresholds instead of random ones).
+
+    State per vertex: activation round ``rnd`` (BFS_INF while inactive),
+    cumulative count of activated neighbors ``infl`` (exact int64 — the
+    undirected simple view is unit-weight), local superstep counter
+    ``step``, and threshold ``theta``.  A vertex activates at the first
+    superstep where its count of ACTIVE neighbors reaches theta;
+    activation is monotone, so the scatter is frontier-sparse in the
+    strongest sense: only vertices activated in the PREVIOUS superstep
+    (``rnd == step``) message out, hence every edge is scattered AT MOST
+    ONCE over the whole run — total message volume is O(E reached), not
+    O(E * supersteps).  That is the 100-TB shape: cascade cost tracks the
+    influenced subgraph, never the iteration count.
+
+    Fixed-iteration runs hash-check against the unrolled-CTE DuckDB oracle
+    (graph_oracles.ltcascade_fixed_sql); all arithmetic is int64, so the
+    comparison is exact with no rounding grain."""
+
+    name = "ltcascade"
+    state_cols = ["vid", "part_id", "rnd", "infl", "step", "theta"]
+    uses_undirected = True
+
+    def __init__(self, seed_vids: DataFrame, thresholds: DataFrame):
+        """``seed_vids``: (vid) rows active at round 0.  ``thresholds``:
+        (vid, theta) int64 rows; vertices absent from it get LT_NEVER."""
+        self.seed_vids = seed_vids
+        self.thresholds = thresholds
+
+    def init_state(self, ctx: GraphContext) -> DataFrame:
+        srcs = self.seed_vids.select("vid").distinct().withColumn("_s", F.lit(True))
+        th = self.thresholds.select("vid", F.col("theta").cast("long").alias("_th"))
+        return (
+            ctx.vertex_base.join(F.broadcast(srcs), "vid", "left")
+            .join(F.broadcast(th), "vid", "left")
+            .select(
+                "vid",
+                "part_id",
+                F.when(F.col("_s"), F.lit(0))
+                .otherwise(F.lit(int(BFS_INF)))
+                .cast("long")
+                .alias("rnd"),
+                F.lit(0).cast("long").alias("infl"),
+                F.lit(0).cast("long").alias("step"),
+                F.coalesce(F.col("_th"), F.lit(int(LT_NEVER)))
+                .cast("long")
+                .alias("theta"),
+            )
+        )
+
+    def make_scatter(self, P: int):
+        def scatter(key, left: pa.Table, right: pa.Table) -> pa.Table:
+            empty = _empty_packed({"msum": pa.int64()})
+            if left.num_rows == 0 or right.num_rows == 0:
+                return empty
+            p = left["part_id"][0].as_py()
+            indptr = _block_np(left, "indptr")
+            udst = _block_np(left, "udst")
+            e2u = _block_np(left, "e2u")
+            rnd, _ = _dense_state(right, "rnd", p, P)
+            step, _ = _dense_state(right, "step", p, P)
+            # frontier = activated exactly last superstep; their edges fire
+            # once and never again
+            fresh = rnd == step
+            src_fresh = np.repeat(fresh, np.diff(indptr))
+            if not src_fresh.any():
+                return empty
+            # unit weights on the undirected simple view: the partial is a
+            # fresh-neighbor count per destination
+            partial = np.zeros(len(udst), dtype=np.int64)
+            np.add.at(partial, e2u[src_fresh], np.int64(1))
+            touched = partial > 0
+            return _packed_msgs(P, udst[touched], {"msum": partial[touched]})
+
+        return scatter
+
+    @staticmethod
+    def make_apply(P: int):
+        def apply(key, msgs: pa.Table, state: pa.Table) -> pa.Table:
+            p, nloc = key[0].as_py(), state.num_rows
+            if nloc == 0:
+                return pa.table(
+                    {
+                        "vid": pa.array([], pa.int64()),
+                        "part_id": pa.array([], pa.int32()),
+                        "rnd": pa.array([], pa.int64()),
+                        "infl": pa.array([], pa.int64()),
+                        "step": pa.array([], pa.int64()),
+                        "theta": pa.array([], pa.int64()),
+                        "_changed": pa.array([], pa.int64()),
+                    }
+                )
+            rnd_old, _ = _dense_state(state, "rnd", p, P)
+            infl_old, _ = _dense_state(state, "infl", p, P)
+            step_old, _ = _dense_state(state, "step", p, P)
+            theta, _ = _dense_state(state, "theta", p, P)
+            msum = np.zeros(nloc, dtype=np.int64)
+            if msgs.num_rows:
+                mloc = (_pa_flat(msgs, "dst") - p) // P
+                np.add.at(msum, mloc, _pa_flat(msgs, "msum"))
+            step_new = step_old + 1
+            infl_new = infl_old + msum
+            newly = (rnd_old == BFS_INF) & (infl_new >= theta)
+            rnd_new = np.where(newly, step_new, rnd_old)
+            return pa.table(
+                {
+                    "vid": pa.array(p + np.arange(nloc, dtype=np.int64) * P),
+                    "part_id": pa.array(np.full(nloc, p, np.int32)),
+                    "rnd": pa.array(rnd_new),
+                    "infl": pa.array(infl_new),
+                    "step": pa.array(step_new),
+                    "theta": pa.array(theta),
+                    "_changed": pa.array(newly.astype(np.int64)),
+                }
+            )
+
+        return apply
+
+    def superstep(self, ctx: GraphContext, state: DataFrame, carry: dict | None = None) -> DataFrame:
+        packed_schema = "part_id int, dst array<long>, msum array<long>"
+        msgs = (
+            ctx.ublocks.groupby("part_id")
+            .cogroup(state.groupby("part_id"))
+            .applyInArrow(self.make_scatter(ctx.P), packed_schema)
+        )
+        if ctx.uhub_edges is not None:
+            # op 47 undirected side, frontier-filtered to freshly-activated
+            # hubs only (same at-most-once-per-edge guarantee as the block
+            # path); unit counts ride the packed wire format and np.add.at
+            # on the apply side combines duplicates.
+            hub_state = (
+                state.where(F.col("rnd") == F.col("step"))
+                .join(F.broadcast(ctx.uhub_vids), "vid")
+                .select(F.col("vid").alias("src"))
+            )
+            hub_rows = ctx.uhub_edges.join(F.broadcast(hub_state), "src").select(
+                F.pmod(F.col("dst"), F.lit(ctx.P)).cast("int").alias("part_id"),
+                "dst",
+                F.lit(1).cast("long").alias("msum"),
+            )
+            hub_msgs = _pack_hub_jvm(hub_rows, ("msum",))
+            msgs = msgs.unionByName(hub_msgs)
+        return (
+            msgs.groupby("part_id")
+            .cogroup(state.groupby("part_id"))
+            .applyInArrow(
+                self.make_apply(ctx.P),
+                "vid long, part_id int, rnd long, infl long, step long, "
+                "theta long, _changed long",
+            )
+        )
+
+    def stat_exprs(self):
+        return [
+            F.sum("_changed").alias("changes"),
+            F.sum((F.col("rnd") < F.lit(int(BFS_INF))).cast("long")).alias("active"),
+        ]
+
+    stat_reducers = {"changes": sum, "active": sum}
+
+    def done(self, stats: dict) -> bool:
+        return stats["changes"] == 0
+
+
 class LabelPropProgram:
     """Synchronous community label propagation, min-label tiebreak (op 50).
 

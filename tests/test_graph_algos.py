@@ -704,3 +704,101 @@ def test_engine_msbfs_matches_networkx(spark):
     }
     got = {r["vkey"]: r["dist"] for r in engine_msbfs(spark, sf).collect()}
     assert got == want
+
+
+# -- linear-threshold cascade -------------------------------------------------
+
+def _lt_ref(src, dst, n, seeds, theta, iters):
+    """Pure-python synchronous LT cascade over the undirected simple view:
+    rnd[v] = activation round (-1 inactive), infl[v] = cumulative count of
+    activated neighbors (each neighbor counted once, at activation+1)."""
+    adj = [set() for _ in range(n)]
+    for s, d in zip(src, dst):
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    rnd = np.full(n, -1, dtype=np.int64)
+    infl = np.zeros(n, dtype=np.int64)
+    rnd[list(seeds)] = 0
+    for t in range(1, iters + 1):
+        fresh = np.flatnonzero(rnd == t - 1)
+        gain = np.zeros(n, dtype=np.int64)
+        for u in fresh:
+            for v in adj[u]:
+                gain[v] += 1
+        infl = infl + gain
+        newly = (rnd == -1) & (infl >= theta)
+        rnd[newly] = t
+    return rnd, infl
+
+
+def _lt_thresholds(src, dst, n):
+    """Deterministic test thresholds: 1 + (vid * 7) % deg — the full degree
+    range, so high-draw vertices need ALL their neighbors active and some
+    never fire; degree-0 vertices get a huge sentinel (can never
+    activate)."""
+    deg = np.zeros(n, dtype=np.int64)
+    seen = set()
+    for s, d in zip(src, dst):
+        if s != d and (min(s, d), max(s, d)) not in seen:
+            seen.add((min(s, d), max(s, d)))
+            deg[s] += 1
+            deg[d] += 1
+    theta = 1 + (np.arange(n, dtype=np.int64) * 7) % np.maximum(1, deg)
+    return np.where(deg > 0, theta, np.int64(1) << 61), deg
+
+
+def test_ltcascade_matches_reference(spark, synth_ctx):
+    from linkgraph.pregel import LTCascadeProgram
+
+    g, ctx = synth_ctx
+    src, dst, _w, n = edges_numpy(g)
+    theta, _deg = _lt_thresholds(src, dst, n)
+    seeds = [0, n // 3, 2 * n // 3]
+    K = 5
+
+    seeds_df = spark.createDataFrame([(int(s),) for s in seeds], "vid long")
+    th_df = spark.createDataFrame(
+        [(int(v), int(t)) for v, t in enumerate(theta)], "vid long, theta long"
+    )
+    res = run_program(
+        ctx, LTCascadeProgram(seeds_df, th_df), fixed_iters=K
+    )
+    rnd = _col(res.state, "rnd", n, fill=int(BFS_INF))
+    rnd = np.where(rnd == int(BFS_INF), -1, rnd)
+    infl = _col(res.state, "infl", n)
+
+    ref_rnd, ref_infl = _lt_ref(src, dst, n, seeds, theta, K)
+    assert (rnd == ref_rnd).all()
+    assert (infl == ref_infl).all()
+    assert (rnd >= 0).any() and (rnd == -1).any()  # nontrivial fixture
+
+
+def test_ltcascade_hub_split_equals_unsplit(spark):
+    """Forced undirected hub split (star_hub fixture) changes the plan, not
+    the cascade."""
+    from linkgraph.pregel import LTCascadeProgram
+
+    g = build_graph(micro_transcripts(spark, "star_hub"), distributed_ids=False)
+    src, dst, _w, n = edges_numpy(g)
+    theta, _deg = _lt_thresholds(src, dst, n)
+    seeds_df = spark.createDataFrame([(0,)], "vid long")
+    th_df = spark.createDataFrame(
+        [(int(v), int(t)) for v, t in enumerate(theta)], "vid long, theta long"
+    )
+
+    ctx_plain = GraphContext.build(g, 4)
+    ctx_split = GraphContext.build(g, 4, hub_theta=2, hub_floor=0)
+    try:
+        assert ctx_split.uhub_edges is not None
+        r1 = run_program(ctx_plain, LTCascadeProgram(seeds_df, th_df), fixed_iters=4)
+        r2 = run_program(ctx_split, LTCascadeProgram(seeds_df, th_df), fixed_iters=4)
+        for col in ("rnd", "infl"):
+            assert (_col(r1.state, col, n) == _col(r2.state, col, n)).all()
+        ref_rnd, ref_infl = _lt_ref(src, dst, n, [0], theta, 4)
+        rnd = _col(r1.state, "rnd", n, fill=int(BFS_INF))
+        assert (np.where(rnd == int(BFS_INF), -1, rnd) == ref_rnd).all()
+        assert (_col(r1.state, "infl", n) == ref_infl).all()
+    finally:
+        ctx_plain.unpersist()
+        ctx_split.unpersist()
