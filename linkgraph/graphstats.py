@@ -2167,6 +2167,102 @@ def q_rectangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# exact 4-clique (K4) census via degree-ordered DAG orientation
+# --------------------------------------------------------------------------
+# Orient every undirected edge from the endpoint with the smaller
+# (degree, vkey) rank to the larger (the degeneracy-style acyclic
+# orientation used by count_triangles): each K4 {a,b,c,d} then has exactly
+# one topological labeling a->b->c->d, so the 4-way join over ORIENTED
+# edges counts it exactly once, and the join fanout per vertex is bounded
+# by its oriented out-degree — O(sqrt(E)) on any graph, far below raw hub
+# degree.  This is the Chiba-Nishizeki shape that survives 100 TB; a naive
+# undirected 4-way join would count each clique 24x and explode on hubs.
+
+
+def q_cliques4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact K4 census over the undirected simple events graph; one row
+    (k4_count, oriented_edges, max_outdeg).  The orientation rank is
+    row_number over (deg, vkey) — computed by the same distributed sort
+    the engine uses for dense vid assignment (derive.py), not a driver
+    collect."""
+    dk = _directed_simple(spark, sf_dir)
+    und = dk.select(
+        F.least("s", "t").alias("u"), F.greatest("s", "t").alias("v")
+    ).distinct()
+    adj = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    rk = deg.select(
+        F.col("u").alias("vk"),
+        F.row_number().over(Window.orderBy("deg", "u")).cast("long").alias("rk"),
+    )
+    o = (
+        und.join(rk.select(F.col("vk").alias("u"), F.col("rk").alias("ru")), "u")
+        .join(rk.select(F.col("vk").alias("v"), F.col("rk").alias("rv")), "v")
+        .select(
+            F.when(F.col("ru") < F.col("rv"), F.col("ru")).otherwise(F.col("rv")).alias("s"),
+            F.when(F.col("ru") < F.col("rv"), F.col("rv")).otherwise(F.col("ru")).alias("t"),
+        )
+    )
+    ab = o.select(F.col("s").alias("a"), F.col("t").alias("b"))
+    ac = o.select(F.col("s").alias("a"), F.col("t").alias("c"))
+    ad = o.select(F.col("s").alias("a"), F.col("t").alias("d"))
+    bc = o.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    bd = o.select(F.col("s").alias("b"), F.col("t").alias("d"))
+    cd = o.select(F.col("s").alias("c"), F.col("t").alias("d"))
+    quads = (
+        ab.join(ac, "a").where(F.col("c") > F.col("b"))
+        .join(bc, ["b", "c"])
+        .join(ad, "a").where(F.col("d") > F.col("c"))
+        .join(bd, ["b", "d"])
+        .join(cd, ["c", "d"])
+    )
+    k4 = quads.agg(F.count(F.lit(1)).alias("k4_count"))
+    stats = o.groupBy("s").agg(F.count(F.lit(1)).alias("od")).agg(
+        F.sum("od").alias("oriented_edges"), F.max("od").alias("max_outdeg")
+    )
+    return k4.crossJoin(stats).select(
+        "k4_count", "oriented_edges", "max_outdeg"
+    )
+
+
+SQL_CLIQUES4 = (
+    "WITH "
+    + _GRAPH_CTES
+    + """,
+k4_und AS MATERIALIZED (
+  SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS v FROM ek WHERE s <> t
+), k4_adj AS (
+  SELECT u, v FROM k4_und UNION ALL SELECT v AS u, u AS v FROM k4_und
+), k4_deg AS (
+  SELECT u, count(*) AS deg FROM k4_adj GROUP BY u
+), k4_rk AS MATERIALIZED (
+  SELECT u AS vk, CAST(row_number() OVER (ORDER BY deg, u) AS BIGINT) AS rk
+  FROM k4_deg
+), o AS MATERIALIZED (
+  SELECT least(ru.rk, rv.rk) AS s, greatest(ru.rk, rv.rk) AS t
+  FROM k4_und e JOIN k4_rk ru ON ru.vk = e.u JOIN k4_rk rv ON rv.vk = e.v
+), quads AS (
+  SELECT count(*) AS k4_count
+  FROM o ab
+  JOIN o ac ON ac.s = ab.s AND ac.t > ab.t
+  JOIN o bc ON bc.s = ab.t AND bc.t = ac.t
+  JOIN o ad ON ad.s = ab.s AND ad.t > ac.t
+  JOIN o bd ON bd.s = ab.t AND bd.t = ad.t
+  JOIN o cd ON cd.s = ac.t AND cd.t = ad.t
+), ostats AS (
+  SELECT CAST(sum(od) AS BIGINT) AS oriented_edges,
+         CAST(max(od) AS BIGINT) AS max_outdeg
+  FROM (SELECT s, count(*) AS od FROM o GROUP BY s)
+)
+SELECT CAST(k4_count AS BIGINT) AS k4_count, oriented_edges, max_outdeg
+FROM quads, ostats
+"""
+)
+
+
 SQL_RECTANGLES = (
     "WITH "
     + _GRAPH_CTES
@@ -3804,6 +3900,7 @@ def registry():
         "engine_mis": (q_engine_mis, SQL_ENGINE_MIS),
         "wl_refine": (q_wl_refine, SQL_WL_REFINE),
         "rectangles": (q_rectangles, SQL_RECTANGLES),
+        "cliques4": (q_cliques4, SQL_CLIQUES4),
         "hitting_prob": (q_hitting_prob, SQL_HITTING_PROB),
         "dag_levels": (q_dag_levels, SQL_DAG_LEVELS),
         "triangle_communities": (q_triangle_communities, SQL_TRIANGLE_COMMUNITIES),

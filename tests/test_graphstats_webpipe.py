@@ -1917,3 +1917,29 @@ def test_link_negatives_are_true_negatives(spark):
     assert out.sort_values(["vkey", "rn"]).reset_index(drop=True).equals(
         again.sort_values(["vkey", "rn"]).reset_index(drop=True)
     )
+
+
+def test_cliques4_matches_networkx(spark, dk_edges):
+    """Exact K4 census vs networkx clique enumeration on the same
+    undirected simple graph, plus the orientation invariants (sum of
+    oriented out-degrees = |und|, max oriented out-degree <= max raw
+    degree)."""
+    import networkx as nx
+
+    from linkgraph.graphstats import q_cliques4
+
+    und = {(min(s, t), max(s, t)) for s, t in dk_edges if s != t}
+    G = nx.Graph()
+    G.add_edges_from(und)
+    k4 = 0
+    for clq in nx.enumerate_all_cliques(G):
+        if len(clq) == 4:
+            k4 += 1
+        elif len(clq) > 4:
+            break
+
+    row = q_cliques4(spark, SF_DIR).first()
+    assert row["k4_count"] == k4
+    assert row["oriented_edges"] == len(und)
+    assert row["max_outdeg"] <= max(dict(G.degree).values())
+    assert k4 > 0  # fixture actually contains 4-cliques
