@@ -1400,9 +1400,113 @@ ORDER BY dim
 """
 
 
+_PI_ROUNDS = 60           # eigengap on random-ish corpora is small (~1.07)
+_PI_QSCALE = 100          # embedding quantization grain (values ~O(1))
+_PI_USCALE = 1_000_000    # iterate renormalization grain
+
+
+def emb_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant second-moment direction of the embedding corpus via
+    integer-exact power iteration (uncentered PCA-1) — the building block
+    behind PCA whitening / top-direction removal in embedding pipelines.
+
+    Every step is EXACT cross-engine: vectors are quantized to int64
+    (round(100*x)); the d x d Gram matrix C = Q^T Q is summed in int64;
+    each round computes w = C.u in int64 and renormalizes to
+    u' = sign(w) * ((|w| * 1e6) intdiv max|w|) in arbitrary-precision ints
+    (HUGEINT on the DuckDB side) — no float division anywhere, no rounding
+    grain.  (A float 1e6*w/m formulation diverged by 1 ulp between engines
+    at the w == m row; wide ints close that.)  Output one row per
+    dimension: (dim, component) after 60 rounds from the all-ones start —
+    enough for |cos| > 0.999 against the true eigenvector at the corpus'
+    ~1.07 eigengap (tests/test_ann.py).
+
+    Scale posture: the expensive corpus-size-dependent part — the Gram
+    build — is ONE combinable groupBy over the self-joined posexplode
+    (n*d^2 narrow rows; at 100 TB you'd swap in a mapInPandas
+    per-partition outer-product partial — same result, d^2-row partials).
+    The 60-round recurrence then runs driver-side on the collected d x d
+    matrix: d^2 is a CONSTANT (4096 values for d=64) independent of corpus
+    size — the same bounded-collect contract as the IVF quantizer — and
+    exact Python ints make it bit-reproducible."""
+    em = load_table(spark, sf_dir, "embeddings")
+    vals = em.select(
+        "vec_id",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("dim", "x"),
+    )
+    q = vals.select(
+        "vec_id",
+        "dim",
+        F.round(F.lit(float(_PI_QSCALE)) * F.col("x"), 0).cast("long").alias("q"),
+    )
+    gram = (
+        q.alias("a")
+        .join(q.alias("b"), "vec_id")
+        .groupBy(F.col("a.dim").alias("i"), F.col("b.dim").alias("j"))
+        .agg(F.sum(F.col("a.q") * F.col("b.q")).alias("c"))
+    )
+    rows = gram.collect()  # bounded: d^2 rows, corpus-size independent
+    dims = sorted({int(r["i"]) for r in rows})
+    pos = {d: k for k, d in enumerate(dims)}
+    n = len(dims)
+    C = [[0] * n for _ in range(n)]
+    for r in rows:
+        C[pos[int(r["i"])]][pos[int(r["j"])]] = int(r["c"])
+    u = [_PI_USCALE] * n
+    for _t in range(_PI_ROUNDS):
+        w = [sum(C[i][j] * u[j] for j in range(n)) for i in range(n)]
+        m = max(abs(x) for x in w)
+        u = [
+            (1 if x >= 0 else -1) * ((abs(x) * _PI_USCALE) // m) for x in w
+        ]
+    out = [(int(d), int(u[pos[d]])) for d in dims]
+    return spark.createDataFrame(out, "dim int, component long").orderBy("dim")
+
+
+def _power_iter_sql(rounds: int) -> str:
+    ctes = [
+        """pi_vals AS MATERIALIZED (
+  SELECT vec_id, t.i - 1 AS dim,
+         CAST(round(100.0 * CAST(e[t.i] AS DOUBLE)) AS BIGINT) AS q
+  FROM (SELECT vec_id,
+               list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+        FROM embeddings),
+       LATERAL (SELECT unnest(generate_series(1, len(e))) AS i) t
+)""",
+        "pi_gram AS MATERIALIZED (SELECT a.dim AS i, b.dim AS j, "
+        "sum(a.q * b.q) AS c "
+        "FROM pi_vals a JOIN pi_vals b USING (vec_id) GROUP BY a.dim, b.dim)",
+        "pi_u0 AS (SELECT DISTINCT dim AS j, CAST(1000000 AS BIGINT) AS u "
+        "FROM pi_vals)",
+    ]
+    for t in range(1, rounds + 1):
+        ctes.append(
+            f"pi_w{t} AS MATERIALIZED (SELECT c.i AS j, sum(c.c * u.u) AS w "
+            f"FROM pi_gram c JOIN pi_u{t - 1} u ON u.j = c.j GROUP BY c.i)"
+        )
+        ctes.append(f"pi_m{t} AS MATERIALIZED (SELECT max(abs(w)) AS m FROM pi_w{t})")
+        ctes.append(
+            f"pi_u{t} AS MATERIALIZED (SELECT j, CAST(CASE WHEN w < 0 THEN "
+            f"-((CAST(abs(w) AS HUGEINT) * 1000000) // (SELECT m FROM pi_m{t})) "
+            f"ELSE (CAST(abs(w) AS HUGEINT) * 1000000) // (SELECT m FROM pi_m{t}) "
+            f"END AS BIGINT) AS u FROM pi_w{t})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT j AS dim, u AS component FROM pi_u{rounds} ORDER BY dim"
+    )
+
+
+SQL_EMB_POWER_ITER = _power_iter_sql(_PI_ROUNDS)
+
+
 def registry():
     return {
         "emb_drift": (emb_drift, SQL_EMB_DRIFT),
+        "emb_power_iter": (emb_power_iter, SQL_EMB_POWER_ITER),
         "emb_random_projection": (emb_random_projection, SQL_EMB_RANDOM_PROJECTION),
         "emb_near_dups_exact": (emb_near_dups_exact, SQL_EMB_NEAR_DUPS_EXACT),
         "ann_lsh_topk": (ann_lsh_topk, None),        # covered by ann_lsh_recall

@@ -482,3 +482,36 @@ def test_emb_int8_audit_matches_numpy(spark):
         # unless the distribution is degenerate; at least the max |x|
         # itself always saturates
         assert r["n_sat"] >= 1
+
+
+def test_emb_power_iter_aligns_with_numpy_eigvec(spark):
+    """The 3-round integer-scaled iterate must align with the true dominant
+    eigenvector of the quantized second-moment matrix (|cos| close to 1),
+    and must replay exactly under the same integer recurrence in numpy."""
+    from linkgraph.ann import _PI_QSCALE, _PI_ROUNDS, _PI_USCALE, emb_power_iter
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings").toPandas()
+    X = np.stack(emb["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
+    Q = np.round(_PI_QSCALE * X).astype(np.int64)
+    C = Q.T @ Q
+
+    # exact integer replay of the engine recurrence
+    u = np.full(C.shape[0], _PI_USCALE, dtype=object)
+    for _ in range(_PI_ROUNDS):
+        w = C.astype(object) @ u
+        m = max(abs(int(x)) for x in w)
+        u = np.array(
+            [int(np.sign(int(x))) * ((abs(int(x)) * _PI_USCALE) // m) for x in w],
+            dtype=object,
+        )
+    ref = np.array([int(x) for x in u], dtype=np.int64)
+
+    got = emb_power_iter(spark, sf).toPandas().sort_values("dim")
+    assert (got["component"].to_numpy(np.int64) == ref).all()
+
+    evals, evecs = np.linalg.eigh(C.astype(np.float64))
+    top = evecs[:, -1]
+    g = ref.astype(np.float64)
+    cos = abs(g @ top) / (np.linalg.norm(g) * np.linalg.norm(top))
+    assert cos > 0.99
