@@ -19,6 +19,7 @@ weaker rows-only check; their exactness is covered by the pytest oracles
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -2392,6 +2393,189 @@ ORDER BY 1
 """
 
 
+def q_cusum_changepoint(spark, sf_dir):
+    """Offline single-changepoint localization per event type (CUSUM /
+    binary-segmentation depth 1): over the daily count series x_1..x_N,
+    the change day is argmax_t |N*S_t - t*S_N| (the cross-multiplied
+    CUSUM statistic — the integer form of |S_t - (t/N)*S_N|, so no
+    division enters the argmax).  Ties break to the earliest day.
+
+    Distinct from ``rate_anomaly`` (online trailing z-score): this is the
+    retrospective "WHEN did the level shift" query of every monitoring
+    stack.  Scale posture: ONE combinable groupBy over the event stream
+    (trillions of rows reduce to types x days), then two window passes
+    over the tiny daily aggregate; pre/post means in exact integer
+    micro-units (integer DIV).  Output (event_type, cp_epoch_day,
+    d_stat, n_days, pre_micro, post_micro)."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    wall = Window.partitionBy("event_type")
+    pre = daily.select(
+        "event_type",
+        "day",
+        F.row_number().over(w).cast("long").alias("t"),
+        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("s"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n_days"),
+        F.sum("n").over(wall).alias("total"),
+    ).where(F.col("t") < F.col("n_days"))
+    scored = pre.withColumn(
+        "d", F.abs(F.col("n_days") * F.col("s") - F.col("t") * F.col("total"))
+    )
+    best = Window.partitionBy("event_type").orderBy(F.desc("d"), F.asc("day"))
+    return (
+        scored.withColumn("rk", F.row_number().over(best))
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.datediff("day", F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            .alias("cp_epoch_day"),
+            F.col("d").alias("d_stat"),
+            "n_days",
+            F.expr("(s * 1000000) DIV t").alias("pre_micro"),
+            F.expr("((total - s) * 1000000) DIV (n_days - t)").alias("post_micro"),
+        )
+    )
+
+
+SQL_CUSUM_CHANGEPOINT = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+), pre AS (
+  SELECT event_type, day,
+         CAST(row_number() OVER w AS BIGINT) AS t,
+         CAST(sum(n) OVER w AS BIGINT) AS s,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days,
+         CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS total
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), scored AS (
+  SELECT *, abs(n_days * s - t * total) AS d
+  FROM pre WHERE t < n_days
+), best AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY d DESC, day ASC) AS rk
+  FROM scored
+)
+SELECT event_type,
+       CAST(date_diff('day', DATE '1970-01-01', day) AS BIGINT) AS cp_epoch_day,
+       CAST(d AS BIGINT) AS d_stat, n_days,
+       CAST((s * 1000000) // t AS BIGINT) AS pre_micro,
+       CAST(((total - s) * 1000000) // (n_days - t) AS BIGINT) AS post_micro
+FROM best WHERE rk = 1
+"""
+
+
+# Benford leading-digit probabilities log10(1+1/d), in integer micro-units;
+# the SAME Python-computed constants are baked into both engines so no
+# engine-side libm call enters the hash.
+_BENFORD_MICRO = {d: round(math.log10(1 + 1 / d) * 1_000_000) for d in range(1, 10)}
+
+
+def q_benford_audit(spark, sf_dir):
+    """Benford's-law leading-digit audit of order totals — the standard
+    fraud / data-quality screen for financial-style magnitude columns.
+    Leading digit extracted by string math (no engine libm log10 in the
+    hash path); expected Benford shares are Python-computed micro-unit
+    constants shared verbatim by both engines; deviation is exact
+    integer |n*1e6 - N*p_micro|.
+
+    Scale posture: one combinable 9-group groupBy + a 1-row broadcast
+    total.  Output (digit, n, p_micro, dev_micro)."""
+    o = _t(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+    ).cast("long")
+    cnt = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cnt.agg(F.sum("n").alias("nn"))
+    pmap = F.create_map(
+        *[F.lit(x) for d, p in sorted(_BENFORD_MICRO.items()) for x in (d, p)]
+    )
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .withColumn("p_micro", pmap[F.col("digit")])
+        .select(
+            "digit",
+            "n",
+            "p_micro",
+            F.abs(F.col("n") * F.lit(1_000_000) - F.col("nn") * F.col("p_micro")).alias(
+                "dev_micro"
+            ),
+        )
+    )
+
+
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {p}" for d, p in sorted(_BENFORD_MICRO.items())
+)
+
+SQL_BENFORD_AUDIT = f"""
+WITH cnt AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS BIGINT) AS digit,
+         count(*) AS n
+  FROM orders GROUP BY 1
+), tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cnt)
+SELECT digit, n,
+       CAST(CASE digit {_BENFORD_CASE} END AS BIGINT) AS p_micro,
+       CAST(abs(n * 1000000 - nn * (CASE digit {_BENFORD_CASE} END)) AS BIGINT)
+         AS dev_micro
+FROM cnt, tot
+"""
+
+
+_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+
+def q_table_profile(spark, sf_dir):
+    """Per-column data-profiling summary of the orders table (null count,
+    exact distinct count, min/max as canonical strings) — the schema-
+    drift / data-quality snapshot every warehouse job runs before
+    training ingest.
+
+    Scale posture: ONE scan, one global agg computing all columns' stats
+    together (the multi-count-distinct expands the row 4x — at 100 TB
+    you'd swap exact distinct for HLL partials, same single-scan shape),
+    then a constant-size stack() unpivot of the 1-row aggregate.
+    Output (col_name, n_rows, n_null, n_distinct, min_s, max_s)."""
+    o = _t(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__null"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    prof = o.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__null, {c}__nd, {c}__min, {c}__max" for c in _PROFILE_COLS
+    )
+    return prof.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+        "(col_name, n_null, n_distinct, min_s, max_s)",
+        "n_rows",
+    ).select("col_name", "n_rows", "n_null", "n_distinct", "min_s", "max_s")
+
+
+SQL_TABLE_PROFILE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name, count(*) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_s, CAST(max({c}) AS VARCHAR) AS max_s
+FROM orders"""
+    for c in _PROFILE_COLS
+)
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "filter_project": (q_filter_project, SQL_FILTER_PROJECT),
     "dropdup": (q_dropdup, SQL_DROPDUP),
@@ -2455,4 +2639,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
     "bloom_semijoin": (q_bloom_semijoin, SQL_BLOOM_SEMIJOIN),
     "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
+    "cusum_changepoint": (q_cusum_changepoint, SQL_CUSUM_CHANGEPOINT),
+    "benford_audit": (q_benford_audit, SQL_BENFORD_AUDIT),
+    "table_profile": (q_table_profile, SQL_TABLE_PROFILE),
 }

@@ -571,3 +571,73 @@ def test_last_touch_attribution_matches_python(spark):
     }
     assert got == want
     assert sum(v[0] for v in got.values()) == n_purch
+
+
+def test_cusum_changepoint_matches_python(spark):
+    from linkgraph.relational import q_cusum_changepoint
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev["day"] = ev["ts"].dt.floor("D")
+    want = {}
+    for typ, grp in ev.groupby("event_type"):
+        daily = grp.groupby("day").size().sort_index()
+        xs = daily.to_numpy()
+        days = daily.index
+        n = len(xs)
+        total = int(xs.sum())
+        best = None
+        s = 0
+        for t in range(1, n):  # t < n
+            s += int(xs[t - 1])
+            d = abs(n * s - t * total)
+            if best is None or d > best[0]:
+                best = (d, t, s)
+        d, t, s = best
+        epoch = int((days[t - 1] - pd.Timestamp("1970-01-01")).days)
+        want[typ] = (
+            epoch, d, n,
+            (s * 1_000_000) // t,
+            ((total - s) * 1_000_000) // (n - t),
+        )
+
+    got = {
+        r["event_type"]: (
+            r["cp_epoch_day"], r["d_stat"], r["n_days"],
+            r["pre_micro"], r["post_micro"],
+        )
+        for r in q_cusum_changepoint(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_benford_audit_matches_python(spark):
+    from linkgraph.relational import _BENFORD_MICRO, q_benford_audit
+
+    o = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    digits = o["o_totalprice"].apply(lambda x: int(str(int(np.floor(x)))[0]))
+    cnt = digits.value_counts().to_dict()
+    nn = len(o)
+    got = {r["digit"]: r for r in q_benford_audit(spark, SF).collect()}
+    assert set(got) == set(cnt)
+    for d, n in cnt.items():
+        r = got[d]
+        assert r["n"] == n
+        assert r["p_micro"] == _BENFORD_MICRO[d]
+        assert r["dev_micro"] == abs(n * 1_000_000 - nn * _BENFORD_MICRO[d])
+    # Benford shares sum to ~1 (within rounding of the 9 micro constants)
+    assert abs(sum(_BENFORD_MICRO.values()) - 1_000_000) <= 5
+
+
+def test_table_profile_matches_pandas(spark):
+    from linkgraph.relational import _PROFILE_COLS, q_table_profile
+
+    o = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    got = {r["col_name"]: r for r in q_table_profile(spark, SF).collect()}
+    assert set(got) == set(_PROFILE_COLS)
+    for c in _PROFILE_COLS:
+        r = got[c]
+        assert r["n_rows"] == len(o)
+        assert r["n_null"] == int(o[c].isna().sum())
+        assert r["n_distinct"] == o[c].nunique()
+        assert r["min_s"] == str(o[c].min())
+        assert r["max_s"] == str(o[c].max())
