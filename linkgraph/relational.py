@@ -2393,6 +2393,85 @@ ORDER BY 1
 """
 
 
+_SFT_RESP_TYPE = "purchase"
+_SFT_CTX_BUDGET = 64  # context-token budget (left-truncation at token level)
+
+
+def q_sft_pairs(spark, sf_dir):
+    """SFT training-pair extraction over the transcript-shaped event
+    stream — THE canonical LLM-pipeline op on conversations: each
+    response turn (event_type = 'purchase' here; role = 'assistant' on a
+    real transcript table) becomes one (context, response) example, with
+    exact context accounting under a token budget.  Token cost per turn
+    is the deterministic chars/4 proxy (1 + len(props) DIV 4);
+    left-truncation at the token level (what packing pipelines actually
+    do) makes the kept-context size pure arithmetic:
+    trunc = least(ctx_tokens, B).
+
+    Scale posture: ONE conversation-keyed window shuffle carries
+    row_number + running token sum; everything downstream is per-row
+    column math — no per-pair context join, no conversation² fan-out.
+    Output (user_id, event_id, turn_idx, ctx_turns, ctx_tokens,
+    resp_tokens, trunc_ctx_tokens, fits)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    toks = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        (F.lit(1) + F.expr("length(props) DIV 4")).cast("long").alias("tok"),
+    )
+    cum = toks.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.row_number().over(w).cast("long").alias("turn_idx"),
+        F.sum("tok").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.col("tok").alias("resp_tokens"),
+    )
+    return (
+        cum.where(
+            (F.col("event_type") == _SFT_RESP_TYPE) & (F.col("turn_idx") > 1)
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "turn_idx",
+            (F.col("turn_idx") - 1).alias("ctx_turns"),
+            (F.col("cum") - F.col("resp_tokens")).alias("ctx_tokens"),
+            "resp_tokens",
+            F.least(
+                F.col("cum") - F.col("resp_tokens"), F.lit(_SFT_CTX_BUDGET)
+            ).alias("trunc_ctx_tokens"),
+            (F.col("cum") - F.col("resp_tokens") <= _SFT_CTX_BUDGET)
+            .cast("long")
+            .alias("fits"),
+        )
+    )
+
+
+SQL_SFT_PAIRS = f"""
+WITH cum AS (
+  SELECT user_id, event_id, event_type,
+         CAST(row_number() OVER w AS BIGINT) AS turn_idx,
+         CAST(sum(1 + length(props) // 4) OVER w AS BIGINT) AS cum,
+         CAST(1 + length(props) // 4 AS BIGINT) AS resp_tokens
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, turn_idx,
+       turn_idx - 1 AS ctx_turns,
+       cum - resp_tokens AS ctx_tokens,
+       resp_tokens,
+       least(cum - resp_tokens, {_SFT_CTX_BUDGET}) AS trunc_ctx_tokens,
+       CAST(cum - resp_tokens <= {_SFT_CTX_BUDGET} AS BIGINT) AS fits
+FROM cum
+WHERE event_type = '{_SFT_RESP_TYPE}' AND turn_idx > 1
+"""
+
+
 def q_cusum_changepoint(spark, sf_dir):
     """Offline single-changepoint localization per event type (CUSUM /
     binary-segmentation depth 1): over the daily count series x_1..x_N,
@@ -2639,6 +2718,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "triangle_count": (q_triangle_count, SQL_TRIANGLE_COUNT),
     "bloom_semijoin": (q_bloom_semijoin, SQL_BLOOM_SEMIJOIN),
     "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
+    "sft_pairs": (q_sft_pairs, SQL_SFT_PAIRS),
     "cusum_changepoint": (q_cusum_changepoint, SQL_CUSUM_CHANGEPOINT),
     "benford_audit": (q_benford_audit, SQL_BENFORD_AUDIT),
     "table_profile": (q_table_profile, SQL_TABLE_PROFILE),

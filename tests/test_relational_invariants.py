@@ -641,3 +641,32 @@ def test_table_profile_matches_pandas(spark):
         assert r["n_distinct"] == o[c].nunique()
         assert r["min_s"] == str(o[c].min())
         assert r["max_s"] == str(o[c].max())
+
+
+def test_sft_pairs_matches_python(spark):
+    from linkgraph.relational import _SFT_CTX_BUDGET, _SFT_RESP_TYPE, q_sft_pairs
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    want = {}
+    for _uid, grp in ev.groupby("user_id"):
+        cum = 0
+        for t, (_, r) in enumerate(grp.iterrows(), start=1):
+            tok = 1 + len(r["props"]) // 4
+            if r["event_type"] == _SFT_RESP_TYPE and t > 1:
+                want[r["event_id"]] = (
+                    t, t - 1, cum, tok,
+                    min(cum, _SFT_CTX_BUDGET), int(cum <= _SFT_CTX_BUDGET),
+                )
+            cum += tok
+
+    got = {
+        r["event_id"]: (
+            r["turn_idx"], r["ctx_turns"], r["ctx_tokens"], r["resp_tokens"],
+            r["trunc_ctx_tokens"], r["fits"],
+        )
+        for r in q_sft_pairs(spark, SF).collect()
+    }
+    assert got == want
+    # every pair keeps a positive context and trunc never exceeds budget
+    assert all(v[2] > 0 and v[4] <= _SFT_CTX_BUDGET for v in got.values())
