@@ -3818,6 +3818,106 @@ LIMIT {_SIMRANK_TOPK}
 _SEQ_TOPK = 20
 
 
+_MARKOV_ROUNDS = 40
+_MARKOV_SCALE = 1_000_000
+
+
+def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the conversation-flow Markov chain
+    (event-type → event-type transitions under stable (ts, event_id)
+    order) by integer-exact power iteration — "where does a session
+    spend its time at equilibrium", the chain-level summary of the
+    turn-edge graph.
+
+    The transition matrix is quantized once to integer micro-units
+    (q_ij = (c_ij·1e6) // rowsum_i) so BOTH engines iterate the SAME
+    integer fixed point (same contract as emb_power_iter: max-renorm,
+    integer division, no float anywhere in the hash path).  Corpus-sized
+    work = the ONE window+groupBy building the k×k transition counts;
+    the 40-round recurrence runs on the collected CONSTANT k² matrix
+    (k = |event-type vocabulary|, stream-size independent — the
+    bounded-collect contract).  Output (event_type, stationary_scaled)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rows = pairs.collect()  # bounded: k^2 rows, stream-size independent
+    types = sorted({r["src"] for r in rows} | {r["dst"] for r in rows})
+    pos = {t: k for k, t in enumerate(types)}
+    k = len(types)
+    C = [[0] * k for _ in range(k)]
+    for r in rows:
+        C[pos[r["src"]]][pos[r["dst"]]] = int(r["c"])
+    rowsum = [sum(row) for row in C]
+    Q = [
+        [
+            (C[i][j] * _MARKOV_SCALE) // rowsum[i] if rowsum[i] else 0
+            for j in range(k)
+        ]
+        for i in range(k)
+    ]
+    v = [_MARKOV_SCALE] * k
+    for _t in range(_MARKOV_ROUNDS):
+        nv = [sum(v[i] * Q[i][j] for i in range(k)) for j in range(k)]
+        m = max(nv)
+        v = [(x * _MARKOV_SCALE) // m for x in nv]
+    out = [(t, int(v[pos[t]])) for t in types]
+    return spark.createDataFrame(
+        out, "event_type string, stationary_scaled long"
+    ).orderBy("event_type")
+
+
+def _markov_sql(rounds: int) -> str:
+    ctes = [
+        """mk_pairs AS MATERIALIZED (
+  SELECT src, dst, count(*) AS c FROM (
+    SELECT event_type AS src,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS dst
+    FROM events
+  ) WHERE dst IS NOT NULL GROUP BY 1, 2
+)""",
+        "mk_types AS (SELECT DISTINCT src AS t FROM mk_pairs "
+        "UNION SELECT DISTINCT dst FROM mk_pairs)",
+        "mk_rowsum AS (SELECT src, CAST(sum(c) AS BIGINT) AS rs "
+        "FROM mk_pairs GROUP BY 1)",
+        f"mk_q AS MATERIALIZED (SELECT p.src, p.dst, "
+        f"CAST((p.c * {_MARKOV_SCALE}) // r.rs AS BIGINT) AS q "
+        f"FROM mk_pairs p JOIN mk_rowsum r USING (src))",
+        f"mk_u0 AS (SELECT t AS j, CAST({_MARKOV_SCALE} AS BIGINT) AS u "
+        f"FROM mk_types)",
+    ]
+    for t in range(1, rounds + 1):
+        ctes.append(
+            f"mk_w{t} AS MATERIALIZED (SELECT y.t AS j, "
+            f"CAST(coalesce(sum(u.u * q.q), 0) AS BIGINT) AS w "
+            f"FROM mk_types y LEFT JOIN mk_q q ON q.dst = y.t "
+            f"LEFT JOIN mk_u{t - 1} u ON u.j = q.src GROUP BY y.t)"
+        )
+        ctes.append(f"mk_m{t} AS (SELECT max(w) AS m FROM mk_w{t})")
+        ctes.append(
+            f"mk_u{t} AS MATERIALIZED (SELECT j, "
+            f"CAST((CAST(w AS HUGEINT) * {_MARKOV_SCALE}) "
+            f"// (SELECT m FROM mk_m{t}) AS BIGINT) AS u FROM mk_w{t})"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT j AS event_type, u AS stationary_scaled "
+        f"FROM mk_u{rounds} ORDER BY j"
+    )
+
+
+SQL_MARKOV_STATIONARY = _markov_sql(_MARKOV_ROUNDS)
+
+
 def q_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-``_SEQ_TOPK`` event-type trigrams across all per-user streams,
     with occurrence count and distinct-user support.  Ordering inside a
@@ -3869,6 +3969,7 @@ def registry():
     return {
         "densest_subgraph": (q_densest_subgraph, SQL_DENSEST_SUBGRAPH),
         "event_trigrams": (q_event_trigrams, SQL_EVENT_TRIGRAMS),
+        "markov_stationary": (q_markov_stationary, SQL_MARKOV_STATIONARY),
         "engine_matching": (q_engine_matching, SQL_ENGINE_MATCHING),
         "percolation_giant": (q_percolation_giant, SQL_PERCOLATION_GIANT),
         "vertex_cover": (q_vertex_cover, SQL_VERTEX_COVER),

@@ -1943,3 +1943,39 @@ def test_cliques4_matches_networkx(spark, dk_edges):
     assert row["oriented_edges"] == len(und)
     assert row["max_outdeg"] <= max(dict(G.degree).values())
     assert k4 > 0  # fixture actually contains 4-cliques
+
+
+def test_markov_stationary_matches_numpy(spark):
+    import numpy as np
+
+    from linkgraph.graphstats import q_markov_stationary
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").toPandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    pairs = Counter()
+    for _uid, grp in ev.groupby("user_id"):
+        ts = grp["event_type"].tolist()
+        for a, b in zip(ts, ts[1:]):
+            pairs[(a, b)] += 1
+    types = sorted({a for a, _ in pairs} | {b for _, b in pairs})
+    pos = {t: i for i, t in enumerate(types)}
+    k = len(types)
+    P = np.zeros((k, k))
+    for (a, b), c in pairs.items():
+        P[pos[a], pos[b]] = c
+    P = P / P.sum(axis=1, keepdims=True)
+    # float stationary distribution by long power iteration
+    v = np.full(k, 1.0 / k)
+    for _ in range(500):
+        v = v @ P
+        v /= v.sum()
+
+    got = {
+        r["event_type"]: r["stationary_scaled"]
+        for r in q_markov_stationary(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(types)
+    g = np.array([got[t] for t in types], dtype=float)
+    g /= g.sum()
+    # quantized fixed point tracks the true stationary vector closely
+    assert np.abs(g - v).max() < 1e-3
