@@ -2393,6 +2393,141 @@ ORDER BY 1
 """
 
 
+_GEO_SCALE = 1_000_000  # unit plane in integer micro-coordinates
+_GEO_CELL = 100_000     # 10x10 blocking grid
+
+
+def _geo_xy(key_col, prefix: str):
+    """Deterministic planar point in integer micro-units from an entity key
+    (md5 -> int64 -> pmod plane size) — identical in DuckDB, so the whole
+    spatial pipeline is integer-exact cross-engine."""
+    from .datapipe import _md5_int
+
+    return (
+        F.pmod(_md5_int(F.concat(F.lit(prefix), key_col.cast("string"))), F.lit(_GEO_SCALE))
+        .cast("long")
+    )
+
+
+def q_spatial_nn_join(spark, sf_dir):
+    """Blocked spatial nearest-neighbour join — the grid-cell shape of
+    every distributed spatial join (GeoSpark/Sedona): customers and
+    suppliers get deterministic integer micro-coordinate points, the
+    plane is cut into a 10x10 grid, each supplier is REPLICATED to its
+    3x3 neighbour cells, and each customer probes only its own cell —
+    candidate fan-out is bounded by ring occupancy, never customers x
+    suppliers.  Match = argmin squared distance (exact integer math, no
+    sqrt — monotone for argmin) over the one-ring candidate set, min
+    suppkey tiebreak; customers whose ring holds no supplier drop out
+    (production escalates ring radius; same contract as the ANN rows'
+    bucketed candidate generation).
+
+    Output (c_custkey, s_suppkey, d2)."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        _geo_xy(F.col("c_custkey"), "sx:").alias("x"),
+        _geo_xy(F.col("c_custkey"), "sy:").alias("y"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        _geo_xy(F.col("s_suppkey"), "sx:").alias("sx"),
+        _geo_xy(F.col("s_suppkey"), "sy:").alias("sy"),
+    )
+    cust = cust.withColumn("cx", F.expr(f"x DIV {_GEO_CELL}")).withColumn(
+        "cy", F.expr(f"y DIV {_GEO_CELL}")
+    )
+    off = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    srep = (
+        supp.withColumn("gx0", F.expr(f"sx DIV {_GEO_CELL}"))
+        .withColumn("gy0", F.expr(f"sy DIV {_GEO_CELL}"))
+        .withColumn("dx", off)
+        .withColumn("dy", off)
+        .select(
+            "s_suppkey",
+            "sx",
+            "sy",
+            (F.col("gx0") + F.col("dx")).alias("gx"),
+            (F.col("gy0") + F.col("dy")).alias("gy"),
+        )
+    )
+    cand = cust.join(
+        srep, (F.col("gx") == F.col("cx")) & (F.col("gy") == F.col("cy"))
+    ).select(
+        "c_custkey",
+        "s_suppkey",
+        (
+            (F.col("x") - F.col("sx")) * (F.col("x") - F.col("sx"))
+            + (F.col("y") - F.col("sy")) * (F.col("y") - F.col("sy"))
+        ).alias("d2"),
+    )
+    w = Window.partitionBy("c_custkey").orderBy("d2", "s_suppkey")
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("c_custkey", "s_suppkey", "d2")
+    )
+
+
+SQL_SPATIAL_NN_JOIN = f"""
+WITH cpts AS (
+  SELECT c_custkey,
+         CAST(('0x' || substr(md5('sx:' || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % {_GEO_SCALE} AS x,
+         CAST(('0x' || substr(md5('sy:' || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % {_GEO_SCALE} AS y
+  FROM customer
+), spts AS (
+  SELECT s_suppkey,
+         CAST(('0x' || substr(md5('sx:' || CAST(s_suppkey AS VARCHAR)), 1, 15)) AS BIGINT) % {_GEO_SCALE} AS sx,
+         CAST(('0x' || substr(md5('sy:' || CAST(s_suppkey AS VARCHAR)), 1, 15)) AS BIGINT) % {_GEO_SCALE} AS sy
+  FROM supplier
+), srep AS (
+  SELECT s.s_suppkey, s.sx, s.sy,
+         (s.sx // {_GEO_CELL}) + dx.d AS gx,
+         (s.sy // {_GEO_CELL}) + dy.d AS gy
+  FROM spts s, (VALUES (-1), (0), (1)) dx(d), (VALUES (-1), (0), (1)) dy(d)
+), cand AS (
+  SELECT c.c_custkey, s.s_suppkey,
+         (c.x - s.sx) * (c.x - s.sx) + (c.y - s.sy) * (c.y - s.sy) AS d2
+  FROM cpts c JOIN srep s
+    ON s.gx = (c.x // {_GEO_CELL}) AND s.gy = (c.y // {_GEO_CELL})
+), best AS (
+  SELECT *, row_number() OVER (PARTITION BY c_custkey
+                               ORDER BY d2, s_suppkey) AS rk
+  FROM cand
+)
+SELECT c_custkey, s_suppkey, CAST(d2 AS BIGINT) AS d2 FROM best WHERE rk = 1
+"""
+
+
+_KANON_K = 10
+
+
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity audit over the quasi-identifier (c_nationkey,
+    c_mktsegment): group sizes and a safe/unsafe flag at k=_KANON_K —
+    the privacy screen run before releasing or training on
+    user-attributable slices (unsafe groups are the ones a release would
+    have to suppress or generalize).
+
+    ONE combinable groupBy over the quasi-identifier; the audit output is
+    group-vocabulary-sized.  Output (c_nationkey, c_mktsegment, n, safe)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n",
+        (F.col("n") >= _KANON_K).cast("long").alias("safe"),
+    )
+
+
+SQL_K_ANONYMITY = f"""
+SELECT c_nationkey, c_mktsegment, count(*) AS n,
+       CAST(count(*) >= {_KANON_K} AS BIGINT) AS safe
+FROM customer GROUP BY 1, 2
+"""
+
+
 _SFT_RESP_TYPE = "purchase"
 _SFT_CTX_BUDGET = 64  # context-token budget (left-truncation at token level)
 
@@ -2719,6 +2854,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "bloom_semijoin": (q_bloom_semijoin, SQL_BLOOM_SEMIJOIN),
     "kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
     "sft_pairs": (q_sft_pairs, SQL_SFT_PAIRS),
+    "spatial_nn_join": (q_spatial_nn_join, SQL_SPATIAL_NN_JOIN),
+    "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "cusum_changepoint": (q_cusum_changepoint, SQL_CUSUM_CHANGEPOINT),
     "benford_audit": (q_benford_audit, SQL_BENFORD_AUDIT),
     "table_profile": (q_table_profile, SQL_TABLE_PROFILE),

@@ -670,3 +670,61 @@ def test_sft_pairs_matches_python(spark):
     assert got == want
     # every pair keeps a positive context and trunc never exceeds budget
     assert all(v[2] > 0 and v[4] <= _SFT_CTX_BUDGET for v in got.values())
+
+
+def _md5i(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_spatial_nn_join_matches_python(spark):
+    from linkgraph.relational import _GEO_CELL, _GEO_SCALE, q_spatial_nn_join
+
+    cust = spark.read.parquet(f"{SF}/customer.parquet").toPandas()
+    supp = spark.read.parquet(f"{SF}/supplier.parquet").toPandas()
+    spts = [
+        (
+            int(k),
+            _md5i(f"sx:{k}") % _GEO_SCALE,
+            _md5i(f"sy:{k}") % _GEO_SCALE,
+        )
+        for k in supp["s_suppkey"]
+    ]
+    by_cell: dict[tuple, list] = {}
+    for k, sx, sy in spts:
+        by_cell.setdefault((sx // _GEO_CELL, sy // _GEO_CELL), []).append((k, sx, sy))
+
+    want = {}
+    for ck in cust["c_custkey"]:
+        x = _md5i(f"sx:{ck}") % _GEO_SCALE
+        y = _md5i(f"sy:{ck}") % _GEO_SCALE
+        cx, cy = x // _GEO_CELL, y // _GEO_CELL
+        cands = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                cands += by_cell.get((cx + dx, cy + dy), [])
+        if not cands:
+            continue
+        best = min(cands, key=lambda s: ((x - s[1]) ** 2 + (y - s[2]) ** 2, s[0]))
+        want[int(ck)] = (best[0], (x - best[1]) ** 2 + (y - best[2]) ** 2)
+
+    got = {
+        r["c_custkey"]: (r["s_suppkey"], r["d2"])
+        for r in q_spatial_nn_join(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_k_anonymity_matches_pandas(spark):
+    from linkgraph.relational import _KANON_K, q_k_anonymity
+
+    c = spark.read.parquet(f"{SF}/customer.parquet").toPandas()
+    sizes = c.groupby(["c_nationkey", "c_mktsegment"]).size()
+    got = {
+        (r["c_nationkey"], r["c_mktsegment"]): (r["n"], r["safe"])
+        for r in q_k_anonymity(spark, SF).collect()
+    }
+    assert set(got) == set(sizes.index)
+    for key, n in sizes.items():
+        assert got[key] == (n, int(n >= _KANON_K))
