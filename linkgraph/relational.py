@@ -2393,6 +2393,131 @@ ORDER BY 1
 """
 
 
+def q_skyline_parts(spark, sf_dir):
+    """2-D skyline (Pareto frontier) of parts maximizing (p_size,
+    retail-price cents) — the classic dominance operator ("best
+    tradeoffs") missing from plain SQL engines.  A part is kept iff no
+    other part is >= on both dimensions and > on one; equal (size, cents)
+    pairs do not dominate each other, so full ties survive together.
+
+    Scale posture: dominance reduces to per-size max + a strict-prefix
+    running max over the SIZE-LEVEL aggregate (vocabulary-sized, one
+    combinable groupBy + one window over ~50 rows), then a broadcast
+    join back — never a part x part dominance self-join.
+    Output (p_partkey, p_size, cents)."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_size",
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("cents"),
+    )
+    smax = p.groupBy("p_size").agg(F.max("cents").alias("smax"))
+    w = Window.orderBy(F.desc("p_size")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    front = smax.select(
+        "p_size",
+        "smax",
+        F.coalesce(F.max("smax").over(w), F.lit(-1)).alias("mx_gt"),
+    ).where(F.col("smax") > F.col("mx_gt"))
+    return p.join(F.broadcast(front), "p_size").where(
+        F.col("cents") == F.col("smax")
+    ).select("p_partkey", "p_size", "cents")
+
+
+SQL_SKYLINE_PARTS = """
+WITH p AS (
+  SELECT p_partkey, p_size,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+  FROM part
+), smax AS (
+  SELECT p_size, max(cents) AS smax FROM p GROUP BY 1
+), front AS (
+  SELECT p_size, smax,
+         coalesce(max(smax) OVER (ORDER BY p_size DESC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), -1) AS mx_gt
+  FROM smax
+)
+SELECT p.p_partkey, p.p_size, p.cents
+FROM p JOIN front f ON f.p_size = p.p_size
+WHERE f.smax > f.mx_gt AND p.cents = f.smax
+"""
+
+
+_WINSOR_PCT = 100  # clip at the 1/100 tails (p01 / p99), by exact rank
+
+
+def q_winsorize_stats(spark, sf_dir):
+    """Exact winsorization audit of order totals: clip at the k-th
+    smallest / k-th largest cents value (k = max(1, N div 100) — exact
+    p01/p99 order statistics, not an approximation) and report the
+    clipped sum + tail counts — the robust-scaling preprocessing step of
+    every feature pipeline, with the outlier impact quantified.
+
+    Scale posture: N is a bounded 1-row collect; each cut value is a
+    TakeOrderedAndProject top-k (no global sort, no single-partition
+    window); the clamp is one broadcast of the 2 cut values + one
+    combinable agg.  All math in integer cents.  Output one row (n, k,
+    lo_cents, hi_cents, sum_cents, winsor_sum_cents, n_clip_lo,
+    n_clip_hi)."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents")
+    )
+    n = o.count()  # bounded driver scalar (same contract as IVF quantizer)
+    k = max(1, n // _WINSOR_PCT)
+    lo = o.orderBy(F.asc("cents")).limit(k).agg(F.max("cents").alias("lo"))
+    hi = o.orderBy(F.desc("cents")).limit(k).agg(F.min("cents").alias("hi"))
+    clamped = (
+        o.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "cents",
+            "lo",
+            "hi",
+            F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi")).alias("w"),
+        )
+    )
+    return clamped.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.lit(k)).cast("long").alias("k"),
+        F.max("lo").alias("lo_cents"),
+        F.max("hi").alias("hi_cents"),
+        F.sum("cents").alias("sum_cents"),
+        F.sum("w").alias("winsor_sum_cents"),
+        F.sum((F.col("cents") < F.col("lo")).cast("long")).alias("n_clip_lo"),
+        F.sum((F.col("cents") > F.col("hi")).cast("long")).alias("n_clip_hi"),
+    )
+
+
+SQL_WINSORIZE_STATS = f"""
+WITH c AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+), nk AS (
+  SELECT count(*) AS n,
+         greatest(1, count(*) // {_WINSOR_PCT}) AS k
+  FROM c
+), r AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents) AS rs,
+         row_number() OVER (ORDER BY cents DESC) AS rd
+  FROM c
+), cuts AS (
+  SELECT (SELECT cents FROM r, nk WHERE rs = k) AS lo,
+         (SELECT cents FROM r, nk WHERE rd = k) AS hi
+)
+SELECT CAST(nk.n AS BIGINT) AS n, CAST(nk.k AS BIGINT) AS k,
+       cuts.lo AS lo_cents, cuts.hi AS hi_cents,
+       (SELECT CAST(sum(cents) AS BIGINT) FROM c) AS sum_cents,
+       (SELECT CAST(sum(least(greatest(cents, cuts.lo), cuts.hi)) AS BIGINT)
+        FROM c) AS winsor_sum_cents,
+       (SELECT CAST(count(*) AS BIGINT) FROM c WHERE cents < cuts.lo)
+         AS n_clip_lo,
+       (SELECT CAST(count(*) AS BIGINT) FROM c WHERE cents > cuts.hi)
+         AS n_clip_hi
+FROM nk, cuts
+"""
+
+
 _GEO_SCALE = 1_000_000  # unit plane in integer micro-coordinates
 _GEO_CELL = 100_000     # 10x10 blocking grid
 
@@ -2856,6 +2981,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "sft_pairs": (q_sft_pairs, SQL_SFT_PAIRS),
     "spatial_nn_join": (q_spatial_nn_join, SQL_SPATIAL_NN_JOIN),
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
+    "skyline_parts": (q_skyline_parts, SQL_SKYLINE_PARTS),
+    "winsorize_stats": (q_winsorize_stats, SQL_WINSORIZE_STATS),
     "cusum_changepoint": (q_cusum_changepoint, SQL_CUSUM_CHANGEPOINT),
     "benford_audit": (q_benford_audit, SQL_BENFORD_AUDIT),
     "table_profile": (q_table_profile, SQL_TABLE_PROFILE),

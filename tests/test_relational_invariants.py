@@ -728,3 +728,44 @@ def test_k_anonymity_matches_pandas(spark):
     assert set(got) == set(sizes.index)
     for key, n in sizes.items():
         assert got[key] == (n, int(n >= _KANON_K))
+
+
+def test_skyline_parts_matches_bruteforce(spark):
+    from linkgraph.relational import q_skyline_parts
+
+    p = spark.read.parquet(f"{SF}/part.parquet").toPandas()
+    pts = [
+        (int(r["p_partkey"]), int(r["p_size"]), round(r["p_retailprice"] * 100))
+        for _, r in p.iterrows()
+    ]
+    def dominated(a):
+        return any(
+            b[1] >= a[1] and b[2] >= a[2] and (b[1] > a[1] or b[2] > a[2])
+            for b in pts
+            if b[0] != a[0]
+        )
+    want = {(k, s, c) for (k, s, c) in pts if not dominated((k, s, c))}
+    got = {
+        (r["p_partkey"], r["p_size"], r["cents"])
+        for r in q_skyline_parts(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_winsorize_stats_matches_numpy(spark):
+    from linkgraph.relational import _WINSOR_PCT, q_winsorize_stats
+
+    o = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    cents = np.round(o["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    n = len(cents)
+    k = max(1, n // _WINSOR_PCT)
+    srt = np.sort(cents)
+    lo, hi = int(srt[k - 1]), int(srt[n - k])
+    r = q_winsorize_stats(spark, SF).collect()[0]
+    assert (r["n"], r["k"], r["lo_cents"], r["hi_cents"]) == (n, k, lo, hi)
+    assert r["sum_cents"] == int(cents.sum())
+    assert r["winsor_sum_cents"] == int(np.clip(cents, lo, hi).sum())
+    assert r["n_clip_lo"] == int((cents < lo).sum())
+    assert r["n_clip_hi"] == int((cents > hi).sum())
+    # clipping can only move the sum toward the cuts, never past them
+    assert n * lo <= r["winsor_sum_cents"] <= n * hi
