@@ -49,7 +49,7 @@ _GATE_PRIORITY = [
     "emb_semdedup", "doc_dedup_retention", "rrf_fusion", "mmr_rerank", "host_anchor_terms", "emb_knn_label_purity", "basket_lift", "crawl_budget", "event_trigrams", "rfm_scores", "emb_label_outliers", "link_negatives", "decayed_activity", "emb_int8_audit", "order_backlog", "zorder_layout", "last_touch_attribution", "engine_msbfs", "doc_cdc_chunks", "engine_kcenter", "engine_ltcascade", "cliques4", "emb_power_iter",
     "cusum_changepoint", "benford_audit", "table_profile", "sft_pairs",
     "markov_stationary", "spatial_nn_join", "k_anonymity",
-    "skyline_parts", "winsorize_stats",
+    "skyline_parts", "winsorize_stats", "fk_integrity", "theil_sen_trend",
     # NOTE: ann_lsh_topk / ann_pq_topk are rows-only by design (no oracle)
     # and can never enter the green union — they are exempted in
     # tests/test_gate_window.py (their correctness is gated by the

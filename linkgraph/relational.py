@@ -2393,6 +2393,137 @@ ORDER BY 1
 """
 
 
+_FK_RELATIONS = (
+    # (name, child table, child key, parent table, parent key)
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def q_fk_integrity(spark, sf_dir):
+    """Referential-integrity audit across the star schema's five FK
+    relations: orphaned child rows (FK with no parent) and childless
+    parents — the data-quality reconciliation every warehouse runs after
+    ingest, and the one that catches partial-load corruption.
+
+    Scale posture: each relation = two anti-joins (parent side always
+    broadcast-able — dimensions are small by construction) + combinable
+    counts; relations are independent so the union parallelizes.
+    Output (relation, n_child, n_orphans, n_parents, n_childless)."""
+    outs = []
+    for name, child, ck, parent, pk in _FK_RELATIONS:
+        c = _t(spark, sf_dir, child).select(F.col(ck).alias("k"))
+        p = _t(spark, sf_dir, parent).select(F.col(pk).alias("k"))
+        stats = (
+            c.agg(F.count(F.lit(1)).alias("n_child"))
+            .crossJoin(
+                c.join(F.broadcast(p), "k", "left_anti").agg(
+                    F.count(F.lit(1)).alias("n_orphans")
+                )
+            )
+            .crossJoin(p.agg(F.count(F.lit(1)).alias("n_parents")))
+            .crossJoin(
+                p.join(c, "k", "left_anti").agg(
+                    F.count(F.lit(1)).alias("n_childless")
+                )
+            )
+            .select(
+                F.lit(name).alias("relation"),
+                "n_child",
+                "n_orphans",
+                "n_parents",
+                "n_childless",
+            )
+        )
+        outs.append(stats)
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+SQL_FK_INTEGRITY = "\nUNION ALL\n".join(
+    f"""SELECT '{name}' AS relation,
+       (SELECT count(*) FROM {child}) AS n_child,
+       (SELECT count(*) FROM {child} c
+        WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                          WHERE p.{pk} = c.{ck})) AS n_orphans,
+       (SELECT count(*) FROM {parent}) AS n_parents,
+       (SELECT count(*) FROM {parent} p
+        WHERE NOT EXISTS (SELECT 1 FROM {child} c
+                          WHERE c.{ck} = p.{pk})) AS n_childless"""
+    for name, child, ck, parent, pk in _FK_RELATIONS
+)
+
+
+def q_theil_sen_trend(spark, sf_dir):
+    """Quantized Theil–Sen robust trend per event type: the lower median
+    of all pairwise day-count slopes, each slope truncated to integer
+    micro-units ((Δy·1e6) DIV Δt — Spark DIV and DuckDB // both truncate
+    toward zero, so negative slopes agree exactly).  Robust to the
+    outlier days a least-squares fit would chase — the monitoring
+    companion to cusum_changepoint.
+
+    Scale posture: the event stream reduces by ONE combinable groupBy to
+    types×days; the pairwise self-join and median window run over that
+    tiny aggregate (435 pairs per type at 30 days), never the stream.
+    Output (event_type, n_pairs, slope_micro_med)."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.date_trunc("day", "ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("t"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = (
+        a.join(b, "event_type")
+        .where(F.col("a.t") < F.col("b.t"))
+        .select(
+            "event_type",
+            F.expr("((b.y - a.y) * 1000000) DIV (b.t - a.t)").alias("slope"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("slope")
+    wall = Window.partitionBy("event_type")
+    ranked = slopes.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w).cast("long").alias("r"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n_pairs"),
+    )
+    return ranked.where(
+        F.col("r") == F.expr("(n_pairs + 1) DIV 2")
+    ).select("event_type", "n_pairs", F.col("slope").alias("slope_micro_med"))
+
+
+SQL_THEIL_SEN_TREND = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS t,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), slopes AS (
+  SELECT a.event_type,
+         CAST(((b.y - a.y) * 1000000) // (b.t - a.t) AS BIGINT) AS slope
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.t < b.t
+), ranked AS (
+  SELECT event_type, slope,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY slope)
+              AS BIGINT) AS r,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_pairs
+  FROM slopes
+)
+SELECT event_type, n_pairs, slope AS slope_micro_med
+FROM ranked WHERE r = (n_pairs + 1) // 2
+"""
+
+
 def q_skyline_parts(spark, sf_dir):
     """2-D skyline (Pareto frontier) of parts maximizing (p_size,
     retail-price cents) — the classic dominance operator ("best
@@ -2983,6 +3114,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "k_anonymity": (q_k_anonymity, SQL_K_ANONYMITY),
     "skyline_parts": (q_skyline_parts, SQL_SKYLINE_PARTS),
     "winsorize_stats": (q_winsorize_stats, SQL_WINSORIZE_STATS),
+    "fk_integrity": (q_fk_integrity, SQL_FK_INTEGRITY),
+    "theil_sen_trend": (q_theil_sen_trend, SQL_THEIL_SEN_TREND),
     "cusum_changepoint": (q_cusum_changepoint, SQL_CUSUM_CHANGEPOINT),
     "benford_audit": (q_benford_audit, SQL_BENFORD_AUDIT),
     "table_profile": (q_table_profile, SQL_TABLE_PROFILE),

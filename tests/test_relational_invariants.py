@@ -769,3 +769,49 @@ def test_winsorize_stats_matches_numpy(spark):
     assert r["n_clip_hi"] == int((cents > hi).sum())
     # clipping can only move the sum toward the cuts, never past them
     assert n * lo <= r["winsor_sum_cents"] <= n * hi
+
+
+def _trunc_div(a: int, b: int) -> int:
+    # Spark DIV / DuckDB // truncate toward zero (unlike python //)
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def test_fk_integrity_matches_pandas(spark):
+    from linkgraph.relational import _FK_RELATIONS, q_fk_integrity
+
+    got = {r["relation"]: r for r in q_fk_integrity(spark, SF).collect()}
+    assert set(got) == {name for name, *_ in _FK_RELATIONS}
+    for name, child, ck, parent, pk in _FK_RELATIONS:
+        c = spark.read.parquet(f"{SF}/{child}.parquet").toPandas()[ck]
+        p = spark.read.parquet(f"{SF}/{parent}.parquet").toPandas()[pk]
+        r = got[name]
+        assert r["n_child"] == len(c)
+        assert r["n_parents"] == len(p)
+        assert r["n_orphans"] == int((~c.isin(set(p))).sum())
+        assert r["n_childless"] == int((~p.isin(set(c))).sum())
+    # the synthetic star schema is orphan-free by construction
+    assert all(r["n_orphans"] == 0 for r in got.values())
+
+
+def test_theil_sen_trend_matches_python(spark):
+    from linkgraph.relational import q_theil_sen_trend
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev["t"] = (ev["ts"].dt.floor("D") - pd.Timestamp("1970-01-01")).dt.days
+    want = {}
+    for typ, grp in ev.groupby("event_type"):
+        daily = sorted(grp.groupby("t").size().items())
+        slopes = sorted(
+            _trunc_div((y2 - y1) * 1_000_000, t2 - t1)
+            for i, (t1, y1) in enumerate(daily)
+            for (t2, y2) in daily[i + 1 :]
+        )
+        n = len(slopes)
+        want[typ] = (n, slopes[(n + 1) // 2 - 1])
+
+    got = {
+        r["event_type"]: (r["n_pairs"], r["slope_micro_med"])
+        for r in q_theil_sen_trend(spark, SF).collect()
+    }
+    assert got == want
