@@ -2393,6 +2393,141 @@ ORDER BY 1
 """
 
 
+_AUC_POS_TYPE = "purchase"
+
+
+def q_auc_mann_whitney(spark, sf_dir):
+    """Exact AUC via the Mann–Whitney U statistic with proper tied-rank
+    handling — the model-evaluation primitive ("does `value` rank
+    purchases above non-purchases"), computed without any float rank:
+    2·avgrank of a tie group = 2·(rows before) + (group size) + 1, so
+    2U = Σ_pos 2·avgrank − n_pos(n_pos+1) stays integer end-to-end, and
+    auc_micro = (2U·1e6) DIV (2·n_pos·n_neg).
+
+    Scale posture: the stream reduces by ONE combinable groupBy to
+    DISTINCT-SCORE rows (value vocabulary); the rank window runs over
+    that aggregate, never the stream — the distributed-rank shape that
+    survives 10^12 rows (a global row_number over raw rows would not).
+    Output one row (n_pos, n_neg, u2, auc_micro)."""
+    e = _t(spark, sf_dir, "events")
+    s = e.select(
+        F.round(F.col("value") * 1_000_000, 0).cast("long").alias("score"),
+        (F.col("event_type") == _AUC_POS_TYPE).cast("long").alias("pos"),
+    )
+    g = s.groupBy("score").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pos").alias("npos")
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = g.select(
+        "score",
+        "n",
+        "npos",
+        F.coalesce(F.sum("n").over(w), F.lit(0)).alias("before"),
+    )
+    agg = ranked.agg(
+        F.sum(
+            F.col("npos") * (F.lit(2) * F.col("before") + F.col("n") + 1)
+        ).alias("rsum2"),
+        F.sum("npos").alias("n_pos"),
+        F.sum("n").alias("n_tot"),
+    )
+    return agg.select(
+        "n_pos",
+        (F.col("n_tot") - F.col("n_pos")).alias("n_neg"),
+        (F.col("rsum2") - F.col("n_pos") * (F.col("n_pos") + 1)).alias("u2"),
+        F.expr(
+            "((rsum2 - n_pos * (n_pos + 1)) * 1000000) "
+            "DIV (2 * n_pos * (n_tot - n_pos))"
+        ).alias("auc_micro"),
+    )
+
+
+SQL_AUC_MANN_WHITNEY = f"""
+WITH s AS (
+  SELECT CAST(round(value * 1000000) AS BIGINT) AS score,
+         CAST(event_type = '{_AUC_POS_TYPE}' AS BIGINT) AS pos
+  FROM events
+), g AS (
+  SELECT score, count(*) AS n, CAST(sum(pos) AS BIGINT) AS npos
+  FROM s GROUP BY 1
+), ranked AS (
+  SELECT score, n, npos,
+         CAST(coalesce(sum(n) OVER (ORDER BY score
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS BIGINT) AS before
+  FROM g
+), a AS (
+  SELECT CAST(sum(npos * (2 * before + n + 1)) AS BIGINT) AS rsum2,
+         CAST(sum(npos) AS BIGINT) AS n_pos,
+         CAST(sum(n) AS BIGINT) AS n_tot
+  FROM ranked
+)
+SELECT n_pos, n_tot - n_pos AS n_neg,
+       rsum2 - n_pos * (n_pos + 1) AS u2,
+       CAST(((rsum2 - n_pos * (n_pos + 1)) * 1000000)
+            // (2 * n_pos * (n_tot - n_pos)) AS BIGINT) AS auc_micro
+FROM a
+"""
+
+
+_CAL_BINS = 10
+
+
+def q_calibration_bins(spark, sf_dir):
+    """Reliability-diagram bins for `value` as a purchase predictor:
+    equal-width score bins with exact per-bin positive rate and mean
+    score in integer micro-units — the calibration companion to the AUC
+    row (AUC measures ranking; this measures probability calibration).
+
+    Scale posture: min/max = ONE 1-row broadcast agg; binning is pure
+    column math; ONE combinable groupBy(bin).  Output (bin, n, n_pos,
+    pos_rate_micro, mean_score_micro)."""
+    e = _t(spark, sf_dir, "events")
+    s = e.select(
+        F.round(F.col("value") * 1_000_000, 0).cast("long").alias("score"),
+        (F.col("event_type") == _AUC_POS_TYPE).cast("long").alias("pos"),
+    )
+    mm = s.agg(F.min("score").alias("mn"), F.max("score").alias("mx"))
+    binned = s.crossJoin(F.broadcast(mm)).select(
+        F.expr(f"((score - mn) * {_CAL_BINS}) DIV (mx - mn + 1)").alias("bin"),
+        "score",
+        "pos",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("pos").alias("n_pos"),
+            F.sum("score").alias("ssum"),
+        )
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            F.expr("(n_pos * 1000000) DIV n").alias("pos_rate_micro"),
+            F.expr("ssum DIV n").alias("mean_score_micro"),
+        )
+    )
+
+
+SQL_CALIBRATION_BINS = f"""
+WITH s AS (
+  SELECT CAST(round(value * 1000000) AS BIGINT) AS score,
+         CAST(event_type = '{_AUC_POS_TYPE}' AS BIGINT) AS pos
+  FROM events
+), mm AS (SELECT min(score) AS mn, max(score) AS mx FROM s),
+b AS (
+  SELECT ((score - mn) * {_CAL_BINS}) // (mx - mn + 1) AS bin, score, pos
+  FROM s, mm
+)
+SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n,
+       CAST(sum(pos) AS BIGINT) AS n_pos,
+       CAST((sum(pos) * 1000000) // count(*) AS BIGINT) AS pos_rate_micro,
+       CAST(sum(score) // count(*) AS BIGINT) AS mean_score_micro
+FROM b GROUP BY 1
+"""
+
+
 _FK_RELATIONS = (
     # (name, child table, child key, parent table, parent key)
     ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
@@ -3116,6 +3251,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "winsorize_stats": (q_winsorize_stats, SQL_WINSORIZE_STATS),
     "fk_integrity": (q_fk_integrity, SQL_FK_INTEGRITY),
     "theil_sen_trend": (q_theil_sen_trend, SQL_THEIL_SEN_TREND),
+    "auc_mann_whitney": (q_auc_mann_whitney, SQL_AUC_MANN_WHITNEY),
+    "calibration_bins": (q_calibration_bins, SQL_CALIBRATION_BINS),
     "cusum_changepoint": (q_cusum_changepoint, SQL_CUSUM_CHANGEPOINT),
     "benford_audit": (q_benford_audit, SQL_BENFORD_AUDIT),
     "table_profile": (q_table_profile, SQL_TABLE_PROFILE),

@@ -815,3 +815,41 @@ def test_theil_sen_trend_matches_python(spark):
         for r in q_theil_sen_trend(spark, SF).collect()
     }
     assert got == want
+
+
+def test_auc_mann_whitney_matches_scipy_style(spark):
+    from linkgraph.relational import _AUC_POS_TYPE, q_auc_mann_whitney
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    score = np.round(ev["value"].to_numpy() * 1_000_000).astype(np.int64)
+    pos = (ev["event_type"] == _AUC_POS_TYPE).to_numpy()
+    # float reference AUC via average ranks (pandas implements midranks)
+    ranks = pd.Series(score).rank(method="average").to_numpy()
+    n_pos, n_neg = int(pos.sum()), int((~pos).sum())
+    u = ranks[pos].sum() - n_pos * (n_pos + 1) / 2
+    auc = u / (n_pos * n_neg)
+
+    r = q_auc_mann_whitney(spark, SF).collect()[0]
+    assert (r["n_pos"], r["n_neg"]) == (n_pos, n_neg)
+    assert r["u2"] == int(round(2 * u))
+    assert r["auc_micro"] == (r["u2"] * 1_000_000) // (2 * n_pos * n_neg)
+    assert abs(r["auc_micro"] / 1e6 - auc) < 1e-5
+
+
+def test_calibration_bins_matches_python(spark):
+    from linkgraph.relational import _AUC_POS_TYPE, _CAL_BINS, q_calibration_bins
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    score = np.round(ev["value"].to_numpy() * 1_000_000).astype(np.int64)
+    pos = (ev["event_type"] == _AUC_POS_TYPE).to_numpy().astype(np.int64)
+    mn, mx = int(score.min()), int(score.max())
+    bins = (score - mn) * _CAL_BINS // (mx - mn + 1)
+    got = {r["bin"]: r for r in q_calibration_bins(spark, SF).collect()}
+    for b in np.unique(bins):
+        m = bins == b
+        r = got[int(b)]
+        assert r["n"] == int(m.sum())
+        assert r["n_pos"] == int(pos[m].sum())
+        assert r["pos_rate_micro"] == (int(pos[m].sum()) * 1_000_000) // int(m.sum())
+        assert r["mean_score_micro"] == int(score[m].sum()) // int(m.sum())
+    assert sum(r["n"] for r in got.values()) == len(ev)
