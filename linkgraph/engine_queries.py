@@ -38,6 +38,7 @@ from .graph_oracles import (
     pagerank_fixed_sql,
     ppr_fixed_sql,
     sssp_fixed_sql,
+    widest_fixed_sql,
 )
 from .io import load_table
 from .pregel import (
@@ -53,6 +54,7 @@ from .pregel import (
     PageRankProgram,
     PersonalizedPageRankProgram,
     SSSPProgram,
+    WidestPathProgram,
     run_program,
 )
 from .triangles import count_triangles
@@ -822,6 +824,32 @@ def engine_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ENGINE_SSSP = sssp_fixed_sql(_BFS_STEPS)
 
 
+def engine_widest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSR-path widest paths (max-bottleneck capacity — the max-min
+    semiring sibling of engine_sssp), FIXED 6 supersteps from the min-vkey
+    vertex over the DIRECTED weighted events graph; output (vkey, cap) for
+    reached non-source vertices — hash-checked against
+    graph_oracles.widest_fixed_sql.  Capacities are exact integer edge
+    multiplicities (min/max never create new floats)."""
+    g, ctx = _events_ctx(spark, sf_dir)
+    try:
+        src = spark.createDataFrame([(0,)], "vid long")
+        res = run_program(ctx, WidestPathProgram(src), fixed_iters=_BFS_STEPS)
+        return (
+            res.state.where(
+                (F.col("cap") != F.lit(float("inf")))
+                & (F.col("cap") != F.lit(float("-inf")))
+            )
+            .join(g.vertices.select("vid", "vkey"), "vid")
+            .select("vkey", F.col("cap").cast("long").alias("cap"))
+        )
+    finally:
+        ctx.unpersist()
+
+
+SQL_ENGINE_WIDEST = widest_fixed_sql(_BFS_STEPS)
+
+
 def engine_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSR-path personalized PageRank, FIXED 5 supersteps, seeds = the
     actor ('user:*') vertices; top-20 by rounded rank — hash-checked
@@ -894,6 +922,7 @@ def registry():
         "engine_eigenvector": (engine_eigenvector, SQL_ENGINE_EIGENVECTOR),
         "modularity": (q_modularity, SQL_MODULARITY),
         "engine_sssp": (engine_sssp, SQL_ENGINE_SSSP),
+        "engine_widest": (engine_widest, SQL_ENGINE_WIDEST),
         "engine_ppr": (engine_ppr, SQL_ENGINE_PPR),
         "engine_hits": (engine_hits, hits_fixed_sql(5, 20)),
         "engine_salsa": (engine_salsa, salsa_fixed_sql(5, 20)),

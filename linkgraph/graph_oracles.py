@@ -427,6 +427,39 @@ def sssp_fixed_sql(k: int) -> str:
     )
 
 
+def widest_fixed_sql(k: int) -> str:
+    """Unrolled k-superstep widest-path (max-bottleneck) from the min-vkey
+    source over the DIRECTED weighted events edges (w = multiplicity);
+    output (vkey, cap) for reached non-source vertices — mirrors
+    pregel.WidestPathProgram with fixed_iters=k.  min/max never create new
+    floats, so every capacity is one of the original integer edge weights
+    and the hash compare is exact by construction."""
+    ctes = [
+        _GRAPH_CTES,
+        "w0 AS (SELECT vkey, CASE WHEN vkey = (SELECT min(vkey) FROM v) "
+        "THEN CAST('infinity' AS DOUBLE) ELSE NULL END AS cap FROM v)",
+    ]
+    for i in range(1, k + 1):
+        p = f"w{i - 1}"
+        ctes.append(
+            f"m{i} AS (SELECT e.t AS vkey, max(least(p.cap, e.w)) AS nc "
+            f"FROM e JOIN {p} p ON p.vkey = e.s "
+            f"WHERE p.cap IS NOT NULL GROUP BY e.t)"
+        )
+        ctes.append(
+            f"w{i} AS (SELECT p.vkey, CASE "
+            f"WHEN p.cap IS NULL THEN m.nc "
+            f"WHEN m.nc IS NULL THEN p.cap "
+            f"ELSE greatest(p.cap, m.nc) END AS cap "
+            f"FROM {p} p LEFT JOIN m{i} m USING (vkey))"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT vkey, CAST(cap AS BIGINT) AS cap FROM w{k} "
+        "WHERE cap IS NOT NULL AND isfinite(cap)"
+    )
+
+
 def ppr_fixed_sql(k: int, limit: int, d: float = 0.85) -> str:
     """Unrolled k-superstep personalized PageRank, seeds = actor vertices
     (vkey LIKE 'user:%'), teleport + dangling mass to the seed distribution;

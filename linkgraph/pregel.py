@@ -1278,6 +1278,134 @@ class SSSPProgram:
         return stats["changes"] == 0
 
 
+class WidestPathProgram:
+    """Single-source widest paths (max-bottleneck capacity) over the
+    DIRECTED weighted graph — the max-min semiring sibling of SSSPProgram
+    (min-plus): cap_t(v) = max(cap_{t-1}(v), max_{u->v} min(cap_{t-1}(u),
+    w(u, v))); cap(source) = +inf, unreached = -inf.  The routing capacity
+    / max-flow-along-one-path primitive, and the proof that the superstep
+    engine is semiring-parameterized rather than shortest-path-specific.
+
+    Same CSR blocks, same packed-Arrow shuffle, same frontier filter as
+    SSSP.  Cross-engine determinism is STRONGER than SSSP's: min/max never
+    create new floats, so every capacity is one of the original edge
+    weights (an integer multiplicity) — the fixed-iteration oracle
+    (graph_oracles.widest_fixed_sql) matches bit-for-bit."""
+
+    name = "widest"
+    state_cols = ["vid", "part_id", "cap"]
+    uses_undirected = False
+
+    def __init__(self, source_vids: DataFrame):
+        self.source_vids = source_vids
+
+    def init_state(self, ctx: GraphContext) -> DataFrame:
+        srcs = self.source_vids.select("vid").distinct().withColumn("_s", F.lit(True))
+        return (
+            ctx.vertex_base.join(F.broadcast(srcs), "vid", "left")
+            .select(
+                "vid",
+                "part_id",
+                F.when(F.col("_s"), F.lit(float("inf")))
+                .otherwise(F.lit(float("-inf")))
+                .alias("cap"),
+            )
+        )
+
+    def make_scatter(self, P: int):
+        def scatter(key, left: pa.Table, right: pa.Table) -> pa.Table:
+            empty = _empty_packed({"mmax": pa.float64()})
+            if left.num_rows == 0 or right.num_rows == 0:
+                return empty
+            p = left["part_id"][0].as_py()
+            indptr = _block_np(left, "indptr")
+            w = _block_np(left, "weights")
+            udst = _block_np(left, "udst")
+            e2u = _block_np(left, "e2u")
+            cap, _ = _dense_state(right, "cap", p, P)
+            relax = np.minimum(np.repeat(cap, np.diff(indptr)), w)
+            partial = np.full(len(udst), -np.inf)
+            np.maximum.at(partial, e2u, relax)
+            frontier = partial > -np.inf
+            if not frontier.any():
+                return empty
+            return _packed_msgs(P, udst[frontier], {"mmax": partial[frontier]})
+
+        return scatter
+
+    @staticmethod
+    def make_apply(P: int):
+        def apply(key, msgs: pa.Table, state: pa.Table) -> pa.Table:
+            p, nloc = key[0].as_py(), state.num_rows
+            if nloc == 0:
+                return pa.table(
+                    {
+                        "vid": pa.array([], pa.int64()),
+                        "part_id": pa.array([], pa.int32()),
+                        "cap": pa.array([], pa.float64()),
+                        "_changed": pa.array([], pa.int64()),
+                    }
+                )
+            cap_old, _ = _dense_state(state, "cap", p, P)
+            mmax = np.full(nloc, -np.inf)
+            if msgs.num_rows:
+                mloc = (_pa_flat(msgs, "dst") - p) // P
+                np.maximum.at(mmax, mloc, _pa_flat(msgs, "mmax"))
+            cap_new = np.maximum(cap_old, mmax)
+            return pa.table(
+                {
+                    "vid": pa.array(p + np.arange(nloc, dtype=np.int64) * P),
+                    "part_id": pa.array(np.full(nloc, p, np.int32)),
+                    "cap": pa.array(cap_new),
+                    "_changed": pa.array((cap_new > cap_old).astype(np.int64)),
+                }
+            )
+
+        return apply
+
+    def superstep(self, ctx: GraphContext, state: DataFrame, carry: dict | None = None) -> DataFrame:
+        packed_schema = "part_id int, dst array<long>, mmax array<double>"
+        msgs = (
+            ctx.blocks.groupby("part_id")
+            .cogroup(state.groupby("part_id"))
+            .applyInArrow(self.make_scatter(ctx.P), packed_schema)
+        )
+        if ctx.hub_edges is not None:
+            # op 47 directed side: broadcast hub rows relax min(cap, w) on
+            # the raw w column the hub split carries alongside coeff.
+            hub_state = (
+                state.where(F.col("cap") != F.lit(float("-inf")))
+                .join(F.broadcast(ctx.hub_vids), "vid")
+                .select(F.col("vid").alias("src"), "cap")
+            )
+            hub_rows = ctx.hub_edges.join(F.broadcast(hub_state), "src").select(
+                F.pmod(F.col("dst"), F.lit(ctx.P)).cast("int").alias("part_id"),
+                "dst",
+                F.least(F.col("cap"), F.col("w")).alias("mmax"),
+            )
+            hub_msgs = _pack_hub_jvm(hub_rows, ("mmax",))
+            msgs = msgs.unionByName(hub_msgs)
+        return (
+            msgs.groupby("part_id")
+            .cogroup(state.groupby("part_id"))
+            .applyInArrow(
+                self.make_apply(ctx.P),
+                "vid long, part_id int, cap double, _changed long",
+            )
+        )
+
+    def stat_exprs(self):
+        return [
+            F.sum("_changed").alias("changes"),
+            F.sum((F.col("cap") != F.lit(float("-inf"))).cast("long")).alias("reached"),
+        ]
+
+    stat_reducers = {"changes": sum, "reached": sum}
+
+    def done(self, stats: dict) -> bool:
+        return stats["changes"] == 0
+
+
 LT_NEVER = np.int64(1) << 62  # threshold sentinel: vertex can never activate
 
 

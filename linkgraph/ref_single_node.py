@@ -170,6 +170,42 @@ def sssp_ref(
         dist = new
 
 
+def widest_ref(
+    src: np.ndarray,
+    dst: np.ndarray,
+    w: np.ndarray,
+    n: int,
+    sources: np.ndarray,
+    iters: int | None = None,
+) -> np.ndarray:
+    """Directed widest paths (max-bottleneck, max-min semiring) from
+    ``sources`` — synchronous relaxation rounds mirroring
+    pregel.WidestPathProgram.  cap(source) = +inf, unreached = -inf.
+    Multi-edges pre-SUMMED like sssp_ref (the engine relaxes on the
+    pre-summed simple edge table).  ``iters`` pins a fixed superstep
+    count; None runs to fixpoint."""
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    w = np.asarray(w, dtype=np.float64)
+    key = src * np.int64(n) + dst
+    uk, inv = np.unique(key, return_inverse=True)
+    ws = np.zeros(len(uk))
+    np.add.at(ws, inv, w)
+    src, dst, w = uk // n, uk % n, ws
+    cap = np.full(n, -np.inf)
+    cap[np.asarray(sources, dtype=np.int64)] = np.inf
+    t = 0
+    while iters is None or t < iters:
+        relax = np.minimum(cap[src], w)
+        new = cap.copy()
+        np.maximum.at(new, dst, relax)
+        if np.array_equal(new, cap):
+            return cap
+        cap = new
+        t += 1
+    return cap
+
+
 def ppr_ref(
     src: np.ndarray,
     dst: np.ndarray,

@@ -155,6 +155,62 @@ def test_sssp_hub_split_equals_unsplit(spark):
         ctx_split.unpersist()
 
 
+# -- widest path (max-min semiring) -------------------------------------------
+
+def test_widest_path_matches_reference(spark, synth_ctx):
+    """Converged max-bottleneck capacities == the numpy max-min fixpoint,
+    and a fixed-iteration run == the same-count synchronous replay (the
+    property the driver's unrolled-CTE oracle relies on)."""
+    from linkgraph.pregel import WidestPathProgram
+    from linkgraph.ref_single_node import widest_ref
+
+    g, ctx = synth_ctx
+    src, dst, w, n = edges_numpy(g)
+    sources = spark.createDataFrame([(0,)], "vid long")
+
+    res = run_program(ctx, WidestPathProgram(sources), max_iter=200)
+    assert res.converged
+    cap = _col(res.state, "cap", n, fill=-np.inf).astype(np.float64)
+    ref = widest_ref(src, dst, w, n, np.array([0]))
+    assert np.array_equal(cap, ref)  # min/max of identical sets: bitwise
+
+    res3 = run_program(ctx, WidestPathProgram(sources), fixed_iters=3)
+    cap3 = _col(res3.state, "cap", n, fill=-np.inf).astype(np.float64)
+    ref3 = widest_ref(src, dst, w, n, np.array([0]), iters=3)
+    assert np.array_equal(cap3, ref3)
+
+    # semantic spot-check: direct source->v edges lower-bound the capacity
+    esum = {}
+    for s, d, ww in zip(src, dst, w):
+        esum[(s, d)] = esum.get((s, d), 0.0) + float(ww)
+    for (s, d), ww in esum.items():
+        if s == 0 and np.isfinite(cap[d]):
+            assert cap[d] >= ww
+
+
+def test_widest_hub_split_equals_unsplit(spark):
+    """Forced DIRECTED hub split: the broadcast hub path must relax
+    min(cap, w) on the raw w column and give identical capacities."""
+    from linkgraph.pregel import WidestPathProgram
+    from linkgraph.ref_single_node import widest_ref
+
+    g = build_graph(micro_transcripts(spark, "star_hub"), distributed_ids=False)
+    src, dst, w, n = edges_numpy(g)
+    sources = spark.createDataFrame([(0,)], "vid long")
+    ctx_plain = GraphContext.build(g, 4)
+    ctx_split = GraphContext.build(g, 4, hub_theta=0, hub_floor=0)
+    try:
+        assert ctx_split.hub_edges is not None
+        c1 = _col(run_program(ctx_plain, WidestPathProgram(sources), max_iter=50).state, "cap", n, fill=-np.inf)
+        c2 = _col(run_program(ctx_split, WidestPathProgram(sources), max_iter=50).state, "cap", n, fill=-np.inf)
+        assert np.array_equal(c1, c2)
+        ref = widest_ref(src, dst, w, n, np.array([0]))
+        assert np.array_equal(c1, ref)
+    finally:
+        ctx_plain.unpersist()
+        ctx_split.unpersist()
+
+
 # -- personalized PageRank ----------------------------------------------------
 
 def test_ppr_matches_reference(spark, synth_ctx):
