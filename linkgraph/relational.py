@@ -3181,6 +3181,73 @@ FROM orders"""
 )
 
 
+def q_chi2_independence(spark, sf_dir):
+    """Chi-square test of independence between event_type and day-of-week
+    — "is activity mix stable across the week", the categorical-drift
+    screen run before training on time-sliced data.  Exact integer
+    end-to-end: per cell over the FULL r×c grid (zero-observed cells
+    included), term = ((N·O − R·C)² · 1e6) DIV (N·R·C), so
+    chi2_micro = Σ terms with no float division anywhere in the hash.
+
+    Scale posture: corpus-sized work = ONE combinable groupBy to the
+    |types|×7 contingency table; the statistic runs on the collected
+    CONSTANT grid (bounded-collect contract, same as markov_stationary —
+    cell count is vocabulary-sized, stream-size independent; the oracle's
+    HUGEINT per-cell arithmetic is Python arbitrary-precision here).
+    Output one row (n, n_types, n_dows, dof, chi2_micro)."""
+    e = _t(spark, sf_dir, "events")
+    cells = (
+        e.groupBy(F.col("event_type"), F.dayofweek("ts").alias("dow"))
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    rows = cells.collect()  # bounded: |event-type vocab| x 7
+    obs = {(r["event_type"], r["dow"]): int(r["o"]) for r in rows}
+    types = sorted({t for t, _ in obs})
+    dows = sorted({d for _, d in obs})
+    rt = {t: sum(obs.get((t, d), 0) for d in dows) for t in types}
+    ct = {d: sum(obs.get((t, d), 0) for t in types) for d in dows}
+    n = sum(rt.values())
+    chi2_micro = 0
+    for t in types:
+        for d in dows:
+            diff = n * obs.get((t, d), 0) - rt[t] * ct[d]
+            chi2_micro += (diff * diff * 1_000_000) // (n * rt[t] * ct[d])
+    out = [
+        (n, len(types), len(dows), (len(types) - 1) * (len(dows) - 1), chi2_micro)
+    ]
+    return spark.createDataFrame(
+        out, "n long, n_types long, n_dows long, dof long, chi2_micro long"
+    )
+
+
+SQL_CHI2_INDEPENDENCE = """
+WITH cells AS (
+  SELECT event_type, dayofweek(ts) + 1 AS dow, count(*) AS o
+  FROM events GROUP BY 1, 2
+), rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+ct AS (SELECT dow, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+grid AS (
+  SELECT rt.event_type, ct.dow, rt.r, ct.c,
+         CAST(coalesce(cl.o, 0) AS BIGINT) AS o
+  FROM rt CROSS JOIN ct
+  LEFT JOIN cells cl ON cl.event_type = rt.event_type AND cl.dow = ct.dow
+), terms AS (
+  SELECT ((CAST(nn.n AS HUGEINT) * o - CAST(r AS HUGEINT) * c)
+          * (CAST(nn.n AS HUGEINT) * o - CAST(r AS HUGEINT) * c)
+          * 1000000)
+         // (CAST(nn.n AS HUGEINT) * r * c) AS term
+  FROM grid, nn
+)
+SELECT (SELECT n FROM nn) AS n,
+       (SELECT count(*) FROM rt) AS n_types,
+       (SELECT count(*) FROM ct) AS n_dows,
+       (SELECT count(*) FROM rt) * (SELECT count(*) FROM ct)
+         - (SELECT count(*) FROM rt) - (SELECT count(*) FROM ct) + 1 AS dof,
+       CAST((SELECT sum(term) FROM terms) AS BIGINT) AS chi2_micro
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "filter_project": (q_filter_project, SQL_FILTER_PROJECT),
     "dropdup": (q_dropdup, SQL_DROPDUP),
@@ -3253,6 +3320,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "theil_sen_trend": (q_theil_sen_trend, SQL_THEIL_SEN_TREND),
     "auc_mann_whitney": (q_auc_mann_whitney, SQL_AUC_MANN_WHITNEY),
     "calibration_bins": (q_calibration_bins, SQL_CALIBRATION_BINS),
+    "chi2_independence": (q_chi2_independence, SQL_CHI2_INDEPENDENCE),
     "cusum_changepoint": (q_cusum_changepoint, SQL_CUSUM_CHANGEPOINT),
     "benford_audit": (q_benford_audit, SQL_BENFORD_AUDIT),
     "table_profile": (q_table_profile, SQL_TABLE_PROFILE),

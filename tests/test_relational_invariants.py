@@ -853,3 +853,34 @@ def test_calibration_bins_matches_python(spark):
         assert r["pos_rate_micro"] == (int(pos[m].sum()) * 1_000_000) // int(m.sum())
         assert r["mean_score_micro"] == int(score[m].sum()) // int(m.sum())
     assert sum(r["n"] for r in got.values()) == len(ev)
+
+
+def test_chi2_independence_matches_python(spark):
+    from linkgraph.relational import q_chi2_independence
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    # Spark dayofweek: Sunday=1..Saturday=7
+    dow = ev["ts"].dt.dayofweek.to_numpy()  # pandas: Monday=0..Sunday=6
+    dow = (dow + 1) % 7 + 1
+    ct = pd.crosstab(ev["event_type"], dow)
+    n = int(ct.to_numpy().sum())
+    rt = ct.sum(axis=1)
+    cs = ct.sum(axis=0)
+    chi2_micro = 0
+    chi2_float = 0.0
+    for t in ct.index:
+        for d in ct.columns:
+            o, r, c = int(ct.loc[t, d]), int(rt[t]), int(cs[d])
+            diff = n * o - r * c
+            chi2_micro += (diff * diff * 1_000_000) // (n * r * c)
+            e = r * c / n
+            chi2_float += (o - e) ** 2 / e
+
+    got = q_chi2_independence(spark, SF).collect()[0]
+    assert got["n"] == n
+    assert got["n_types"] == ct.shape[0]
+    assert got["n_dows"] == ct.shape[1]
+    assert got["dof"] == (ct.shape[0] - 1) * (ct.shape[1] - 1)
+    assert got["chi2_micro"] == chi2_micro
+    # quantization error is at most one micro-unit per cell
+    assert abs(got["chi2_micro"] / 1e6 - chi2_float) < ct.size / 1e6 + 1e-6
