@@ -3248,6 +3248,136 @@ SELECT (SELECT n FROM nn) AS n,
 """
 
 
+_BOOT_B = 40
+# cumulative Poisson(1) CDF in micro-units: P(X<=k) for k=0..6 (k=7 tail).
+# Python-computed constants baked verbatim into BOTH engines (Benford
+# contract) — no libm in the hash path.
+_POIS_CDF_MICRO = (367879, 735758, 919698, 981011, 996340, 999405, 999916)
+
+
+def _boot_weight(u):
+    """Poisson(1) inverse CDF of a micro-uniform column (0..999999)."""
+    w = F.when(u < _POIS_CDF_MICRO[0], F.lit(0))
+    for k in range(1, len(_POIS_CDF_MICRO)):
+        w = w.when(u < _POIS_CDF_MICRO[k], F.lit(k))
+    return w.otherwise(F.lit(len(_POIS_CDF_MICRO))).cast("long")
+
+
+def q_poisson_bootstrap(spark, sf_dir):
+    """Deterministic Poisson bootstrap CI for mean order revenue — THE
+    distributed bootstrap: classical resampling needs a global draw of n
+    rows (impossible at 10^12), the Poisson trick gives each row an
+    independent Poisson(1) replication weight per replicate, so the
+    whole B-replicate bootstrap is pure column math in one pass.
+    Weights come from the md5 micro-uniform (replayable, cross-engine
+    bit-identical); per-replicate means in exact integer micro-cents.
+
+    Scale posture: B×n fan-out is ONE combinable groupBy(b); the order
+    statistics (p05/p50/p95) window over the B-row replicate aggregate,
+    never the data.  Output one row (b_reps, n_rows, point_mean_micro,
+    lo_micro, med_micro, hi_micro)."""
+    from .datapipe import _md5_int
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    reps = base.select(
+        "o_orderkey",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    )
+    u = (
+        _md5_int(
+            F.concat(
+                F.lit("boot:"),
+                F.col("b").cast("string"),
+                F.lit(":"),
+                F.col("o_orderkey").cast("string"),
+            )
+        )
+        % 1_000_000
+    )
+    wcol = _boot_weight(u)
+    per = (
+        reps.select("b", wcol.alias("w"), (wcol * F.col("cents")).alias("wc"))
+        .groupBy("b")
+        .agg(F.sum("wc").alias("sc"), F.sum("w").alias("ne"))
+    )
+    means = per.select("b", F.expr("(sc * 1000000) DIV ne").alias("m"))
+    klo = max(1, _BOOT_B * 5 // 100)
+    khi = _BOOT_B + 1 - klo
+    kmed = (_BOOT_B + 1) // 2
+    ranked = means.select(
+        "m", F.row_number().over(Window.orderBy("m", "b")).alias("rk")
+    )
+    stats = ranked.agg(
+        F.max(F.when(F.col("rk") == klo, F.col("m"))).alias("lo_micro"),
+        F.max(F.when(F.col("rk") == kmed, F.col("m"))).alias("med_micro"),
+        F.max(F.when(F.col("rk") == khi, F.col("m"))).alias("hi_micro"),
+    )
+    point = base.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("(sum(cents) * 1000000) DIV count(1)").alias("point_mean_micro"),
+    )
+    return point.crossJoin(F.broadcast(stats)).select(
+        F.lit(_BOOT_B).cast("long").alias("b_reps"),
+        "n_rows",
+        "point_mean_micro",
+        "lo_micro",
+        "med_micro",
+        "hi_micro",
+    )
+
+
+def _sql_poisson_bootstrap() -> str:
+    cdf = _POIS_CDF_MICRO
+    case = "CASE " + " ".join(
+        f"WHEN u < {t} THEN {k}" for k, t in enumerate(cdf)
+    ) + f" ELSE {len(cdf)} END"
+    klo = max(1, _BOOT_B * 5 // 100)
+    khi = _BOOT_B + 1 - klo
+    kmed = (_BOOT_B + 1) // 2
+    return f"""
+WITH base AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), reps AS (
+  SELECT o_orderkey, cents, CAST(g.b AS BIGINT) AS b
+  FROM base CROSS JOIN generate_series(0, {_BOOT_B - 1}) AS g(b)
+), uu AS (
+  SELECT b, cents,
+         CAST(('0x' || substr(md5('boot:' || CAST(b AS VARCHAR) || ':'
+              || CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 1000000 AS u
+  FROM reps
+), wts AS (SELECT b, cents, {case} AS w FROM uu),
+per AS (
+  SELECT b, CAST(sum(w * cents) AS BIGINT) AS sc,
+         CAST(sum(w) AS BIGINT) AS ne
+  FROM wts GROUP BY b
+), means AS (SELECT b, (sc * 1000000) // ne AS m FROM per),
+ranked AS (SELECT m, row_number() OVER (ORDER BY m, b) AS rk FROM means),
+stats AS (
+  SELECT max(CASE WHEN rk = {klo} THEN m END) AS lo_micro,
+         max(CASE WHEN rk = {kmed} THEN m END) AS med_micro,
+         max(CASE WHEN rk = {khi} THEN m END) AS hi_micro
+  FROM ranked
+), point AS (
+  SELECT count(*) AS n_rows,
+         (CAST(sum(cents) AS BIGINT) * 1000000) // count(*) AS point_mean_micro
+  FROM base
+)
+SELECT CAST({_BOOT_B} AS BIGINT) AS b_reps, n_rows, point_mean_micro,
+       lo_micro, med_micro, hi_micro
+FROM point CROSS JOIN stats
+"""
+
+
+SQL_POISSON_BOOTSTRAP = _sql_poisson_bootstrap()
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "filter_project": (q_filter_project, SQL_FILTER_PROJECT),
     "dropdup": (q_dropdup, SQL_DROPDUP),
@@ -3321,6 +3451,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "auc_mann_whitney": (q_auc_mann_whitney, SQL_AUC_MANN_WHITNEY),
     "calibration_bins": (q_calibration_bins, SQL_CALIBRATION_BINS),
     "chi2_independence": (q_chi2_independence, SQL_CHI2_INDEPENDENCE),
+    "poisson_bootstrap": (q_poisson_bootstrap, SQL_POISSON_BOOTSTRAP),
     "cusum_changepoint": (q_cusum_changepoint, SQL_CUSUM_CHANGEPOINT),
     "benford_audit": (q_benford_audit, SQL_BENFORD_AUDIT),
     "table_profile": (q_table_profile, SQL_TABLE_PROFILE),

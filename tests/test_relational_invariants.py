@@ -884,3 +884,40 @@ def test_chi2_independence_matches_python(spark):
     assert got["chi2_micro"] == chi2_micro
     # quantization error is at most one micro-unit per cell
     assert abs(got["chi2_micro"] / 1e6 - chi2_float) < ct.size / 1e6 + 1e-6
+
+
+def test_poisson_bootstrap_matches_python(spark):
+    import hashlib
+
+    from linkgraph.relational import (
+        _BOOT_B,
+        _POIS_CDF_MICRO,
+        q_poisson_bootstrap,
+    )
+
+    od = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    cents = np.round(od["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    keys = od["o_orderkey"].to_numpy()
+
+    def w_of(b, k):
+        u = int(hashlib.md5(f"boot:{b}:{k}".encode()).hexdigest()[:15], 16) % 1_000_000
+        for w, t in enumerate(_POIS_CDF_MICRO):
+            if u < t:
+                return w
+        return len(_POIS_CDF_MICRO)
+
+    means = []
+    for b in range(_BOOT_B):
+        ws = np.array([w_of(b, int(k)) for k in keys], dtype=np.int64)
+        means.append((int((ws * cents).sum()) * 1_000_000) // int(ws.sum()))
+    means.sort()
+    klo = max(1, _BOOT_B * 5 // 100)
+
+    r = q_poisson_bootstrap(spark, SF).collect()[0]
+    assert r["b_reps"] == _BOOT_B
+    assert r["n_rows"] == len(od)
+    assert r["point_mean_micro"] == (int(cents.sum()) * 1_000_000) // len(od)
+    assert r["lo_micro"] == means[klo - 1]
+    assert r["med_micro"] == means[(_BOOT_B + 1) // 2 - 1]
+    assert r["hi_micro"] == means[_BOOT_B - klo]
+    assert r["lo_micro"] <= r["med_micro"] <= r["hi_micro"]
