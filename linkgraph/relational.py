@@ -3378,6 +3378,95 @@ FROM point CROSS JOIN stats
 SQL_POISSON_BOOTSTRAP = _sql_poisson_bootstrap()
 
 
+_HW_HORIZON = 7
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division — Spark DIV ≡ DuckDB // ≡
+    this (Python's // floors, so it CANNOT be used on negatives)."""
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def q_holt_winters(spark, sf_dir):
+    """Double-exponential (Holt) smoothing of the daily event volume with
+    a 7-day linear forecast — the capacity-planning / trend-extrapolation
+    op.  α=1/2, β=1/4 chosen so the recurrence is exact integer:
+    l_t = (Y_t + l_{t-1} + b_{t-1}) DIV 2,
+    b_t = ((l_t − l_{t-1}) + 3·b_{t-1}) DIV 4, all in micro-counts with
+    truncate-toward-zero division on BOTH engines (Theil–Sen contract).
+
+    Scale posture: corpus work = ONE combinable groupBy to the day-level
+    series; the inherently-sequential recurrence runs on the collected
+    CONSTANT horizon-sized series (bounded-collect contract, like
+    markov_stationary) while the oracle replays it as a recursive CTE.
+    Output (idx, day, y, level_micro, trend_micro); forecast rows carry
+    y = NULL and level_micro = l_T + h·b_T."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        )
+        .cast("long")
+        .alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    rows = sorted((int(r["day"]), int(r["y"])) for r in daily.collect())
+    days = [d for d, _ in rows]
+    Y = [y * 1_000_000 for _, y in rows]
+    level = Y[0]
+    trend = (Y[1] - Y[0]) if len(Y) > 1 else 0
+    out = [(1, days[0], rows[0][1], level, trend)]
+    for t in range(1, len(Y)):
+        l_new = _tdiv(Y[t] + level + trend, 2)
+        trend = _tdiv((l_new - level) + 3 * trend, 4)
+        level = l_new
+        out.append((t + 1, days[t], rows[t][1], level, trend))
+    T = len(Y)
+    for h in range(1, _HW_HORIZON + 1):
+        out.append((T + h, days[-1] + h, None, level + h * trend, trend))
+    return spark.createDataFrame(
+        out, "idx long, day long, y long, level_micro long, trend_micro long"
+    )
+
+
+SQL_HOLT_WINTERS = f"""
+WITH RECURSIVE hw_daily AS (
+  SELECT CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), idx AS (
+  SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i, day, y,
+         y * 1000000 AS ym
+  FROM hw_daily
+), hw(i, l, b) AS (
+  SELECT CAST(1 AS BIGINT),
+         (SELECT ym FROM idx WHERE i = 1),
+         coalesce((SELECT ym FROM idx WHERE i = 2)
+                  - (SELECT ym FROM idx WHERE i = 1), 0)
+  UNION ALL
+  SELECT s.i2, s.l2, ((s.l2 - s.l0) + 3 * s.b0) // 4
+  FROM (SELECT hw.i + 1 AS i2, (d.ym + hw.l + hw.b) // 2 AS l2,
+               hw.l AS l0, hw.b AS b0
+        FROM hw JOIN idx d ON d.i = hw.i + 1) s
+), obs AS (
+  SELECT hw.i AS idx, d.day, d.y, hw.l AS level_micro, hw.b AS trend_micro
+  FROM hw JOIN idx d ON d.i = hw.i
+), lastrow AS (
+  SELECT hw.i, hw.l, hw.b FROM hw WHERE hw.i = (SELECT max(i) FROM idx)
+), fc AS (
+  SELECT l.i + CAST(g.h AS BIGINT) AS idx,
+         (SELECT max(day) FROM idx) + CAST(g.h AS BIGINT) AS day,
+         CAST(NULL AS BIGINT) AS y,
+         l.l + CAST(g.h AS BIGINT) * l.b AS level_micro,
+         l.b AS trend_micro
+  FROM lastrow l CROSS JOIN generate_series(1, {_HW_HORIZON}) g(h)
+)
+SELECT * FROM obs UNION ALL SELECT * FROM fc
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "filter_project": (q_filter_project, SQL_FILTER_PROJECT),
     "dropdup": (q_dropdup, SQL_DROPDUP),
@@ -3452,6 +3541,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "calibration_bins": (q_calibration_bins, SQL_CALIBRATION_BINS),
     "chi2_independence": (q_chi2_independence, SQL_CHI2_INDEPENDENCE),
     "poisson_bootstrap": (q_poisson_bootstrap, SQL_POISSON_BOOTSTRAP),
+    "holt_winters": (q_holt_winters, SQL_HOLT_WINTERS),
     "cusum_changepoint": (q_cusum_changepoint, SQL_CUSUM_CHANGEPOINT),
     "benford_audit": (q_benford_audit, SQL_BENFORD_AUDIT),
     "table_profile": (q_table_profile, SQL_TABLE_PROFILE),

@@ -921,3 +921,33 @@ def test_poisson_bootstrap_matches_python(spark):
     assert r["med_micro"] == means[(_BOOT_B + 1) // 2 - 1]
     assert r["hi_micro"] == means[_BOOT_B - klo]
     assert r["lo_micro"] <= r["med_micro"] <= r["hi_micro"]
+
+
+def test_holt_winters_matches_python(spark):
+    from linkgraph.relational import _HW_HORIZON, q_holt_winters
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    days = (ev["ts"].dt.floor("D") - pd.Timestamp("1970-01-01")).dt.days
+    daily = sorted(days.groupby(days).size().items())
+    Y = [y * 1_000_000 for _, y in daily]
+    lv, tr = Y[0], (Y[1] - Y[0]) if len(Y) > 1 else 0
+    want = [(1, daily[0][0], daily[0][1], lv, tr)]
+    for t in range(1, len(Y)):
+        ln = _trunc_div(Y[t] + lv + tr, 2)
+        tr = _trunc_div((ln - lv) + 3 * tr, 4)
+        lv = ln
+        want.append((t + 1, daily[t][0], daily[t][1], lv, tr))
+    for h in range(1, _HW_HORIZON + 1):
+        want.append((len(Y) + h, daily[-1][0] + h, None, lv + h * tr, tr))
+
+    got = [
+        (r["idx"], r["day"], r["y"], r["level_micro"], r["trend_micro"])
+        for r in q_holt_winters(spark, SF).orderBy("idx").collect()
+    ]
+    assert got == want
+    # smoothing sanity: levels track the data scale (within min..max micro)
+    ys = [y for _, y in daily]
+    lo, hi = min(ys) * 1_000_000, max(ys) * 1_000_000
+    for _, _, y, lmic, _ in got:
+        if y is not None:
+            assert lo - (hi - lo) <= lmic <= hi + (hi - lo)
