@@ -879,6 +879,7 @@ def registry():
     from .kcore import engine_kcore, engine_onion
     from .linkpred import (
         SQL_ADAMIC_ADAR,
+        SQL_BURT_CONSTRAINT,
         SQL_CLUSTERING_COEFF,
         SQL_DEGREE_HIST,
         SQL_JACCARD_PAIRS,
@@ -890,6 +891,7 @@ def registry():
         _sql_link_negatives,
         q_link_negatives,
         q_adamic_adar,
+        q_burt_constraint,
         q_clustering_coeff,
         q_degree_hist,
         q_jaccard_pairs,
@@ -927,6 +929,7 @@ def registry():
         "engine_hits": (engine_hits, hits_fixed_sql(5, 20)),
         "engine_salsa": (engine_salsa, salsa_fixed_sql(5, 20)),
         "clustering_coeff": (q_clustering_coeff, SQL_CLUSTERING_COEFF),
+        "burt_constraint": (q_burt_constraint, SQL_BURT_CONSTRAINT),
         "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
         "adamic_adar": (q_adamic_adar, SQL_ADAMIC_ADAR),
         "degree_hist": (q_degree_hist, SQL_DEGREE_HIST),

@@ -671,6 +671,131 @@ _TP_WINDOW = "INTERVAL 1 HOUR"  # second hop must follow within one hour
 _TP_TOPK = 50
 
 
+_BURT_MAX_DEG = 64  # broker-degree cap: hub intermediaries excluded
+_BURT_FP = 1_000_000
+
+
+def q_burt_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burt's structural-holes constraint per vertex of the undirected
+    simple events graph — "how redundant are my contacts": c_i =
+    Σ_{j∈N(i)} (p_ij + Σ_q p_iq·p_qj)² with p_ij = 1/deg_i; low
+    constraint = the vertex brokers between otherwise-disconnected
+    neighborhoods (the classic social-capital / influence-position
+    measure).  Exact integer 1e6 fixed point: base = 1e6 DIV deg_i,
+    each indirect term = 1e6 DIV (deg_i·deg_q) quantized BEFORE the
+    sum, square = (x·x) DIV 1e6 — bit-identical cross-engine.
+
+    Hub posture: indirect paths only flow through brokers q with
+    deg(q) ≤ 64 (the jaccard_pairs/adamic_adar hub-exclusion
+    precedent), so the 2-hop fan-out is bounded by cap·E, never
+    Σ deg(q)² over hub vertices; degrees in p stay the FULL degrees.
+    Output (vkey, deg, constraint_micro)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    turn = (
+        ev.select(
+            F.col("event_type").alias("s"),
+            F.lead("event_type").over(w).alias("t"),
+        )
+        .where(F.col("t").isNotNull())
+    )
+    tool = ev.select(
+        F.concat(F.lit("user:"), F.col("user_id").cast("string")).alias("s"),
+        F.col("event_type").alias("t"),
+    )
+    ek = turn.unionByName(tool)
+    uv = (
+        ek.where(F.col("s") != F.col("t"))
+        .select(F.least("s", "t").alias("u"), F.greatest("s", "t").alias("v"))
+        .distinct()
+    )
+    adj = uv.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
+        uv.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    deg = adj.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    di = deg.select(F.col("a").alias("i"), F.col("deg").alias("deg_i"))
+    pairs = adj.select(F.col("a").alias("i"), F.col("b").alias("j")).join(di, "i")
+    dq = deg.select(F.col("a").alias("q"), F.col("deg").alias("deg_q"))
+    thru = (
+        adj.select(F.col("a").alias("i"), F.col("b").alias("q"))
+        .join(dq.where(F.col("deg_q") <= _BURT_MAX_DEG), "q")
+    )
+    hop2 = (
+        thru.join(adj.select(F.col("a").alias("q"), F.col("b").alias("j")), "q")
+        .where(F.col("i") != F.col("j"))
+        .join(pairs.select("i", "j"), ["i", "j"], "left_semi")
+        .join(di, "i")
+    )
+    ind = hop2.groupBy("i", "j").agg(
+        F.sum(
+            F.expr(f"CAST({_BURT_FP} AS BIGINT) DIV (deg_i * deg_q)")
+        ).alias("ind")
+    )
+    x = pairs.join(ind, ["i", "j"], "left").select(
+        "i",
+        "deg_i",
+        (
+            F.expr(f"{_BURT_FP} DIV deg_i")
+            + F.coalesce(F.col("ind"), F.lit(0))
+        ).alias("x"),
+    )
+    con = (
+        x.select("i", "deg_i", F.expr(f"(x * x) DIV {_BURT_FP}").alias("c"))
+        .groupBy("i")
+        .agg(F.max("deg_i").alias("deg"), F.sum("c").alias("constraint_micro"))
+    )
+    vkeys = (
+        ek.select(F.col("s").alias("vkey"))
+        .unionByName(ek.select(F.col("t").alias("vkey")))
+        .distinct()
+    )
+    return vkeys.join(
+        con.withColumnRenamed("i", "vkey"), "vkey", "left"
+    ).select(
+        "vkey",
+        F.coalesce("deg", F.lit(0)).alias("deg"),
+        F.coalesce("constraint_micro", F.lit(0)).alias("constraint_micro"),
+    )
+
+
+SQL_BURT_CONSTRAINT = (
+    "WITH "
+    + _EV_CTES
+    + f""",
+adj AS (
+  SELECT u AS a, v AS b FROM uv UNION ALL SELECT v AS a, u AS b FROM uv
+), deg AS (
+  SELECT a, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY a
+), pairs AS (
+  SELECT adj.a AS i, adj.b AS j, d.deg AS deg_i
+  FROM adj JOIN deg d ON d.a = adj.a
+), hop2 AS (
+  SELECT x.a AS i, y.b AS j, dx.deg AS deg_i, dq.deg AS deg_q
+  FROM adj x
+  JOIN deg dq ON dq.a = x.b AND dq.deg <= {_BURT_MAX_DEG}
+  JOIN adj y ON y.a = x.b AND y.b <> x.a
+  JOIN deg dx ON dx.a = x.a
+  WHERE EXISTS (SELECT 1 FROM pairs p WHERE p.i = x.a AND p.j = y.b)
+), ind AS (
+  SELECT i, j,
+         CAST(sum({_BURT_FP} // (deg_i * deg_q)) AS BIGINT) AS ind
+  FROM hop2 GROUP BY i, j
+), xx AS (
+  SELECT p.i, p.deg_i,
+         ({_BURT_FP} // p.deg_i) + coalesce(ind.ind, 0) AS x
+  FROM pairs p LEFT JOIN ind ON ind.i = p.i AND ind.j = p.j
+), con AS (
+  SELECT i, max(deg_i) AS deg,
+         CAST(sum((x * x) // {_BURT_FP}) AS BIGINT) AS constraint_micro
+  FROM xx GROUP BY i
+)
+SELECT v.vkey, coalesce(c.deg, 0) AS deg,
+       coalesce(c.constraint_micro, 0) AS constraint_micro
+FROM v LEFT JOIN con c ON c.i = v.vkey
+"""
+)
+
+
 def q_temporal_paths2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-respecting 2-hop tool paths: (src → m at t1, m → dst at t2)
     with t1 < t2 ≤ t1 + 1 hour, counted per (src, dst); top-50.

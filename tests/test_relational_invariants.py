@@ -951,3 +951,43 @@ def test_holt_winters_matches_python(spark):
     for _, _, y, lmic, _ in got:
         if y is not None:
             assert lo - (hi - lo) <= lmic <= hi + (hi - lo)
+
+
+def test_burt_constraint_matches_python(spark):
+    from linkgraph.linkpred import _BURT_FP, _BURT_MAX_DEG, q_burt_constraint
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    ek = []
+    for uid, grp in ev.groupby("user_id"):
+        types = grp["event_type"].tolist()
+        ek += list(zip(types, types[1:]))
+        ek += [(f"user:{uid}", t) for t in types]
+    vset = {s for s, _ in ek} | {t for _, t in ek}
+    uv = {(min(s, t), max(s, t)) for s, t in ek if s != t}
+    nbrs = {}
+    for u, v in uv:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    deg = {v: len(ns) for v, ns in nbrs.items()}
+    want = {}
+    for i in vset:
+        ns = nbrs.get(i, set())
+        con = 0
+        for j in ns:
+            x = _BURT_FP // deg[i] + sum(
+                _BURT_FP // (deg[i] * deg[q])
+                for q in ns & nbrs[j]
+                if deg[q] <= _BURT_MAX_DEG
+            )
+            con += (x * x) // _BURT_FP
+        want[i] = (len(ns), con)
+
+    got = {
+        r["vkey"]: (r["deg"], r["constraint_micro"])
+        for r in q_burt_constraint(spark, SF).collect()
+    }
+    assert got == want
+    # a dyad (deg-1 vertex whose sole neighbor caps out) has x = 1e6 →
+    # constraint exactly 1e6; and constraints are nonnegative by squares
+    assert all(c >= 0 for _, c in got.values())
