@@ -3467,6 +3467,110 @@ SELECT * FROM obs UNION ALL SELECT * FROM fc
 """
 
 
+_ITEMCF_TOPK = 3
+_ITEMCF_MIN_CO = 2
+
+
+def q_item_cf(spark, sf_dir):
+    """Item-item collaborative filtering: top-3 recommendations per part
+    by co-occurrence cosine over order baskets — the classic "customers
+    who bought X also bought Y" recommender.  Ranking key is the SQUARED
+    cosine in integer micro-units, cos²·1e6 = (c²·1e6) DIV (n_i·n_j) —
+    monotone in cosine for c > 0, so the ranking is exact with no sqrt
+    anywhere (at 10^9+ baskets promote c² to decimal/HUGEINT partials).
+
+    Scale posture: pair fan-out = per-order self-join bounded by
+    basket-size² (basket_lift contract), never parts²; per-part counts
+    broadcast onto the aggregated pair table; the top-k window partitions
+    by item over the pair AGGREGATE (items × candidates), never the
+    basket stream.  Ties break on the smaller partner key.  Output
+    (partkey, rec_partkey, co, n_i, n_j, cos2_micro, rk)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    per_part = li.groupBy("pk").agg(F.count(F.lit(1)).alias("n_p"))
+    a = li.select("ok", F.col("pk").alias("pa"))
+    b = li.select("ok", F.col("pk").alias("pb"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .where(F.col("co") >= _ITEMCF_MIN_CO)
+    )
+    both = pairs.select(
+        F.col("pa").alias("partkey"), F.col("pb").alias("rec_partkey"), "co"
+    ).unionByName(
+        pairs.select(
+            F.col("pb").alias("partkey"), F.col("pa").alias("rec_partkey"), "co"
+        )
+    )
+    ni = F.broadcast(
+        per_part.select(F.col("pk").alias("partkey"), F.col("n_p").alias("n_i"))
+    )
+    nj = F.broadcast(
+        per_part.select(
+            F.col("pk").alias("rec_partkey"), F.col("n_p").alias("n_j")
+        )
+    )
+    scored = (
+        both.join(ni, "partkey")
+        .join(nj, "rec_partkey")
+        .select(
+            "partkey",
+            "rec_partkey",
+            "co",
+            "n_i",
+            "n_j",
+            F.expr("(co * co * 1000000) DIV (n_i * n_j)").alias("cos2_micro"),
+        )
+    )
+    w = Window.partitionBy("partkey").orderBy(
+        F.desc("cos2_micro"), F.asc("rec_partkey")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _ITEMCF_TOPK)
+        .select(
+            "partkey", "rec_partkey", "co", "n_i", "n_j", "cos2_micro",
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+SQL_ITEM_CF = f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+), per_part AS (
+  SELECT pk, CAST(count(*) AS BIGINT) AS n_p FROM li GROUP BY pk
+), pairs AS (
+  SELECT a.pk AS pa, b.pk AS pb, CAST(count(*) AS BIGINT) AS co
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY a.pk, b.pk
+  HAVING count(*) >= {_ITEMCF_MIN_CO}
+), bo AS (
+  SELECT pa AS partkey, pb AS rec_partkey, co FROM pairs
+  UNION ALL
+  SELECT pb AS partkey, pa AS rec_partkey, co FROM pairs
+), scored AS (
+  SELECT b.partkey, b.rec_partkey, b.co, ni.n_p AS n_i, nj.n_p AS n_j,
+         (b.co * b.co * 1000000) // (ni.n_p * nj.n_p) AS cos2_micro
+  FROM bo b
+  JOIN per_part ni ON ni.pk = b.partkey
+  JOIN per_part nj ON nj.pk = b.rec_partkey
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (
+           PARTITION BY partkey
+           ORDER BY cos2_micro DESC, rec_partkey ASC) AS BIGINT) AS rk
+  FROM scored
+)
+SELECT partkey, rec_partkey, co, n_i, n_j, cos2_micro, rk
+FROM ranked WHERE rk <= {_ITEMCF_TOPK}
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "filter_project": (q_filter_project, SQL_FILTER_PROJECT),
     "dropdup": (q_dropdup, SQL_DROPDUP),
@@ -3542,6 +3646,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "chi2_independence": (q_chi2_independence, SQL_CHI2_INDEPENDENCE),
     "poisson_bootstrap": (q_poisson_bootstrap, SQL_POISSON_BOOTSTRAP),
     "holt_winters": (q_holt_winters, SQL_HOLT_WINTERS),
+    "item_cf": (q_item_cf, SQL_ITEM_CF),
     "cusum_changepoint": (q_cusum_changepoint, SQL_CUSUM_CHANGEPOINT),
     "benford_audit": (q_benford_audit, SQL_BENFORD_AUDIT),
     "table_profile": (q_table_profile, SQL_TABLE_PROFILE),

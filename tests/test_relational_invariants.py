@@ -991,3 +991,42 @@ def test_burt_constraint_matches_python(spark):
     # a dyad (deg-1 vertex whose sole neighbor caps out) has x = 1e6 →
     # constraint exactly 1e6; and constraints are nonnegative by squares
     assert all(c >= 0 for _, c in got.values())
+
+
+def test_item_cf_matches_python(spark):
+    from itertools import combinations
+
+    from linkgraph.relational import _ITEMCF_MIN_CO, _ITEMCF_TOPK, q_item_cf
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").toPandas()
+    baskets = li.groupby("l_orderkey")["l_partkey"].apply(lambda s: set(s))
+    n_p, co = {}, {}
+    for b in baskets:
+        for p in b:
+            n_p[p] = n_p.get(p, 0) + 1
+        for x, y in combinations(sorted(b), 2):
+            co[(x, y)] = co.get((x, y), 0) + 1
+    want = {}
+    for i in n_p:
+        cands = []
+        for (x, y), c in co.items():
+            if c < _ITEMCF_MIN_CO:
+                continue
+            if x == i:
+                j = y
+            elif y == i:
+                j = x
+            else:
+                continue
+            cands.append(((c * c * 1_000_000) // (n_p[i] * n_p[j]), j, c))
+        cands.sort(key=lambda t: (-t[0], t[1]))
+        for rk, (s, j, c) in enumerate(cands[:_ITEMCF_TOPK], 1):
+            want[(i, j)] = (c, n_p[i], n_p[j], s, rk)
+
+    got = {
+        (r["partkey"], r["rec_partkey"]): (
+            r["co"], r["n_i"], r["n_j"], r["cos2_micro"], r["rk"]
+        )
+        for r in q_item_cf(spark, SF).collect()
+    }
+    assert got == want
