@@ -3571,6 +3571,89 @@ FROM ranked WHERE rk <= {_ITEMCF_TOPK}
 """
 
 
+_SKEW_P = 32
+
+
+def q_skew_profile(spark, sf_dir):
+    """Pre-flight shuffle-skew audit of a join key (l_partkey @ P=32):
+    per-partition row/key counts, the partition's share of the stream in
+    micro (1e6 = perfectly balanced × P), and its heaviest key — the
+    diagnostic run BEFORE a big join to decide whether to salt, and the
+    relational twin of the engine's hub detector (skew.py).  Routing is
+    md5-based (pmod of the cross-engine hash), NOT Spark's internal
+    hashShuffle, so both engines see the identical placement.
+
+    Scale posture: per-key counts = ONE combinable groupBy (key
+    vocabulary); everything downstream (partition rollup, heavy-key
+    window) runs over that aggregate, never the stream.  Output
+    (part, n_rows, n_keys, share_micro, top_key, top_key_rows)."""
+    from .datapipe import _md5_int
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("k")
+    )
+    per_key = li.groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
+    routed = per_key.select(
+        F.pmod(
+            _md5_int(F.concat(F.lit("route:"), F.col("k").cast("string"))),
+            F.lit(_SKEW_P),
+        ).alias("part"),
+        "k",
+        "cnt",
+    )
+    w = Window.partitionBy("part").orderBy(F.desc("cnt"), F.asc("k"))
+    heavy = (
+        routed.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("part", F.col("k").alias("top_key"), F.col("cnt").alias("top_key_rows"))
+    )
+    per_part = routed.groupBy("part").agg(
+        F.sum("cnt").alias("n_rows"), F.count(F.lit(1)).alias("n_keys")
+    )
+    tot = per_part.agg(F.sum("n_rows").alias("n_total"))
+    return (
+        per_part.join(heavy, "part")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part",
+            "n_rows",
+            "n_keys",
+            F.expr(f"(n_rows * {_SKEW_P} * 1000000) DIV n_total").alias(
+                "share_micro"
+            ),
+            "top_key",
+            "top_key_rows",
+        )
+    )
+
+
+SQL_SKEW_PROFILE = f"""
+WITH per_key AS (
+  SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1
+), routed AS (
+  SELECT ((CAST(('0x' || substr(md5('route:' || CAST(k AS VARCHAR)), 1, 15))
+            AS BIGINT) % {_SKEW_P}) + {_SKEW_P}) % {_SKEW_P} AS part,
+         k, cnt
+  FROM per_key
+), heavy AS (
+  SELECT part, k AS top_key, cnt AS top_key_rows
+  FROM (SELECT *, row_number() OVER (PARTITION BY part
+                                     ORDER BY cnt DESC, k ASC) AS rk
+        FROM routed)
+  WHERE rk = 1
+), per_part AS (
+  SELECT part, CAST(sum(cnt) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_keys
+  FROM routed GROUP BY part
+), tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n_total FROM per_part)
+SELECT p.part, p.n_rows, p.n_keys,
+       (p.n_rows * {_SKEW_P} * 1000000) // t.n_total AS share_micro,
+       h.top_key, h.top_key_rows
+FROM per_part p JOIN heavy h USING (part) CROSS JOIN tot t
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "filter_project": (q_filter_project, SQL_FILTER_PROJECT),
     "dropdup": (q_dropdup, SQL_DROPDUP),
@@ -3647,6 +3730,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "poisson_bootstrap": (q_poisson_bootstrap, SQL_POISSON_BOOTSTRAP),
     "holt_winters": (q_holt_winters, SQL_HOLT_WINTERS),
     "item_cf": (q_item_cf, SQL_ITEM_CF),
+    "skew_profile": (q_skew_profile, SQL_SKEW_PROFILE),
     "cusum_changepoint": (q_cusum_changepoint, SQL_CUSUM_CHANGEPOINT),
     "benford_audit": (q_benford_audit, SQL_BENFORD_AUDIT),
     "table_profile": (q_table_profile, SQL_TABLE_PROFILE),

@@ -1030,3 +1030,41 @@ def test_item_cf_matches_python(spark):
         for r in q_item_cf(spark, SF).collect()
     }
     assert got == want
+
+
+def test_skew_profile_matches_python(spark):
+    import hashlib
+
+    from linkgraph.relational import _SKEW_P, q_skew_profile
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").toPandas()
+    cnt = li.groupby("l_partkey").size().to_dict()
+
+    def route(k):
+        return int(hashlib.md5(f"route:{k}".encode()).hexdigest()[:15], 16) % _SKEW_P
+
+    parts = {}
+    for k, c in cnt.items():
+        parts.setdefault(route(int(k)), []).append((int(k), int(c)))
+    total = sum(cnt.values())
+    want = {}
+    for p, kcs in parts.items():
+        n_rows = sum(c for _, c in kcs)
+        top = min(kcs, key=lambda t: (-t[1], t[0]))
+        want[p] = (
+            n_rows,
+            len(kcs),
+            (n_rows * _SKEW_P * 1_000_000) // total,
+            top[0],
+            top[1],
+        )
+
+    got = {
+        r["part"]: (
+            r["n_rows"], r["n_keys"], r["share_micro"],
+            r["top_key"], r["top_key_rows"],
+        )
+        for r in q_skew_profile(spark, SF).collect()
+    }
+    assert got == want
+    assert sum(v[0] for v in got.values()) == len(li)
