@@ -3654,6 +3654,57 @@ FROM per_part p JOIN heavy h USING (part) CROSS JOIN tot t
 """
 
 
+def q_join_full_outer(spark, sf_dir):
+    """FULL OUTER equi-join — the reconciliation join (completes the
+    inner/left/semi/anti family): customers in the LOW key range against
+    per-customer order counts in the HIGH key range, so the output
+    exercises all three regions (left-only, both, right-only) even on a
+    referentially-intact star schema.  Output (custkey, has_customer,
+    n_orders) with n_orders NULL on left-only rows and has_customer = 0
+    on right-only rows.
+
+    Scale posture: a full outer join cannot broadcast either side (both
+    sides' unmatched rows must survive) — it shuffles both inputs on the
+    key, which is exactly what SortMergeJoin does here; the order side is
+    pre-aggregated so the join carries customer-cardinality rows."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    hi = c.agg(F.max("c_custkey").alias("mx"))
+    left = (
+        c.crossJoin(F.broadcast(hi))
+        .where(F.col("c_custkey") * 3 <= F.col("mx") * 2)
+        .select(F.col("c_custkey").alias("custkey"), F.lit(1).alias("has_customer"))
+    )
+    right = (
+        o.crossJoin(F.broadcast(hi))
+        .where(F.col("o_custkey") * 3 >= F.col("mx"))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return left.join(right, "custkey", "full_outer").select(
+        "custkey",
+        F.coalesce("has_customer", F.lit(0)).cast("long").alias("has_customer"),
+        "n_orders",
+    )
+
+
+SQL_JOIN_FULL_OUTER = """
+WITH hi AS (SELECT max(c_custkey) AS mx FROM customer),
+lft AS (
+  SELECT c_custkey AS custkey, 1 AS has_customer
+  FROM customer, hi WHERE c_custkey * 3 <= mx * 2
+), rgt AS (
+  SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders, hi WHERE o_custkey * 3 >= mx
+  GROUP BY 1
+)
+SELECT coalesce(l.custkey, r.custkey) AS custkey,
+       CAST(coalesce(l.has_customer, 0) AS BIGINT) AS has_customer,
+       r.n_orders
+FROM lft l FULL OUTER JOIN rgt r ON l.custkey = r.custkey
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "filter_project": (q_filter_project, SQL_FILTER_PROJECT),
     "dropdup": (q_dropdup, SQL_DROPDUP),
@@ -3731,6 +3782,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "holt_winters": (q_holt_winters, SQL_HOLT_WINTERS),
     "item_cf": (q_item_cf, SQL_ITEM_CF),
     "skew_profile": (q_skew_profile, SQL_SKEW_PROFILE),
+    "join_full_outer": (q_join_full_outer, SQL_JOIN_FULL_OUTER),
     "cusum_changepoint": (q_cusum_changepoint, SQL_CUSUM_CHANGEPOINT),
     "benford_audit": (q_benford_audit, SQL_BENFORD_AUDIT),
     "table_profile": (q_table_profile, SQL_TABLE_PROFILE),

@@ -1068,3 +1068,29 @@ def test_skew_profile_matches_python(spark):
     }
     assert got == want
     assert sum(v[0] for v in got.values()) == len(li)
+
+
+def test_join_full_outer_three_regions(spark):
+    from linkgraph.relational import q_join_full_outer
+
+    out = q_join_full_outer(spark, SF).toPandas()
+    c = spark.read.parquet(f"{SF}/customer.parquet").toPandas()
+    o = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    mx = int(c["c_custkey"].max())
+    lkeys = set(c.loc[c["c_custkey"] * 3 <= mx * 2, "c_custkey"])
+    rcnt = o[o["o_custkey"] * 3 >= mx].groupby("o_custkey").size().to_dict()
+    assert set(out["custkey"]) == lkeys | set(rcnt)
+    got = out.set_index("custkey")
+    left_only = both = right_only = 0
+    for k in lkeys | set(rcnt):
+        r = got.loc[k]
+        assert r["has_customer"] == (1 if k in lkeys else 0)
+        if k in rcnt:
+            assert r["n_orders"] == rcnt[k]
+        else:
+            assert pd.isna(r["n_orders"])
+        left_only += k in lkeys and k not in rcnt
+        both += k in lkeys and k in rcnt
+        right_only += k not in lkeys and k in rcnt
+    # the construction must actually produce all three join regions
+    assert left_only > 0 and both > 0 and right_only > 0
