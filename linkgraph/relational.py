@@ -3705,6 +3705,64 @@ FROM lft l FULL OUTER JOIN rgt r ON l.custkey = r.custkey
 """
 
 
+def q_bisect_median(spark, sf_dir):
+    """EXACT median of l_extendedprice (integer cents) by domain
+    bisection — the scale-first way to take an exact order statistic of
+    10^12 rows: no global sort, no single-partition window, just
+    O(log(domain)) full-scan count-below-pivot aggregates (each ONE
+    combinable agg job; ~27 rounds for a cents domain).  Lower-median
+    convention k = (N+1) DIV 2; bisection invariant: answer = smallest
+    value v with count(x <= v) >= k.
+
+    The driver-side loop is bounded by the DOMAIN's bit width, not the
+    data (bounded-collect contract: one 1-row collect per round).  In
+    production the scans would be fused over a cached/persisted column.
+    Output one row (n, k, median_cents)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("cents")
+    )
+    li = li.persist()
+    try:
+        row = li.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("cents").alias("lo"),
+            F.max("cents").alias("hi"),
+        ).collect()[0]
+        n, lo, hi = int(row["n"]), int(row["lo"]), int(row["hi"])
+        k = (n + 1) // 2
+        while lo < hi:
+            mid = (lo + hi) // 2
+            cnt = int(
+                li.agg(
+                    F.sum((F.col("cents") <= mid).cast("long")).alias("c")
+                ).collect()[0]["c"]
+            )
+            if cnt >= k:
+                hi = mid
+            else:
+                lo = mid + 1
+        return spark.createDataFrame(
+            [(n, k, lo)], "n long, k long, median_cents long"
+        )
+    finally:
+        li.unpersist()
+
+
+# the oracle checks the VALUE directly as the k-th order statistic —
+# the independent definition the bisection must reproduce.
+SQL_BISECT_MEDIAN = """
+WITH c AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem
+), nn AS (SELECT count(*) AS n, (count(*) + 1) // 2 AS k FROM c),
+med AS (
+  SELECT cents AS median_cents
+  FROM (SELECT cents, row_number() OVER (ORDER BY cents) AS rk FROM c), nn
+  WHERE rk = k
+)
+SELECT nn.n, nn.k, med.median_cents FROM nn, med
+"""
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "filter_project": (q_filter_project, SQL_FILTER_PROJECT),
     "dropdup": (q_dropdup, SQL_DROPDUP),
@@ -3783,6 +3841,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "item_cf": (q_item_cf, SQL_ITEM_CF),
     "skew_profile": (q_skew_profile, SQL_SKEW_PROFILE),
     "join_full_outer": (q_join_full_outer, SQL_JOIN_FULL_OUTER),
+    "bisect_median": (q_bisect_median, SQL_BISECT_MEDIAN),
     "cusum_changepoint": (q_cusum_changepoint, SQL_CUSUM_CHANGEPOINT),
     "benford_audit": (q_benford_audit, SQL_BENFORD_AUDIT),
     "table_profile": (q_table_profile, SQL_TABLE_PROFILE),

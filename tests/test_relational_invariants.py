@@ -1094,3 +1094,15 @@ def test_join_full_outer_three_regions(spark):
         right_only += k not in lkeys and k in rcnt
     # the construction must actually produce all three join regions
     assert left_only > 0 and both > 0 and right_only > 0
+
+
+def test_bisect_median_matches_numpy(spark):
+    from linkgraph.relational import q_bisect_median
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").toPandas()
+    cents = np.sort(np.round(li["l_extendedprice"].to_numpy() * 100).astype(np.int64))
+    n = len(cents)
+    k = (n + 1) // 2
+    r = q_bisect_median(spark, SF).collect()[0]
+    assert (r["n"], r["k"]) == (n, k)
+    assert r["median_cents"] == int(cents[k - 1])
