@@ -3763,6 +3763,137 @@ SELECT nn.n, nn.k, med.median_cents FROM nn, med
 """
 
 
+_ISO_PASSES = _CAL_BINS - 1  # parallel pooling reaches fixpoint in <= bins-1
+
+
+def _iso_sync_passes(bins):
+    """Synchronized pool-adjacent-violators on [(bin, n, npos), ...]:
+    each pass compares adjacent CURRENT blocks exactly (cross-multiplied
+    integer rates) and merges every violating run at once; fixed
+    _ISO_PASSES passes reach the PAVA fixed point (each pass with any
+    violation reduces the block count).  Returns bin -> final block id."""
+    blk = {b: i for i, (b, _, _) in enumerate(sorted(bins))}
+    rows = sorted(bins)
+    for _ in range(_ISO_PASSES):
+        agg = {}
+        for b, n, np_ in rows:
+            k = blk[b]
+            cn, cp = agg.get(k, (0, 0))
+            agg[k] = (cn + n, cp + np_)
+        order = sorted(agg)
+        keep = {}
+        for a, bnext in zip(order, order[1:]):
+            na, pa = agg[a]
+            nb, pb = agg[bnext]
+            keep[a] = 0 if pa * nb > pb * na else 1
+        new_id = {}
+        acc = 0
+        for k in order:
+            new_id[k] = acc
+            acc += keep.get(k, 1)
+        blk = {b: new_id[k] for b, k in blk.items()}
+    return blk
+
+
+def q_isotonic_calibration(spark, sf_dir):
+    """Isotonic calibration of the reliability bins (pool-adjacent-
+    violators): the monotone-nondecreasing positive-rate fit over score
+    bins — what turns a ranking score into a calibrated probability
+    without assuming a parametric shape.  Violating adjacent blocks are
+    pooled with EXACT cross-multiplied integer comparisons (no float
+    rates), synchronously, for a fixed bins-1 passes — the same rule
+    unrolled in the oracle's CTE chain, so both engines compute the
+    identical block partition (PAVA's fixed point is order-independent).
+
+    Scale posture: corpus work = ONE combinable groupBy to the 10-bin
+    table (calibration_bins contract); the pooling recurrence runs on the
+    collected CONSTANT bin table.  Output (bin, n, n_pos, raw_rate_micro,
+    iso_rate_micro) with iso monotone in bin."""
+    e = _t(spark, sf_dir, "events")
+    s = e.select(
+        F.round(F.col("value") * 1_000_000, 0).cast("long").alias("score"),
+        (F.col("event_type") == _AUC_POS_TYPE).cast("long").alias("pos"),
+    )
+    mm = s.agg(F.min("score").alias("mn"), F.max("score").alias("mx"))
+    binned = s.crossJoin(F.broadcast(mm)).select(
+        F.expr(f"((score - mn) * {_CAL_BINS}) DIV (mx - mn + 1)").alias("bin"),
+        "pos",
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pos").alias("np")
+    )
+    rows = [(int(r["bin"]), int(r["n"]), int(r["np"])) for r in per_bin.collect()]
+    blk = _iso_sync_passes(rows)
+    agg = {}
+    for b, n, np_ in rows:
+        cn, cp = agg.get(blk[b], (0, 0))
+        agg[blk[b]] = (cn + n, cp + np_)
+    out = [
+        (
+            b,
+            n,
+            np_,
+            (np_ * 1_000_000) // n,
+            (agg[blk[b]][1] * 1_000_000) // agg[blk[b]][0],
+        )
+        for b, n, np_ in sorted(rows)
+    ]
+    return spark.createDataFrame(
+        out, "bin long, n long, n_pos long, raw_rate_micro long, iso_rate_micro long"
+    )
+
+
+def _sql_isotonic_calibration() -> str:
+    ctes = [
+        f"""s AS (
+  SELECT CAST(round(value * 1000000) AS BIGINT) AS score,
+         CAST(event_type = '{_AUC_POS_TYPE}' AS BIGINT) AS pos
+  FROM events
+)""",
+        "mm AS (SELECT min(score) AS mn, max(score) AS mx FROM s)",
+        f"""binned AS (
+  SELECT ((score - mn) * {_CAL_BINS}) // (mx - mn + 1) AS bin, pos
+  FROM s, mm
+)""",
+        """b0 AS MATERIALIZED (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS np,
+         CAST(bin AS BIGINT) AS blk
+  FROM binned GROUP BY bin
+)""",
+    ]
+    for i in range(1, _ISO_PASSES + 1):
+        p = f"b{i - 1}"
+        ctes += [
+            f"g{i} AS MATERIALIZED (SELECT blk, sum(n) AS n, sum(np) AS np FROM {p} GROUP BY blk)",
+            f"o{i} AS MATERIALIZED (SELECT blk, n, np, row_number() OVER (ORDER BY blk) AS r FROM g{i})",
+            f"v{i} AS (SELECT a.blk, CASE WHEN a.np * b.n > b.np * a.n "
+            f"THEN 0 ELSE 1 END AS keepb "
+            f"FROM o{i} a JOIN o{i} b ON b.r = a.r + 1)",
+            f"k{i} AS (SELECT o.r, o.blk, coalesce(v.keepb, 1) AS keepb "
+            f"FROM o{i} o LEFT JOIN v{i} v ON v.blk = o.blk)",
+            f"m{i} AS (SELECT blk, CAST(coalesce(sum(keepb) OVER ("
+            f"ORDER BY r ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+            f" AS BIGINT) AS nblk FROM k{i})",
+            f"b{i} AS MATERIALIZED (SELECT t.bin, t.n, t.np, m.nblk AS blk "
+            f"FROM {p} t JOIN m{i} m ON m.blk = t.blk)",
+        ]
+    last = f"b{_ISO_PASSES}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+gf AS (SELECT blk, sum(n) AS n, sum(np) AS np FROM {last} GROUP BY blk)
+SELECT t.bin, t.n, t.np AS n_pos,
+       CAST((t.np * 1000000) // t.n AS BIGINT) AS raw_rate_micro,
+       CAST((g.np * 1000000) // g.n AS BIGINT) AS iso_rate_micro
+FROM {last} t JOIN gf g USING (blk)
+"""
+    )
+
+
+SQL_ISOTONIC_CALIBRATION = _sql_isotonic_calibration()
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "filter_project": (q_filter_project, SQL_FILTER_PROJECT),
     "dropdup": (q_dropdup, SQL_DROPDUP),
@@ -3842,6 +3973,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "skew_profile": (q_skew_profile, SQL_SKEW_PROFILE),
     "join_full_outer": (q_join_full_outer, SQL_JOIN_FULL_OUTER),
     "bisect_median": (q_bisect_median, SQL_BISECT_MEDIAN),
+    "isotonic_calibration": (q_isotonic_calibration, SQL_ISOTONIC_CALIBRATION),
     "cusum_changepoint": (q_cusum_changepoint, SQL_CUSUM_CHANGEPOINT),
     "benford_audit": (q_benford_audit, SQL_BENFORD_AUDIT),
     "table_profile": (q_table_profile, SQL_TABLE_PROFILE),

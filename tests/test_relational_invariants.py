@@ -1106,3 +1106,61 @@ def test_bisect_median_matches_numpy(spark):
     r = q_bisect_median(spark, SF).collect()[0]
     assert (r["n"], r["k"]) == (n, k)
     assert r["median_cents"] == int(cents[k - 1])
+
+
+def test_isotonic_calibration_matches_sequential_pava(spark):
+    """The synchronized parallel pooling must land on TRUE PAVA's fixed
+    point (classical order-independence of pool-adjacent-violators),
+    checked against a from-scratch sequential PAVA with exact fractions."""
+    from fractions import Fraction
+
+    from linkgraph.relational import (
+        _AUC_POS_TYPE,
+        _CAL_BINS,
+        q_isotonic_calibration,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    score = np.round(ev["value"].to_numpy() * 1_000_000).astype(np.int64)
+    pos = (ev["event_type"] == _AUC_POS_TYPE).to_numpy().astype(np.int64)
+    mn, mx = int(score.min()), int(score.max())
+    bins = (score - mn) * _CAL_BINS // (mx - mn + 1)
+    stats = []
+    for b in np.unique(bins):
+        m = bins == b
+        stats.append([int(b), int(m.sum()), int(pos[m].sum())])
+
+    # sequential PAVA with back-merging (textbook version, exact rationals)
+    blocks = [[n, p, [b]] for b, n, p in stats]
+    i = 0
+    while i < len(blocks) - 1:
+        if Fraction(blocks[i][1], blocks[i][0]) > Fraction(
+            blocks[i + 1][1], blocks[i + 1][0]
+        ):
+            blocks[i][0] += blocks[i + 1][0]
+            blocks[i][1] += blocks[i + 1][1]
+            blocks[i][2] += blocks[i + 1][2]
+            del blocks[i + 1]
+            while i > 0 and Fraction(blocks[i - 1][1], blocks[i - 1][0]) > Fraction(
+                blocks[i][1], blocks[i][0]
+            ):
+                blocks[i - 1][0] += blocks[i][0]
+                blocks[i - 1][1] += blocks[i][1]
+                blocks[i - 1][2] += blocks[i][2]
+                del blocks[i]
+                i -= 1
+        else:
+            i += 1
+    want = {}
+    for n, p, bs in blocks:
+        for b in bs:
+            want[b] = (p * 1_000_000) // n
+
+    got = {r["bin"]: r for r in q_isotonic_calibration(spark, SF).collect()}
+    assert {b: r["iso_rate_micro"] for b, r in got.items()} == want
+    # invariants: monotone fit, conservation of counts, raw rates exact
+    seq = [got[b]["iso_rate_micro"] for b in sorted(got)]
+    assert seq == sorted(seq)
+    for b, n, p in stats:
+        assert got[b]["n"] == n and got[b]["n_pos"] == p
+        assert got[b]["raw_rate_micro"] == (p * 1_000_000) // n
