@@ -50,7 +50,7 @@ _GATE_PRIORITY = [
     "cusum_changepoint", "benford_audit", "table_profile", "sft_pairs",
     "markov_stationary", "spatial_nn_join", "k_anonymity",
     "skyline_parts", "winsorize_stats", "fk_integrity", "theil_sen_trend",
-    "auc_mann_whitney", "calibration_bins", "engine_widest", "chi2_independence", "poisson_bootstrap", "holt_winters", "burt_constraint", "item_cf", "skew_profile", "join_full_outer", "bisect_median", "isotonic_calibration",
+    "auc_mann_whitney", "calibration_bins", "engine_widest", "chi2_independence", "poisson_bootstrap", "holt_winters", "burt_constraint", "item_cf", "skew_profile", "join_full_outer", "bisect_median", "isotonic_calibration", "attack_tolerance",
     # NOTE: ann_lsh_topk / ann_pq_topk are rows-only by design (no oracle)
     # and can never enter the green union — they are exempted in
     # tests/test_gate_window.py (their correctness is gated by the

@@ -2966,6 +2966,139 @@ def _percolation_sql() -> str:
 SQL_PERCOLATION_GIANT = _percolation_sql()
 
 
+_ATTACK_KS = (0, 1, 2, 4, 8)
+
+
+def q_attack_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted-attack robustness curve (site percolation under hub
+    removal): remove the top-k highest-degree vertices (ties → min vkey),
+    re-run the hash-min CC engine on the surviving graph, and report the
+    giant-component size among SURVIVING vertices — the complement of
+    bond percolation (q_percolation_giant): random link loss vs targeted
+    hub takedown, the pair every robustness analysis plots together
+    (scale-free graphs shrug off the former and shatter under the
+    latter).
+
+    Scale posture: degree ranking = ONE combinable groupBy + a top-k over
+    the vertex aggregate; removal is a broadcast anti-join fused into the
+    edge scan; five CC engine runs over shrinking edge sets.  Output
+    (k_removed, n_edges_kept, giant_size, n_components)."""
+    from .derive import GraphTables, build_degrees
+    from .flagship import events_graph
+    from .io import load_table
+    from .pregel import ComponentsProgram, GraphContext, run_program
+
+    g = events_graph(load_table(spark, sf_dir, "events"))
+    v = g.vertices
+    undk = (
+        g.edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("w")
+        )
+        .where(F.col("u") != F.col("w"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        undk.select(F.col("u").alias("vid"))
+        .unionByName(undk.select(F.col("w").alias("vid")))
+        .groupBy("vid")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .join(v.select("vid", "vkey"), "vid")
+    )
+    rw = Window.orderBy(F.desc("deg"), F.asc("vkey"))
+    ranked = deg.withColumn("rk", F.row_number().over(rw)).localCheckpoint()
+    out: DataFrame | None = None
+    for k in _ATTACK_KS:
+        removed = F.broadcast(
+            ranked.where(F.col("rk") <= k).select("vid").localCheckpoint()
+        )
+        ek = (
+            undk.join(removed.withColumnRenamed("vid", "u"), "u", "left_anti")
+            .join(removed.withColumnRenamed("vid", "w"), "w", "left_anti")
+        )
+        edges = (
+            ek.select(F.col("u").alias("src"), F.col("w").alias("dst"))
+            .unionByName(ek.select(F.col("w").alias("src"), F.col("u").alias("dst")))
+            .select("src", "dst", F.lit("atk").alias("etype"), F.lit(1.0).alias("w"))
+        )
+        gg = GraphTables(v, edges, build_degrees(edges, v))
+        ctx = GraphContext.build(gg, 8)
+        try:
+            res = run_program(ctx, ComponentsProgram(), max_iter=100)
+            if not res.converged:
+                raise RuntimeError("attack-tolerance CC did not converge")
+            sizes = (
+                res.state.join(removed, "vid", "left_anti")
+                .groupBy("comp")
+                .agg(F.count(F.lit(1)).alias("sz"))
+            )
+            stats = (
+                ek.agg(F.count(F.lit(1)).alias("n_edges_kept"))
+                .crossJoin(
+                    sizes.agg(
+                        F.max("sz").alias("giant_size"),
+                        F.count(F.lit(1)).alias("n_components"),
+                    )
+                )
+                .select(
+                    F.lit(k).cast("long").alias("k_removed"),
+                    "n_edges_kept",
+                    "giant_size",
+                    "n_components",
+                )
+                .localCheckpoint()
+            )
+        finally:
+            ctx.unpersist()
+        out = stats if out is None else out.unionByName(stats)
+    return out
+
+
+def _attack_sql() -> str:
+    ctes = [
+        _GRAPH_CTES,
+        "cu AS MATERIALIZED (SELECT DISTINCT least(s, t) AS uk, "
+        "greatest(s, t) AS wk FROM ek WHERE s <> t)",
+        "degk AS (SELECT vkey, CAST(count(*) AS BIGINT) AS deg FROM "
+        "(SELECT uk AS vkey FROM cu UNION ALL SELECT wk AS vkey FROM cu) "
+        "GROUP BY vkey)",
+        "rnk AS MATERIALIZED (SELECT vkey, row_number() OVER "
+        "(ORDER BY deg DESC, vkey ASC) AS rk FROM degk)",
+    ]
+    selects = []
+    for k in _ATTACK_KS:
+        ctes.append(
+            f"ek{k} AS MATERIALIZED (SELECT uk, wk FROM cu "
+            f"WHERE uk NOT IN (SELECT vkey FROM rnk WHERE rk <= {k}) "
+            f"AND wk NOT IN (SELECT vkey FROM rnk WHERE rk <= {k}))"
+        )
+        ctes.append(
+            f"be{k} AS MATERIALIZED (SELECT uk AS a, wk AS b FROM ek{k} "
+            f"UNION ALL SELECT wk AS a, uk AS b FROM ek{k})"
+        )
+        ctes.append(
+            f"r{k} AS MATERIALIZED (WITH RECURSIVE rr(x, root) AS ("
+            f"SELECT vkey, vkey FROM v "
+            f"WHERE vkey NOT IN (SELECT vkey FROM rnk WHERE rk <= {k}) "
+            f"UNION SELECT e.b, rr.root FROM rr JOIN be{k} e ON e.a = rr.x) "
+            f"SELECT x, min(root) AS comp FROM rr GROUP BY x)"
+        )
+        ctes.append(
+            f"s{k} AS (SELECT comp, CAST(count(*) AS BIGINT) AS sz "
+            f"FROM r{k} GROUP BY comp)"
+        )
+        selects.append(
+            f"SELECT CAST({k} AS BIGINT) AS k_removed, "
+            f"(SELECT CAST(count(*) AS BIGINT) FROM ek{k}) AS n_edges_kept, "
+            f"(SELECT max(sz) FROM s{k}) AS giant_size, "
+            f"(SELECT CAST(count(*) AS BIGINT) FROM s{k}) AS n_components"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+SQL_ATTACK_TOLERANCE = _attack_sql()
+
+
 # --------------------------------------------------------------------------
 # k-step hitting probability to an absorbing target (§2.15 row 183):
 # h_0(v) = [v ∈ T]; h_i(v) = 1 for v ∈ T else Σ_t P(v,t)·h_{i-1}(t) with
@@ -3972,6 +4105,7 @@ def registry():
         "markov_stationary": (q_markov_stationary, SQL_MARKOV_STATIONARY),
         "engine_matching": (q_engine_matching, SQL_ENGINE_MATCHING),
         "percolation_giant": (q_percolation_giant, SQL_PERCOLATION_GIANT),
+        "attack_tolerance": (q_attack_tolerance, SQL_ATTACK_TOLERANCE),
         "vertex_cover": (q_vertex_cover, SQL_VERTEX_COVER),
         "edge_churn": (q_edge_churn, SQL_EDGE_CHURN),
         "decayed_pagerank": (q_decayed_pagerank, SQL_DECAYED_PAGERANK),

@@ -1979,3 +1979,38 @@ def test_markov_stationary_matches_numpy(spark):
     g /= g.sum()
     # quantized fixed point tracks the true stationary vector closely
     assert np.abs(g - v).max() < 1e-3
+
+
+def test_attack_tolerance_matches_networkx(spark):
+    import networkx as nx
+    import pandas as pd
+
+    from linkgraph.graphstats import _ATTACK_KS, q_attack_tolerance
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").toPandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    ek = []
+    for uid, grp in ev.groupby("user_id"):
+        types = grp["event_type"].tolist()
+        ek += list(zip(types, types[1:]))
+        ek += [(f"user:{uid}", t) for t in types]
+    uv = {(min(s, t), max(s, t)) for s, t in ek if s != t}
+    G = nx.Graph()
+    G.add_edges_from(uv)
+    vall = {s for s, _ in ek} | {t for _, t in ek}
+    G.add_nodes_from(vall)
+    order = sorted(G.degree(), key=lambda t: (-t[1], t[0]))
+    order = [v for v, d in order if d > 0]
+
+    got = {r["k_removed"]: r for r in q_attack_tolerance(spark, SF_DIR).collect()}
+    assert set(got) == set(_ATTACK_KS)
+    for k in _ATTACK_KS:
+        H = G.copy()
+        H.remove_nodes_from(order[:k])
+        comps = list(nx.connected_components(H))
+        r = got[k]
+        assert r["n_edges_kept"] == H.number_of_edges()
+        assert r["giant_size"] == max(len(c) for c in comps)
+        assert r["n_components"] == len(comps)
+    # the attack must actually bite: giant shrinks as hubs fall
+    assert got[max(_ATTACK_KS)]["giant_size"] < got[0]["giant_size"]
