@@ -47,6 +47,7 @@ _GATE_PRIORITY = [
     "doc_weighted_sample", "temporal_paths2", "doc_mixture_sample",
     "bridge_edges", "ann_pq_recall",
     "emb_semdedup", "doc_dedup_retention", "rrf_fusion", "mmr_rerank", "host_anchor_terms", "emb_knn_label_purity", "basket_lift", "crawl_budget", "event_trigrams", "rfm_scores", "emb_label_outliers", "link_negatives", "decayed_activity", "emb_int8_audit", "order_backlog", "zorder_layout", "last_touch_attribution", "engine_msbfs", "doc_cdc_chunks", "engine_kcenter", "engine_ltcascade", "cliques4", "emb_power_iter",
+    "bpe_merges",
     "cusum_changepoint", "benford_audit", "table_profile", "sft_pairs",
     "markov_stationary", "spatial_nn_join", "k_anonymity",
     "skyline_parts", "winsorize_stats", "fk_integrity", "theil_sen_trend",
@@ -97,6 +98,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from linkgraph.graphstats import registry as graphstats_registry
     from linkgraph.multimodal import registry as multimodal_registry
     from linkgraph.relational import REGISTRY
+    from linkgraph.textops import registry as textops_registry
     from linkgraph.webpipe import registry as webpipe_registry
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -108,6 +110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update({name: fn for name, (fn, _sql) in multimodal_registry().items()})
     out.update({name: fn for name, (fn, _sql) in graphstats_registry().items()})
     out.update({name: fn for name, (fn, _sql) in webpipe_registry().items()})
+    out.update({name: fn for name, (fn, _sql) in textops_registry().items()})
     out["pagerank_top10"] = lambda spark, sf_dir: flagship(spark, sf_dir)
     return _prioritize(out)
 
@@ -121,13 +124,15 @@ def oracle_sql() -> dict[str, str]:
     from linkgraph.graphstats import registry as graphstats_registry
     from linkgraph.multimodal import registry as multimodal_registry
     from linkgraph.relational import REGISTRY
+    from linkgraph.textops import registry as textops_registry
     from linkgraph.webpipe import registry as webpipe_registry
 
     from linkgraph.graph_oracles import pagerank_fixed_sql
 
     out = {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}
     for reg in (engine_registry(), datapipe_registry(), ann_registry(),
-                multimodal_registry(), graphstats_registry(), webpipe_registry()):
+                multimodal_registry(), graphstats_registry(), webpipe_registry(),
+                textops_registry()):
         out.update({name: sql for name, (_fn, sql) in reg.items() if sql is not None})
     # flagship: fixed 5-superstep PageRank, top-10 -> unrolled-CTE oracle
     out["pagerank_top10"] = pagerank_fixed_sql(5, limit=10, with_vid=True)

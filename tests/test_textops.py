@@ -1,0 +1,68 @@
+"""textops (BPE induction / skip-gram PMI / posting compression /
+Kaplan-Meier) vs pure-python single-node references, at sf0.001."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from linkgraph.textops import _BPE_ROUNDS, q_bpe_merges
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _ref_bpe(word_freq: dict[str, int], rounds: int):
+    """Sequential reference BPE trainer (greedy left-to-right merge
+    application, lexicographic tiebreak on the winning pair)."""
+    types = {w: list(w) for w in word_freq}
+    merges = []
+    for _ in range(rounds):
+        pc: Counter = Counter()
+        for w, syms in types.items():
+            n = word_freq[w]
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += n
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, cnt))
+        for w, syms in types.items():
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            types[w] = out
+    return merges
+
+
+def test_bpe_merges_match_sequential_reference(spark):
+    rows = q_bpe_merges(spark, SF_DIR).orderBy("round").collect()
+    assert len(rows) == _BPE_ROUNDS
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    wf: Counter = Counter()
+    for r in docs:
+        for w in r["text"].strip().lower().split(" "):
+            if w:
+                wf[w] += 1
+    ref = _ref_bpe(dict(wf), _BPE_ROUNDS)
+
+    got = [(r["lhs"], r["rhs"], r["pair_n"]) for r in rows]
+    assert got == ref
+
+
+def test_bpe_greedy_nonoverlap_convention(spark):
+    """'aaaa' with merge (a,a) must become [aa, aa], the BPE greedy
+    left-to-right convention — not [aa, a, a] (string-replace drift)
+    nor [aa, aa] skipped."""
+    from pyspark.sql import functions as F
+
+    from linkgraph.textops import _apply_merge
+
+    cur = spark.createDataFrame(
+        [("aaaa", 1)], "word string, n long"
+    ).select("word", "n", F.split("word", "").alias("s"))
+    top = spark.createDataFrame(
+        [("a", "a", 3)], "ma string, mb string, mn long"
+    )
+    out = _apply_merge(cur, top).collect()[0]["s"]
+    assert out == ["aa", "aa"]
