@@ -196,7 +196,112 @@ def _bpe_sql(rounds: int) -> str:
 SQL_BPE_MERGES = _bpe_sql(_BPE_ROUNDS)
 
 
+# --------------------------------------------------------------------------
+# Skip-gram PMI co-occurrence (word2vec-style embedding prep): count
+# unordered token pairs within a ±_PMI_WINDOW window, score with PMI.
+# Ordering/gating stays on EXACT integers (pair count, then pair text);
+# the PMI double is a reported value column, rounded like doc_entropy's.
+# --------------------------------------------------------------------------
+
+_PMI_WINDOW = 2
+_PMI_TOPK = 30
+
+
+def _positions(d: DataFrame) -> DataFrame:
+    return d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim("text")), " ")).alias("pos", "w"),
+    )
+
+
+def q_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``_PMI_TOPK`` co-occurring token pairs by skip-gram count
+    (window ±``_PMI_WINDOW`` inside each doc, pairs unordered via
+    least/greatest), with PMI = log2(p(a,b) / (p(a) p(b))) where
+    p(a,b) = n_pair / D (D = total window pairs) and p(w) = c_w / T
+    (T = total tokens).  Output (a, b, n_pair, pmi)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _positions(d)
+    unig = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    tot_t = unig.agg(F.sum("cw").alias("T"))
+
+    t1 = toks.alias("t1")
+    t2 = toks.alias("t2")
+    raw = t1.join(
+        t2,
+        (F.col("t1.doc_id") == F.col("t2.doc_id"))
+        & (F.col("t2.pos") > F.col("t1.pos"))
+        & (F.col("t2.pos") <= F.col("t1.pos") + _PMI_WINDOW),
+    ).select(
+        F.least("t1.w", "t2.w").alias("a"),
+        F.greatest("t1.w", "t2.w").alias("b"),
+    )
+    pc = raw.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_pair"))
+    tot_d = pc.agg(F.sum("n_pair").alias("D"))
+
+    ua = unig.select(F.col("w").alias("a"), F.col("cw").alias("ca"))
+    ub = unig.select(F.col("w").alias("b"), F.col("cw").alias("cb"))
+    scored = (
+        pc.join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(tot_t))
+        .crossJoin(F.broadcast(tot_d))
+        .select(
+            "a",
+            "b",
+            "n_pair",
+            F.round(
+                F.log2(
+                    F.col("n_pair")
+                    * F.col("T")
+                    * F.col("T")
+                    / (F.col("D") * F.col("ca") * F.col("cb"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    wnd = Window.orderBy(F.desc("n_pair"), "a", "b")
+    return (
+        scored.withColumn("rk", F.row_number().over(wnd))
+        .where(F.col("rk") <= _PMI_TOPK)
+        .select("a", "b", "n_pair", "pmi")
+    )
+
+
+SQL_SKIPGRAM_PMI = f"""
+WITH ws AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+), toks AS (
+  SELECT doc_id, t.i - 1 AS pos, w[t.i] AS w
+  FROM ws, unnest(generate_series(1, len(w))) AS t(i)
+), unig AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS cw FROM toks GROUP BY w
+), tot_t AS (
+  SELECT CAST(sum(cw) AS BIGINT) AS T FROM unig
+), pc AS (
+  SELECT least(t1.w, t2.w) AS a, greatest(t1.w, t2.w) AS b,
+         CAST(count(*) AS BIGINT) AS n_pair
+  FROM toks t1 JOIN toks t2
+    ON t1.doc_id = t2.doc_id
+   AND t2.pos > t1.pos AND t2.pos <= t1.pos + {_PMI_WINDOW}
+  GROUP BY 1, 2
+), tot_d AS (
+  SELECT CAST(sum(n_pair) AS BIGINT) AS D FROM pc
+)
+SELECT a, b, n_pair,
+       round(log2(CAST(n_pair AS DOUBLE) * T * T
+                  / (CAST(D AS DOUBLE) * ua.cw * ub.cw)), 6) AS pmi
+FROM pc
+JOIN unig ua ON ua.w = pc.a
+JOIN unig ub ON ub.w = pc.b
+CROSS JOIN tot_t CROSS JOIN tot_d
+QUALIFY row_number() OVER (ORDER BY n_pair DESC, a, b) <= {_PMI_TOPK}
+"""
+
+
 def registry():
     return {
         "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
+        "skipgram_pmi": (q_skipgram_pmi, SQL_SKIPGRAM_PMI),
     }

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 from collections import Counter
 
+from pyspark.sql import functions as F
+
 from linkgraph.textops import _BPE_ROUNDS, q_bpe_merges
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -48,6 +50,34 @@ def test_bpe_merges_match_sequential_reference(spark):
 
     got = [(r["lhs"], r["rhs"], r["pair_n"]) for r in rows]
     assert got == ref
+
+
+def test_skipgram_pmi_matches_reference(spark):
+    import math
+
+    from linkgraph.textops import _PMI_TOPK, _PMI_WINDOW, q_skipgram_pmi
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    unig: Counter = Counter()
+    pc: Counter = Counter()
+    for r in docs:
+        ws = r["text"].strip().lower().split(" ")
+        unig.update(ws)
+        for i, w1 in enumerate(ws):
+            for j in range(i + 1, min(i + _PMI_WINDOW, len(ws) - 1) + 1):
+                pc[(min(w1, ws[j]), max(w1, ws[j]))] += 1
+    T = sum(unig.values())
+    D = sum(pc.values())
+    ref = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[:_PMI_TOPK]
+
+    rows = q_skipgram_pmi(spark, SF_DIR).orderBy(
+        F.desc("n_pair"), "a", "b"
+    ).collect()
+    assert [((r["a"], r["b"]), r["n_pair"]) for r in rows] == ref
+    for r in rows:
+        a, b, n = r["a"], r["b"], r["n_pair"]
+        want = math.log2(n * T * T / (D * unig[a] * unig[b]))
+        assert abs(r["pmi"] - want) < 1e-5
 
 
 def test_bpe_greedy_nonoverlap_convention(spark):
