@@ -300,8 +300,95 @@ QUALIFY row_number() OVER (ORDER BY n_pair DESC, a, b) <= {_PMI_TOPK}
 """
 
 
+# --------------------------------------------------------------------------
+# Posting-list compression audit: build the inverted index (token ->
+# sorted distinct doc_ids) and size it raw (8 B/id) vs delta + varint.
+# Gaps come from a window lag over (token, doc_id) — fully distributed,
+# no per-token array materialization, so the stopword head never builds
+# a corpus-sized list on one row (production would additionally shard
+# hot postings into fixed-size blocks, block-max WAND style).
+# --------------------------------------------------------------------------
+
+_POSTING_TOPK = 30
+
+
+def _varint_len(g):
+    """Bytes to LEB128-encode gap ``g`` (>=1) — exact integer CASE, no
+    float log boundaries."""
+    return (
+        F.when(g < 128, 1)
+        .when(g < 16384, 2)
+        .when(g < 2097152, 3)
+        .when(g < 268435456, 4)
+        .otherwise(5)
+    )
+
+
+def q_posting_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index size audit for the ``_POSTING_TOPK`` highest-df
+    tokens: document frequency, raw posting bytes (8 B per doc id),
+    delta+varint bytes (first gap = doc_id + 1 so id 0 encodes as 1),
+    and the fractional savings.  Output (word, df, raw_bytes,
+    varint_bytes, savings)."""
+    d = load_table(spark, sf_dir, "documents")
+    post = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim("text")), " ")).alias("w"),
+        )
+        .distinct()
+    )
+    wnd = Window.partitionBy("w").orderBy("doc_id")
+    gaps = post.select(
+        "w",
+        (F.col("doc_id") - F.lag("doc_id", 1, -1).over(wnd)).alias("g"),
+    )
+    sized = gaps.groupBy("w").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum(_varint_len(F.col("g")).cast("long")).alias("varint_bytes"),
+    )
+    top = Window.orderBy(F.desc("df"), "word")
+    return (
+        sized.select(
+            F.col("w").alias("word"),
+            "df",
+            (F.col("df") * 8).alias("raw_bytes"),
+            "varint_bytes",
+            F.round(
+                F.lit(1.0) - F.col("varint_bytes") / (F.col("df") * 8), 6
+            ).alias("savings"),
+        )
+        .withColumn("rk", F.row_number().over(top))
+        .where(F.col("rk") <= _POSTING_TOPK)
+        .select("word", "df", "raw_bytes", "varint_bytes", "savings")
+    )
+
+
+SQL_POSTING_COMPRESSION = f"""
+WITH post AS (
+  SELECT DISTINCT doc_id, w
+  FROM documents, unnest(string_split(lower(trim(text)), ' ')) AS t(w)
+), gaps AS (
+  SELECT w,
+         doc_id - lag(doc_id, 1, -1) OVER (PARTITION BY w ORDER BY doc_id) AS g
+  FROM post
+), sized AS (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(CASE WHEN g < 128 THEN 1 WHEN g < 16384 THEN 2
+                       WHEN g < 2097152 THEN 3 WHEN g < 268435456 THEN 4
+                       ELSE 5 END) AS BIGINT) AS varint_bytes
+  FROM gaps GROUP BY w
+)
+SELECT word, df, df * 8 AS raw_bytes, varint_bytes,
+       round(1.0 - CAST(varint_bytes AS DOUBLE) / (df * 8), 6) AS savings
+FROM sized
+QUALIFY row_number() OVER (ORDER BY df DESC, word) <= {_POSTING_TOPK}
+"""
+
+
 def registry():
     return {
         "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
         "skipgram_pmi": (q_skipgram_pmi, SQL_SKIPGRAM_PMI),
+        "posting_compression": (q_posting_compression, SQL_POSTING_COMPRESSION),
     }

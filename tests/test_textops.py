@@ -80,6 +80,38 @@ def test_skipgram_pmi_matches_reference(spark):
         assert abs(r["pmi"] - want) < 1e-5
 
 
+def test_posting_compression_matches_reference(spark):
+    from linkgraph.textops import _POSTING_TOPK, q_posting_compression
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    postings: dict[str, set[int]] = {}
+    for r in docs:
+        for w in r["text"].strip().lower().split(" "):
+            postings.setdefault(w, set()).add(r["doc_id"])
+
+    def vlen(g: int) -> int:
+        n = 1
+        while g >= 128:
+            g >>= 7
+            n += 1
+        return n
+
+    ref = {}
+    for w, ids in postings.items():
+        s = sorted(ids)
+        gaps = [s[0] + 1] + [b - a for a, b in zip(s, s[1:])]
+        ref[w] = (len(s), 8 * len(s), sum(vlen(g) for g in gaps))
+
+    rows = q_posting_compression(spark, SF_DIR).collect()
+    assert len(rows) == min(_POSTING_TOPK, len(postings))
+    want_order = sorted(ref.items(), key=lambda kv: (-kv[1][0], kv[0]))
+    for r, (w, (df, raw, var)) in zip(rows, want_order):
+        assert (r["word"], r["df"], r["raw_bytes"], r["varint_bytes"]) == (
+            w, df, raw, var,
+        )
+        assert abs(r["savings"] - (1 - var / raw)) < 1e-9
+
+
 def test_bpe_greedy_nonoverlap_convention(spark):
     """'aaaa' with merge (a,a) must become [aa, aa], the BPE greedy
     left-to-right convention — not [aa, a, a] (string-replace drift)
