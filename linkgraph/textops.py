@@ -386,9 +386,164 @@ QUALIFY row_number() OVER (ORDER BY df DESC, word) <= {_POSTING_TOPK}
 """
 
 
+# --------------------------------------------------------------------------
+# Kaplan-Meier survival over SESSION lifetimes.  Events sessionize per
+# user on a 30-minute inactivity gap; a session's duration is whole
+# minutes from first to last event (exact integer microsecond
+# arithmetic via unix_micros/epoch_us — no float timestamps).  Sessions
+# whose last event lies within the gap of the dataset horizon are
+# right-censored (still open).  Counts are exact integers; the product-
+# limit estimator rides a cumulative exp-sum-log window with an explicit
+# zero guard (ln(0) when the risk set empties at the last event time).
+# --------------------------------------------------------------------------
+
+_KM_GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap / censor horizon
+
+
+def q_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit curve of session duration: one row per
+    event time t (whole minutes) with the risk set size, observed
+    session ends, censored (still-open) sessions, and the survival
+    estimate.  Output (t, n_risk, d_events, c_censored, survival)."""
+    e = load_table(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ in the parquet; the session timezone is pinned
+    # UTC (session.py), so the cast is the identity mapping to epoch us.
+    us = e.select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    seq = Window.partitionBy("user_id").orderBy("us")
+    sess = (
+        us.withColumn(
+            "brk",
+            F.when(
+                F.col("us") - F.lag("us", 1, 0).over(seq) > _KM_GAP_US, 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "sid",
+            F.sum("brk").over(
+                seq.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.min("us").alias("s_us"), F.max("us").alias("e_us"))
+    )
+    horizon = us.agg(F.max("us").alias("max_us"))
+    dur = sess.crossJoin(F.broadcast(horizon)).select(
+        F.floor((F.col("e_us") - F.col("s_us")) / 60_000_000).alias("t"),
+        (F.col("e_us") > F.col("max_us") - _KM_GAP_US).alias("censored"),
+    )
+    per_t = dur.groupBy("t").agg(
+        F.sum(F.when(~F.col("censored"), 1).otherwise(0)).alias("d_events"),
+        F.sum(F.when(F.col("censored"), 1).otherwise(0)).alias("c_censored"),
+    )
+    total = dur.agg(F.count(F.lit(1)).alias("N"))
+    prior = (
+        Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    upto = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risked = per_t.crossJoin(F.broadcast(total)).withColumn(
+        "n_risk",
+        F.col("N")
+        - F.coalesce(
+            F.sum(F.col("d_events") + F.col("c_censored")).over(prior),
+            F.lit(0),
+        ),
+    )
+    surv = risked.withColumn(
+        "hit_zero",
+        F.max(
+            F.when(F.col("d_events") == F.col("n_risk"), 1).otherwise(0)
+        ).over(upto),
+    ).withColumn(
+        "survival",
+        F.when(F.col("hit_zero") == 1, F.lit(0.0)).otherwise(
+            F.round(
+                F.exp(
+                    F.sum(
+                        F.log(
+                            # factor neutralized to 1 on the zero row; the
+                            # hit_zero guard overrides its output anyway
+                            F.when(
+                                F.col("d_events") == F.col("n_risk"),
+                                F.lit(1.0),
+                            ).otherwise(
+                                F.lit(1.0)
+                                - F.col("d_events") / F.col("n_risk")
+                            )
+                        )
+                    ).over(upto)
+                ),
+                6,
+            )
+        ),
+    )
+    return surv.where(F.col("d_events") > 0).select(
+        "t", "n_risk", "d_events", "c_censored", "survival"
+    )
+
+
+SQL_KM_SURVIVAL = f"""
+WITH us AS (
+  SELECT user_id, epoch_us(ts) AS us FROM events
+), brk AS (
+  SELECT user_id, us,
+         CASE WHEN us - lag(us, 1, 0) OVER (
+                PARTITION BY user_id ORDER BY us
+              ) > {_KM_GAP_US} THEN 1 ELSE 0 END AS brk
+  FROM us
+), sid AS (
+  SELECT user_id, us,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sid
+  FROM brk
+), sess AS (
+  SELECT user_id, sid, min(us) AS s_us, max(us) AS e_us
+  FROM sid GROUP BY user_id, sid
+), horizon AS (
+  SELECT max(us) AS max_us FROM us
+), dur AS (
+  SELECT CAST(floor((e_us - s_us) / 60000000.0) AS BIGINT) AS t,
+         e_us > max_us - {_KM_GAP_US} AS censored
+  FROM sess CROSS JOIN horizon
+), per_t AS (
+  SELECT t,
+         CAST(sum(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS BIGINT)
+           AS d_events,
+         CAST(sum(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT)
+           AS c_censored
+  FROM dur GROUP BY t
+), total AS (
+  SELECT CAST(count(*) AS BIGINT) AS N FROM dur
+), risked AS (
+  SELECT t, d_events, c_censored,
+         N - coalesce(sum(d_events + c_censored) OVER (
+               ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS n_risk
+  FROM per_t CROSS JOIN total
+), surv AS (
+  SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d_events, c_censored,
+         max(CASE WHEN d_events = n_risk THEN 1 ELSE 0 END) OVER (
+           ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS hit_zero,
+         exp(sum(ln(CASE WHEN d_events = n_risk THEN 1.0
+                         ELSE 1.0 - CAST(d_events AS DOUBLE) / n_risk
+                    END)) OVER (
+           ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         )) AS s_raw
+  FROM risked
+)
+SELECT t, n_risk, d_events, c_censored,
+       CASE WHEN hit_zero = 1 THEN 0.0 ELSE round(s_raw, 6) END AS survival
+FROM surv WHERE d_events > 0
+"""
+
+
 def registry():
     return {
         "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
         "skipgram_pmi": (q_skipgram_pmi, SQL_SKIPGRAM_PMI),
         "posting_compression": (q_posting_compression, SQL_POSTING_COMPRESSION),
+        "km_survival": (q_km_survival, SQL_KM_SURVIVAL),
     }

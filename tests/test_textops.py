@@ -112,6 +112,57 @@ def test_posting_compression_matches_reference(spark):
         assert abs(r["savings"] - (1 - var / raw)) < 1e-9
 
 
+def test_km_survival_matches_reference(spark):
+    from linkgraph.textops import _KM_GAP_US, q_km_survival
+
+    evs = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    by_user: dict[int, list[int]] = {}
+    max_us = 0
+    from datetime import timezone
+
+    for r in evs:
+        ts = r["ts"].replace(tzinfo=timezone.utc)
+        us = int(round(ts.timestamp() * 1_000_000))
+        by_user.setdefault(r["user_id"], []).append(us)
+        max_us = max(max_us, us)
+
+    durs: list[tuple[int, bool]] = []  # (t_minutes, censored)
+    for times in by_user.values():
+        times.sort()
+        start = prev = times[0]
+        for u in times[1:]:
+            if u - prev > _KM_GAP_US:
+                durs.append(((prev - start) // 60_000_000, False))
+                start = u
+            prev = u
+        durs.append(
+            ((prev - start) // 60_000_000, prev > max_us - _KM_GAP_US)
+        )
+
+    # product-limit over ascending event times
+    from collections import defaultdict
+
+    d_t: dict[int, int] = defaultdict(int)
+    c_t: dict[int, int] = defaultdict(int)
+    for t, cen in durs:
+        (c_t if cen else d_t)[t] += 1
+    n_risk = len(durs)
+    s = 1.0
+    ref = []
+    for t in sorted(set(d_t) | set(c_t)):
+        if d_t[t] > 0:
+            s *= 1.0 - d_t[t] / n_risk if d_t[t] < n_risk else 0.0
+            ref.append((t, n_risk, d_t[t], c_t[t], s))
+        n_risk -= d_t[t] + c_t[t]
+
+    rows = q_km_survival(spark, SF_DIR).orderBy("t").collect()
+    assert [
+        (r["t"], r["n_risk"], r["d_events"], r["c_censored"]) for r in rows
+    ] == [x[:4] for x in ref]
+    for r, x in zip(rows, ref):
+        assert abs(r["survival"] - x[4]) < 1e-5
+
+
 def test_bpe_greedy_nonoverlap_convention(spark):
     """'aaaa' with merge (a,a) must become [aa, aa], the BPE greedy
     left-to-right convention — not [aa, a, a] (string-replace drift)
