@@ -4098,6 +4098,76 @@ LIMIT {_SEQ_TOPK}
 """
 
 
+# --------------------------------------------------------------------------
+# exact joint 1/2-hop reach histogram (§2.15 row 269): distribution of
+# (|ball_1(v)|, |ball_2(v)|) — degree and the number of DISTINCT vertices
+# within distance <= 2 (self excluded) on the undirected simple events
+# graph.  The friend-of-friend expansion feature every recommender /
+# influence model keys on, and the exact small-radius companion that
+# validates the anf_kmv sketch (ANF's r=1/r=2 estimates should track this
+# histogram's mass).  Joint, not marginal: the transcript graph is
+# diameter-2-ish (reach2 ~ V-1 for most vertices), so the expansion
+# structure lives in how reach2 varies WITH degree.
+#
+# Scale posture: the 2-hop expansion is ONE self equi-join on the shared
+# mid-vertex — fan-out is sum(deg(v)^2), the known hub-sensitive term; at
+# 100 TB production caps hubs (the jaccard_pairs max_deg knob / switches
+# to the anf_kmv sketch beyond the cap) while the gate runs the exact
+# ball.  Both distincts dedup on (s, t) BEFORE the per-vertex count so
+# multiplicity never inflates reach; the final aggregates are map-side-
+# combinable hash aggs over vertex-sized data, and the histogram is
+# bounded by distinct (reach1, reach2) pairs, never V.
+# --------------------------------------------------------------------------
+
+def q_reach2_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint histogram (reach1, reach2, n_vertices) of exact 1-hop degree
+    and 2-hop ball size."""
+    dk = _directed_simple(spark, sf_dir)
+    und = (
+        dk.select("s", "t")
+        .unionByName(dk.select(F.col("t").alias("s"), F.col("s").alias("t")))
+        .distinct()
+    )
+    hop2 = (
+        und.alias("a")
+        .join(und.alias("b"), F.col("a.t") == F.col("b.s"))
+        .select(F.col("a.s").alias("s"), F.col("b.t").alias("t"))
+        .where(F.col("s") != F.col("t"))
+    )
+    r1 = und.groupBy("s").agg(F.count(F.lit(1)).alias("reach1"))
+    ball = und.unionByName(hop2).distinct()
+    r2 = ball.groupBy("s").agg(F.count(F.lit(1)).alias("reach2"))
+    return (
+        r1.join(r2, "s")
+        .groupBy("reach1", "reach2")
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+        .select(
+            F.col("reach1").cast("long").alias("reach1"),
+            F.col("reach2").cast("long").alias("reach2"),
+            F.col("n_vertices").cast("long").alias("n_vertices"),
+        )
+    )
+
+
+SQL_REACH2_HIST = (
+    "WITH "
+    + _GRAPH_CTES
+    + """,
+dk AS (SELECT DISTINCT s, t FROM ek WHERE s <> t),
+und AS (SELECT DISTINCT s, t FROM
+        (SELECT s, t FROM dk UNION ALL SELECT t AS s, s AS t FROM dk)),
+hop2 AS (SELECT DISTINCT a.s, b.t
+         FROM und a JOIN und b ON a.t = b.s WHERE a.s <> b.t),
+r1 AS (SELECT s, CAST(count(*) AS BIGINT) AS reach1 FROM und GROUP BY s),
+ball AS (SELECT DISTINCT s, t FROM
+         (SELECT s, t FROM und UNION ALL SELECT s, t FROM hop2)),
+r2 AS (SELECT s, CAST(count(*) AS BIGINT) AS reach2 FROM ball GROUP BY s)
+SELECT reach1, reach2, CAST(count(*) AS BIGINT) AS n_vertices
+FROM r1 JOIN r2 USING (s) GROUP BY reach1, reach2
+"""
+)
+
+
 def registry():
     return {
         "densest_subgraph": (q_densest_subgraph, SQL_DENSEST_SUBGRAPH),
@@ -4106,6 +4176,7 @@ def registry():
         "engine_matching": (q_engine_matching, SQL_ENGINE_MATCHING),
         "percolation_giant": (q_percolation_giant, SQL_PERCOLATION_GIANT),
         "attack_tolerance": (q_attack_tolerance, SQL_ATTACK_TOLERANCE),
+        "reach2_hist": (q_reach2_hist, SQL_REACH2_HIST),
         "vertex_cover": (q_vertex_cover, SQL_VERTEX_COVER),
         "edge_churn": (q_edge_churn, SQL_EDGE_CHURN),
         "decayed_pagerank": (q_decayed_pagerank, SQL_DECAYED_PAGERANK),

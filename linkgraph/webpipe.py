@@ -1410,6 +1410,93 @@ FROM u
 
 
 # --------------------------------------------------------------------------
+# per-doc trigram novelty (§2.15 row 270): for each document, the
+# fraction of its DISTINCT trigrams that appear in NO other document
+# (corpus document-frequency 1).  The template/boilerplate detector that
+# complements doc_distinct_ngrams: corpus-level distinct-3 can stay high
+# while individual mirrored pages score ~0 novelty, and it is exactly the
+# docs at the BOTTOM of this ranking a crawl pipeline drops first.
+#
+# Scale posture: per-doc distinct trigrams -> one (doc, gram) dedup
+# shuffle; the corpus DF table is a map-side-combinable hash agg over the
+# same key; the join back is co-partitioned on gram (AQE skew-join covers
+# the stopword-phrase head); the per-doc rollup is a second combinable
+# agg.  Novelty ships as exact int64 micro-units (_micro_ratio) so the
+# cross-engine hash cannot trip on float half-ties; output is a bounded
+# top-k (lowest novelty first — the drop candidates), total-ordered by
+# (novelty_micro, doc_id).
+# --------------------------------------------------------------------------
+
+_NOVELTY_TOPK = 30
+
+
+def q_doc_trigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-``_NOVELTY_TOPK`` docs by trigram novelty:
+    (doc_id, n_tri, n_unique, novelty_micro).  Docs shorter than 3 words
+    emit no trigrams and are excluded (guarded sequence — Spark's
+    sequence(1, 0) would step DOWN, ADVICE r03 #1 pattern)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.split(F.lower(F.trim("text")), " ").alias("w"))
+    starts = F.when(
+        F.size("w") >= 3, F.sequence(F.lit(1), F.size("w") - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        starts,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("w"), i),
+            F.element_at(F.col("w"), i + 1),
+            F.element_at(F.col("w"), i + 2),
+        ),
+    )
+    tri = w.select("doc_id", F.explode(grams).alias("gram")).distinct()
+    dft = tri.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    per = (
+        tri.join(dft, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tri"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_unique"),
+        )
+    )
+    out = per.select(
+        "doc_id",
+        "n_tri",
+        "n_unique",
+        _micro_ratio(F.col("n_unique"), F.col("n_tri")).alias("novelty_micro"),
+    )
+    return out.orderBy("novelty_micro", "doc_id").limit(_NOVELTY_TOPK)
+
+
+SQL_DOC_TRIGRAM_NOVELTY = f"""
+WITH w AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+), tri AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, greatest(len(w) - 2, 0)),
+             i -> concat_ws(' ', w[i], w[i+1], w[i+2])
+           )) AS gram
+    FROM w)
+), dft AS (
+  SELECT gram, count(*) AS df FROM tri GROUP BY gram
+), per AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tri,
+         CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unique
+  FROM tri t JOIN dft d USING (gram) GROUP BY t.doc_id
+)
+SELECT doc_id, n_tri, n_unique,
+       (2000000 * n_unique + n_tri) // (2 * n_tri) AS novelty_micro
+FROM per ORDER BY novelty_micro, doc_id LIMIT {_NOVELTY_TOPK}
+"""
+
+
+# --------------------------------------------------------------------------
 # Anchor-text aggregation per target host (§2.15 row 226): the classic
 # web-graph inversion — text flows along hyperlinks from the CITING page
 # to the CITED host, and the aggregate of incoming anchor terms becomes a
@@ -1623,4 +1710,5 @@ def registry():
         "doc_readability": (q_doc_readability, SQL_DOC_READABILITY),
         "hapax_rate": (q_hapax_rate, SQL_HAPAX_RATE),
         "doc_distinct_ngrams": (q_doc_distinct_ngrams, SQL_DOC_DISTINCT_NGRAMS),
+        "doc_trigram_novelty": (q_doc_trigram_novelty, SQL_DOC_TRIGRAM_NOVELTY),
     }

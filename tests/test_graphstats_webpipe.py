@@ -2014,3 +2014,70 @@ def test_attack_tolerance_matches_networkx(spark):
         assert r["n_components"] == len(comps)
     # the attack must actually bite: giant shrinks as hubs fall
     assert got[max(_ATTACK_KS)]["giant_size"] < got[0]["giant_size"]
+
+
+def test_reach2_hist_matches_networkx(spark, dk_edges):
+    """Joint (reach1, reach2) histogram == exact 2-hop balls enumerated
+    with networkx single_source_shortest_path_length on the same
+    undirected simple graph."""
+    import networkx as nx
+    from collections import Counter as C
+
+    from linkgraph.graphstats import q_reach2_hist
+
+    und = {(min(s, t), max(s, t)) for s, t in dk_edges if s != t}
+    G = nx.Graph()
+    G.add_edges_from(und)
+    want: C = C()
+    for v in G.nodes:
+        dist = nx.single_source_shortest_path_length(G, v, cutoff=2)
+        r1 = sum(1 for u, d in dist.items() if d == 1)
+        r2 = sum(1 for u, d in dist.items() if 1 <= d <= 2)
+        want[(r1, r2)] += 1
+
+    got = {
+        (r["reach1"], r["reach2"]): r["n_vertices"]
+        for r in q_reach2_hist(spark, SF_DIR).collect()
+    }
+    assert got == dict(want)
+    # expansion sanity: every 2-ball contains the 1-ball
+    assert all(r2 >= r1 for r1, r2 in got)
+
+
+def test_doc_trigram_novelty_matches_python(spark, docs):
+    """Bottom-30 novelty ranking == a from-scratch python trigram-DF
+    computation with the exact integer micro-unit rounding."""
+    from collections import Counter as C
+
+    from linkgraph.webpipe import _NOVELTY_TOPK, q_doc_trigram_novelty
+
+    tris: dict[int, set] = {}
+    for d, text in docs.items():
+        ws = text.strip().lower().split(" ")
+        tris[d] = {
+            " ".join(ws[i : i + 3]) for i in range(len(ws) - 2)
+        } if len(ws) >= 3 else set()
+    df: C = C()
+    for g in tris.values():
+        df.update(g)
+    rows = []
+    for d, g in tris.items():
+        if not g:
+            continue
+        n_tri = len(g)
+        n_unique = sum(1 for t in g if df[t] == 1)
+        micro = (2_000_000 * n_unique + n_tri) // (2 * n_tri)
+        rows.append((micro, d, n_tri, n_unique))
+    rows.sort()
+    want = [
+        (d, n_tri, n_unique, micro)
+        for micro, d, n_tri, n_unique in rows[:_NOVELTY_TOPK]
+    ]
+
+    got = [
+        (r["doc_id"], r["n_tri"], r["n_unique"], r["novelty_micro"])
+        for r in q_doc_trigram_novelty(spark, SF_DIR).collect()
+    ]
+    assert got == want
+    # the fixture corpus must actually contain shared boilerplate
+    assert any(n_unique < n_tri for _, n_tri, n_unique, _ in got)
