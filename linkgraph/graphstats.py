@@ -4168,6 +4168,78 @@ FROM r1 JOIN r2 USING (s) GROUP BY reach1, reach2
 )
 
 
+# --------------------------------------------------------------------------
+# DOULION sampled triangle estimate (§2.15 row 271): keep each undirected
+# simple edge with probability p = 1/2 via a DETERMINISTIC md5 coin
+# (md5(u|v) even), count triangles exactly on the sparsified graph, and
+# scale by 1/p^3 = 8 — Tsourakakis et al.'s DOULION (KDD'09, public),
+# the sublinear companion to the exact triangle_count row.  Both counts
+# ride in the output so the gate checks the estimator AND its input.
+#
+# Scale posture: sparsification is a pure column predicate fused into the
+# edge scan — at p=1/2 the 2-join's wedge fan-out (the Σdeg² term that
+# dominates exact counting at web scale) drops ~4x before any shuffle;
+# the md5 coin makes the sample reproducible across engines and runs (no
+# rand()), and 1/p^3 = 8 keeps the estimator exact-integer — no float in
+# the gate hash.
+# --------------------------------------------------------------------------
+
+def q_triangle_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: (n_edges, n_kept, tri_sampled, tri_est) on the undirected
+    simple events graph; tri_est = 8 * tri_sampled."""
+    from .datapipe import _md5_int
+
+    dk = _directed_simple(spark, sf_dir)
+    und = dk.select(
+        F.least("s", "t").alias("u"), F.greatest("s", "t").alias("v")
+    ).distinct()
+    kept = und.where(
+        _md5_int(F.concat_ws("|", F.col("u"), F.col("v"))) % 2 == 0
+    )
+    e1, e2, e3 = kept.alias("e1"), kept.alias("e2"), kept.alias("e3")
+    wedges = e1.join(
+        e2, (F.col("e1.u") == F.col("e2.u")) & (F.col("e2.v") > F.col("e1.v"))
+    )
+    tris = wedges.join(
+        e3, (F.col("e3.u") == F.col("e1.v")) & (F.col("e3.v") == F.col("e2.v"))
+    )
+    n_edges = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_kept = kept.agg(F.count(F.lit(1)).alias("n_kept"))
+    t = tris.agg(F.count(F.lit(1)).alias("tri_sampled"))
+    return (
+        n_edges.crossJoin(F.broadcast(n_kept))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "n_edges",
+            "n_kept",
+            "tri_sampled",
+            (F.col("tri_sampled") * F.lit(8)).cast("long").alias("tri_est"),
+        )
+    )
+
+
+SQL_TRIANGLE_DOULION = (
+    "WITH "
+    + _GRAPH_CTES
+    + """,
+dk AS (SELECT DISTINCT s, t FROM ek WHERE s <> t),
+und AS (SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS v FROM dk),
+kept AS (SELECT u, v FROM und
+         WHERE CAST(('0x' || substr(md5(u || '|' || v), 1, 15)) AS BIGINT)
+               % 2 = 0),
+tri AS (SELECT CAST(count(*) AS BIGINT) AS tri_sampled
+        FROM kept e1
+        JOIN kept e2 ON e2.u = e1.u AND e2.v > e1.v
+        JOIN kept e3 ON e3.u = e1.v AND e3.v = e2.v)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_edges,
+       (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_kept,
+       tri_sampled,
+       tri_sampled * 8 AS tri_est
+FROM tri
+"""
+)
+
+
 def registry():
     return {
         "densest_subgraph": (q_densest_subgraph, SQL_DENSEST_SUBGRAPH),
@@ -4177,6 +4249,7 @@ def registry():
         "percolation_giant": (q_percolation_giant, SQL_PERCOLATION_GIANT),
         "attack_tolerance": (q_attack_tolerance, SQL_ATTACK_TOLERANCE),
         "reach2_hist": (q_reach2_hist, SQL_REACH2_HIST),
+        "triangle_doulion": (q_triangle_doulion, SQL_TRIANGLE_DOULION),
         "vertex_cover": (q_vertex_cover, SQL_VERTEX_COVER),
         "edge_churn": (q_edge_churn, SQL_EDGE_CHURN),
         "decayed_pagerank": (q_decayed_pagerank, SQL_DECAYED_PAGERANK),

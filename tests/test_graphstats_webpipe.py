@@ -2081,3 +2081,38 @@ def test_doc_trigram_novelty_matches_python(spark, docs):
     assert got == want
     # the fixture corpus must actually contain shared boilerplate
     assert any(n_unique < n_tri for _, n_tri, n_unique, _ in got)
+
+
+def test_triangle_doulion_matches_python(spark, dk_edges):
+    """DOULION estimate == exact triangle count over the md5-coin-kept
+    edge subset computed from scratch in python, and the estimator is
+    8x the sampled count by construction."""
+    import hashlib
+    from itertools import combinations
+
+    from linkgraph.graphstats import q_triangle_doulion
+
+    und = {(min(s, t), max(s, t)) for s, t in dk_edges if s != t}
+
+    def coin(u, v):
+        return int(hashlib.md5(f"{u}|{v}".encode()).hexdigest()[:15], 16) % 2 == 0
+
+    kept = {(u, v) for u, v in und if coin(u, v)}
+    adj: dict[str, set] = {}
+    for u, v in kept:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    tri = 0
+    for u, v in kept:
+        tri += sum(
+            1 for w in adj[u] & adj[v] if (min(u, w), max(u, w)) in kept
+            and (min(v, w), max(v, w)) in kept
+        )
+    tri //= 3
+
+    row = q_triangle_doulion(spark, SF_DIR).first()
+    assert row["n_edges"] == len(und)
+    assert row["n_kept"] == len(kept)
+    assert row["tri_sampled"] == tri
+    assert row["tri_est"] == 8 * tri
+    assert 0 < row["n_kept"] < row["n_edges"]  # the coin actually splits
