@@ -1503,6 +1503,99 @@ def _power_iter_sql(rounds: int) -> str:
 SQL_EMB_POWER_ITER = _power_iter_sql(_PI_ROUNDS)
 
 
+# --------------------------------------------------------------------------
+# per-label mean-pairwise-dot audit via the Gram identity (§2.15 row 272):
+# sum of all pairwise dot products within a label WITHOUT the O(n²) pair
+# join — 2·Σ_{i<j} qᵢ·qⱼ = ‖Σqᵢ‖² − Σ‖qᵢ‖², so one posexplode + two hash
+# aggregates (O(n·d)) replace the self-join.  The class-compactness /
+# anisotropy audit every embedding pipeline runs before clustering; the
+# DuckDB oracle computes the SAME numbers by brute-force pair enumeration,
+# so the gate certifies the algebraic shortcut against the O(n²) ground
+# truth — different algorithm, identical integers.
+#
+# Exactness: components are quantized floor(1e4·x) → int64 once, then all
+# sums/squares are int64 (max ≈ 4e14 ≪ 2^63); no float anywhere, so the
+# cross-engine hash cannot trip.  Scale posture: per-(label, dim) partial
+# sums are map-side combinable; nothing ever pairs up rows.
+# --------------------------------------------------------------------------
+
+_MEANDOT_QSCALE = 10_000
+
+
+def emb_meandot_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per label: (label, n, n_pairs, sum_sq_norm, norm_sq_sum,
+    pair_dot_sum) with pair_dot_sum = (norm_sq_sum − sum_sq_norm) / 2."""
+    em = load_table(spark, sf_dir, "embeddings")
+    q = em.select(
+        F.col("label").cast("int").alias("label"),
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * _MEANDOT_QSCALE).cast("long"),
+        ).alias("q"),
+    )
+    base = q.select(
+        "label",
+        F.aggregate(
+            "q", F.lit(0).cast("long"), lambda a, x: a + x * x
+        ).alias("sq"),
+        "q",
+    ).groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("sq").alias("sum_sq_norm")
+    )
+    dims = q.select("label", F.posexplode("q").alias("dim", "val"))
+    normsq = (
+        dims.groupBy("label", "dim")
+        .agg(F.sum("val").alias("s"))
+        .groupBy("label")
+        .agg(F.sum(F.col("s") * F.col("s")).alias("norm_sq_sum"))
+    )
+    return base.join(normsq, "label").select(
+        "label",
+        "n",
+        ((F.col("n") * (F.col("n") - 1)) / 2).cast("long").alias("n_pairs"),
+        "sum_sq_norm",
+        "norm_sq_sum",
+        ((F.col("norm_sq_sum") - F.col("sum_sq_norm")) / 2)
+        .cast("long")
+        .alias("pair_dot_sum"),
+    )
+
+
+SQL_EMB_MEANDOT_AUDIT = f"""
+WITH q AS (
+  SELECT vec_id, CAST(label AS INT) AS label,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {_MEANDOT_QSCALE}) AS BIGINT)
+         ) AS q
+  FROM embeddings
+), vals AS (
+  SELECT vec_id, label, t.i AS dim, q[t.i] AS val
+  FROM q, LATERAL (SELECT unnest(generate_series(1, len(q))) AS i) t
+), base AS (
+  SELECT label, CAST(count(DISTINCT vec_id) AS BIGINT) AS n,
+         CAST(sum(val * val) AS BIGINT) AS sum_sq_norm
+  FROM vals GROUP BY label
+), dimsum AS (
+  SELECT label, dim, CAST(sum(val) AS BIGINT) AS s
+  FROM vals GROUP BY label, dim
+), normsq AS (
+  SELECT label, CAST(sum(s * s) AS BIGINT) AS norm_sq_sum
+  FROM dimsum GROUP BY label
+), pairs AS (
+  -- brute-force O(n^2) ground truth: every unordered pair's exact dot
+  SELECT a.label, CAST(sum(a.val * b.val) AS BIGINT) AS pair_dot_sum
+  FROM vals a
+  JOIN vals b ON b.label = a.label AND b.dim = a.dim
+             AND b.vec_id > a.vec_id
+  GROUP BY a.label
+)
+SELECT label, n, n * (n - 1) // 2 AS n_pairs, sum_sq_norm, norm_sq_sum,
+       coalesce(p.pair_dot_sum, 0) AS pair_dot_sum
+FROM base JOIN normsq USING (label)
+LEFT JOIN pairs p USING (label)
+"""
+
+
 def registry():
     return {
         "emb_drift": (emb_drift, SQL_EMB_DRIFT),
@@ -1522,4 +1615,5 @@ def registry():
         "emb_knn_label_purity": (emb_knn_label_purity, SQL_EMB_KNN_LABEL_PURITY),
         "emb_label_outliers": (emb_label_outliers, SQL_EMB_LABEL_OUTLIERS),
         "emb_int8_audit": (emb_int8_audit, SQL_EMB_INT8_AUDIT),
+        "emb_meandot_audit": (emb_meandot_audit, SQL_EMB_MEANDOT_AUDIT),
     }

@@ -515,3 +515,39 @@ def test_emb_power_iter_aligns_with_numpy_eigvec(spark):
     g = ref.astype(np.float64)
     cos = abs(g @ top) / (np.linalg.norm(g) * np.linalg.norm(top))
     assert cos > 0.99
+
+
+def test_emb_meandot_audit_matches_numpy_bruteforce(spark):
+    """The Gram-identity shortcut == numpy O(n^2) pair enumeration on the
+    same floor-quantized int64 vectors, per label."""
+    from linkgraph.ann import _MEANDOT_QSCALE, emb_meandot_audit
+
+    rows = (
+        load_table(spark, SF, "embeddings")
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )
+    by_label: dict[int, list] = {}
+    for r in rows:
+        q = np.floor(
+            np.asarray(r["embedding"], dtype=np.float64) * _MEANDOT_QSCALE
+        ).astype(np.int64)
+        by_label.setdefault(int(r["label"]), []).append(q)
+
+    got = {r["label"]: r for r in emb_meandot_audit(spark, SF).collect()}
+    assert set(got) == set(by_label)
+    for lbl, vecs in by_label.items():
+        M = np.stack(vecs)
+        n = len(vecs)
+        sum_sq = int((M * M).sum())
+        norm_sq = int((M.sum(axis=0) ** 2).sum())
+        pair = sum(
+            int(M[i] @ M[j]) for i in range(n) for j in range(i + 1, n)
+        )
+        r = got[lbl]
+        assert r["n"] == n
+        assert r["n_pairs"] == n * (n - 1) // 2
+        assert r["sum_sq_norm"] == sum_sq
+        assert r["norm_sq_sum"] == norm_sq
+        assert r["pair_dot_sum"] == pair
+        assert norm_sq - sum_sq == 2 * pair  # the identity itself
