@@ -3894,6 +3894,149 @@ FROM {last} t JOIN gf g USING (blk)
 SQL_ISOTONIC_CALIBRATION = _sql_isotonic_calibration()
 
 
+# ---------------------------------------------------------------------------
+# CUPED variance-reduced experiment readout (§2.15 row 273): the standard
+# experimentation-platform adjustment (Deng et al., WSDM'13, public) —
+# adjusted metric = Y − θ·(X − E[X]) with θ = cov(X,Y)/var(X) from the
+# PRE-period covariate, here X = per-user event count in Jan 1-15 and
+# Y = the count in Jan 16-30, arms assigned by a deterministic md5 coin.
+#
+# Everything is EXACT integer algebra so the gate hash cannot trip on
+# float summation order: counts are ints; n²·cov = n·Σxy − Σx·Σy and
+# n²·var = n·Σx² − (Σx)² are exact int64; θ and all means ship in micro
+# units via a sign-portable floor division (a − ((a % b) + b) % b) / b —
+# Spark's div and DuckDB's // disagree on negative operands, this form
+# doesn't.  Scale posture: ONE combinable per-user groupBy over the event
+# stream, then arm/global rollups over user-cardinality rows; θ rides a
+# 1-row broadcast crossJoin (the hits.py normalizer pattern).
+# ---------------------------------------------------------------------------
+
+_CUPED_SPLIT_DAY = 16  # days < 16 → covariate window, >= 16 → metric window
+
+
+def _fdiv(a, b):
+    """Floor division a // b (b > 0) as exact int64, identical on Spark
+    and DuckDB for either sign of ``a`` (both engines' native integer
+    division truncates toward zero, which differs on negatives)."""
+    m = ((a % b) + b) % b
+    return ((a - m) / b).cast("long")
+
+
+def q_cuped_adjust(spark, sf_dir):
+    """Per arm: (arm, n, sum_x, sum_y, theta_micro, mean_y_micro,
+    mean_adj_micro) — raw and CUPED-adjusted period-2 means."""
+    from .datapipe import _md5_int
+
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.dayofmonth("ts") < _CUPED_SPLIT_DAY, 1).otherwise(0)
+        ).cast("long").alias("x"),
+        F.sum(
+            F.when(F.dayofmonth("ts") >= _CUPED_SPLIT_DAY, 1).otherwise(0)
+        ).cast("long").alias("y"),
+    ).select(
+        (_md5_int(F.concat(F.lit("arm:"), F.col("user_id").cast("string"))) % 2)
+        .cast("int")
+        .alias("arm"),
+        "x",
+        "y",
+    )
+    g = per_user.agg(
+        F.count(F.lit(1)).alias("gn"),
+        F.sum("x").alias("gsx"),
+        F.sum("y").alias("gsy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    ).select(
+        "gn",
+        "gsx",
+        _fdiv(
+            F.lit(1_000_000).cast("long")
+            * (F.col("gn") * F.col("sxy") - F.col("gsx") * F.col("gsy")),
+            F.col("gn") * F.col("sxx") - F.col("gsx") * F.col("gsx"),
+        ).alias("theta_micro"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sum_x"),
+        F.sum("y").alias("sum_y"),
+    )
+    mil = F.lit(1_000_000).cast("long")
+    out = arms.crossJoin(F.broadcast(g))
+    mean_y = _fdiv(mil * F.col("sum_y"), F.col("n"))
+    dx = _fdiv(mil * F.col("sum_x"), F.col("n")) - _fdiv(
+        mil * F.col("gsx"), F.col("gn")
+    )
+    return out.select(
+        "arm",
+        "n",
+        "sum_x",
+        "sum_y",
+        "theta_micro",
+        mean_y.alias("mean_y_micro"),
+        (mean_y - _fdiv(F.col("theta_micro") * dx, mil)).alias(
+            "mean_adj_micro"
+        ),
+    )
+
+
+def _sql_cuped() -> str:
+    from .datapipe import _sql_md5_int
+
+    def fdiv(a: str, b: str) -> str:
+        return (
+            f"CAST((({a}) - (((({a}) % ({b})) + ({b})) % ({b}))) / ({b})"
+            " AS BIGINT)"
+        )
+
+    arm = _sql_md5_int("'arm:' || CAST(user_id AS VARCHAR)")
+    theta = fdiv(
+        "1000000 * (gn * sxy - gsx * gsy)",
+        "gn * sxx - gsx * gsx",
+    )
+    mean_y = fdiv("1000000 * sum_y", "n")
+    dx = (
+        fdiv("1000000 * sum_x", "n")
+        + " - "
+        + fdiv("1000000 * gsx", "gn")
+    )
+    return f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN day(ts) < {_CUPED_SPLIT_DAY} THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(sum(CASE WHEN day(ts) >= {_CUPED_SPLIT_DAY} THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events GROUP BY user_id
+), armed AS (
+  SELECT CAST({arm} % 2 AS INT) AS arm, x, y FROM per_user
+), g AS (
+  SELECT CAST(count(*) AS BIGINT) AS gn,
+         CAST(sum(x) AS BIGINT) AS gsx,
+         CAST(sum(y) AS BIGINT) AS gsy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM armed
+), gt AS (
+  SELECT gn, gsx, {theta} AS theta_micro FROM g
+), arms AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sum_x,
+         CAST(sum(y) AS BIGINT) AS sum_y
+  FROM armed GROUP BY arm
+)
+SELECT arm, n, sum_x, sum_y, theta_micro,
+       {mean_y} AS mean_y_micro,
+       {mean_y} - {fdiv(f"theta_micro * ({dx})", "1000000")}
+         AS mean_adj_micro
+FROM arms CROSS JOIN gt
+"""
+
+
+SQL_CUPED_ADJUST = _sql_cuped()
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "filter_project": (q_filter_project, SQL_FILTER_PROJECT),
     "dropdup": (q_dropdup, SQL_DROPDUP),
@@ -3974,6 +4117,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "join_full_outer": (q_join_full_outer, SQL_JOIN_FULL_OUTER),
     "bisect_median": (q_bisect_median, SQL_BISECT_MEDIAN),
     "isotonic_calibration": (q_isotonic_calibration, SQL_ISOTONIC_CALIBRATION),
+    "cuped_adjust": (q_cuped_adjust, SQL_CUPED_ADJUST),
     "cusum_changepoint": (q_cusum_changepoint, SQL_CUSUM_CHANGEPOINT),
     "benford_audit": (q_benford_audit, SQL_BENFORD_AUDIT),
     "table_profile": (q_table_profile, SQL_TABLE_PROFILE),
