@@ -49,7 +49,7 @@ _GATE_PRIORITY = [
     "emb_semdedup", "doc_dedup_retention", "rrf_fusion", "mmr_rerank", "host_anchor_terms", "emb_knn_label_purity", "basket_lift", "crawl_budget", "event_trigrams", "rfm_scores", "emb_label_outliers", "link_negatives", "decayed_activity", "emb_int8_audit", "order_backlog", "zorder_layout", "last_touch_attribution", "engine_msbfs", "doc_cdc_chunks", "engine_kcenter", "engine_ltcascade", "cliques4", "emb_power_iter",
     "bpe_merges", "skipgram_pmi", "posting_compression", "km_survival",
     "reach2_hist", "doc_trigram_novelty", "triangle_doulion",
-    "emb_meandot_audit", "cuped_adjust",
+    "emb_meandot_audit", "cuped_adjust", "markov_accuracy",
     "cusum_changepoint", "benford_audit", "table_profile", "sft_pairs",
     "markov_stationary", "spatial_nn_join", "k_anonymity",
     "skyline_parts", "winsorize_stats", "fk_integrity", "theil_sen_trend",

@@ -4169,6 +4169,101 @@ FROM r1 JOIN r2 USING (s) GROUP BY reach1, reach2
 
 
 # --------------------------------------------------------------------------
+# Markov next-event prediction accuracy (§2.15 row 274): train the
+# first-order transition predictor on the PRE-split transitions (source
+# day < 16), predict argmax-next per event type (count DESC, type ASC
+# tiebreak), and score top-1 hit rate on the POST-split transitions — the
+# temporal train/test evaluation loop every sequence model ships with,
+# run entirely in the engine.  Complements markov_stationary (equilibrium
+# of the same chain) with out-of-sample predictive quality.
+#
+# Scale posture: transitions = ONE window pass (the turn-edge shuffle);
+# train counts are a combinable k² aggregate; the argmax is a window over
+# the k²-row AGGREGATE, never the stream; scoring is a broadcast-sized
+# join (k rows) onto the test transitions + one combinable rollup.
+# Accuracy ships as exact int64 micro-units.
+# --------------------------------------------------------------------------
+
+_MARKOV_SPLIT_DAY = 16
+
+
+def q_markov_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per source event type: (src, pred, train_c, n_test, n_hit,
+    acc_micro) — the trained argmax successor and its out-of-sample
+    top-1 accuracy."""
+    from .webpipe import _micro_ratio
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = e.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+        F.dayofmonth("ts").alias("d_src"),
+    ).where(F.col("dst").isNotNull())
+    train = (
+        pairs.where(F.col("d_src") < _MARKOV_SPLIT_DAY)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wr = Window.partitionBy("src").orderBy(F.col("c").desc(), F.col("dst"))
+    pred = (
+        train.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") == 1)
+        .select("src", F.col("dst").alias("pred"), F.col("c").alias("train_c"))
+    )
+    test = pairs.where(F.col("d_src") >= _MARKOV_SPLIT_DAY)
+    per = (
+        test.join(F.broadcast(pred), "src")
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(F.when(F.col("dst") == F.col("pred"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_hit"),
+        )
+    )
+    return per.join(F.broadcast(pred), "src").select(
+        "src",
+        "pred",
+        "train_c",
+        "n_test",
+        "n_hit",
+        _micro_ratio(F.col("n_hit"), F.col("n_test")).alias("acc_micro"),
+    )
+
+
+SQL_MARKOV_ACCURACY = f"""
+WITH pairs AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst,
+         day(ts) AS d_src
+  FROM events
+), p2 AS (
+  SELECT * FROM pairs WHERE dst IS NOT NULL
+), train AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS c
+  FROM p2 WHERE d_src < {_MARKOV_SPLIT_DAY} GROUP BY src, dst
+), pred AS (
+  SELECT src, dst AS pred, c AS train_c FROM (
+    SELECT src, dst, c,
+           row_number() OVER (PARTITION BY src ORDER BY c DESC, dst) AS rk
+    FROM train) WHERE rk = 1
+), test AS (
+  SELECT src, dst FROM p2 WHERE d_src >= {_MARKOV_SPLIT_DAY}
+), per AS (
+  SELECT t.src, CAST(count(*) AS BIGINT) AS n_test,
+         CAST(sum(CASE WHEN t.dst = p.pred THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hit
+  FROM test t JOIN pred p USING (src) GROUP BY t.src
+)
+SELECT src, pred, train_c, n_test, n_hit,
+       (2000000 * n_hit + n_test) // (2 * n_test) AS acc_micro
+FROM per JOIN pred USING (src)
+"""
+
+
+# --------------------------------------------------------------------------
 # DOULION sampled triangle estimate (§2.15 row 271): keep each undirected
 # simple edge with probability p = 1/2 via a DETERMINISTIC md5 coin
 # (md5(u|v) even), count triangles exactly on the sparsified graph, and
@@ -4250,6 +4345,7 @@ def registry():
         "attack_tolerance": (q_attack_tolerance, SQL_ATTACK_TOLERANCE),
         "reach2_hist": (q_reach2_hist, SQL_REACH2_HIST),
         "triangle_doulion": (q_triangle_doulion, SQL_TRIANGLE_DOULION),
+        "markov_accuracy": (q_markov_accuracy, SQL_MARKOV_ACCURACY),
         "vertex_cover": (q_vertex_cover, SQL_VERTEX_COVER),
         "edge_churn": (q_edge_churn, SQL_EDGE_CHURN),
         "decayed_pagerank": (q_decayed_pagerank, SQL_DECAYED_PAGERANK),

@@ -2116,3 +2116,53 @@ def test_triangle_doulion_matches_python(spark, dk_edges):
     assert row["tri_sampled"] == tri
     assert row["tri_est"] == 8 * tri
     assert 0 < row["n_kept"] < row["n_edges"]  # the coin actually splits
+
+
+def test_markov_accuracy_matches_python(spark):
+    """Train/test top-1 transition accuracy == a from-scratch Counter
+    replay with the same temporal split and (count DESC, type ASC)
+    argmax tiebreak."""
+    from collections import Counter as C
+
+    from linkgraph.graphstats import _MARKOV_SPLIT_DAY, q_markov_accuracy
+    from linkgraph.io import load_table
+
+    ev = sorted(
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    train: dict[str, C] = {}
+    test: list[tuple[str, str]] = []
+    for a, b in zip(ev, ev[1:]):
+        if a["user_id"] != b["user_id"]:
+            continue
+        src, dst, day = a["event_type"], b["event_type"], a["ts"].day
+        if day < _MARKOV_SPLIT_DAY:
+            train.setdefault(src, C())[dst] += 1
+        else:
+            test.append((src, dst))
+    pred = {
+        s: min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        for s, c in train.items()
+    }
+    want = {}
+    for s, (p, c) in pred.items():
+        trials = [(x, y) for x, y in test if x == s]
+        if not trials:
+            continue
+        n = len(trials)
+        hit = sum(1 for _, y in trials if y == p)
+        want[s] = (p, c, n, hit, (2_000_000 * hit + n) // (2 * n))
+
+    got = {
+        r["src"]: (
+            r["pred"], r["train_c"], r["n_test"], r["n_hit"], r["acc_micro"]
+        )
+        for r in q_markov_accuracy(spark, SF_DIR).collect()
+    }
+    assert got == want
+    # the predictor must beat chance on this fixture (k event types)
+    k = len({r["event_type"] for r in ev})
+    assert any(acc > 1_000_000 // k for *_, acc in got.values())
