@@ -50,6 +50,7 @@ _GATE_PRIORITY = [
     "bpe_merges", "skipgram_pmi", "posting_compression", "km_survival",
     "reach2_hist", "doc_trigram_novelty", "triangle_doulion",
     "emb_meandot_audit", "cuped_adjust", "markov_accuracy",
+    "events_autocorr",
     "cusum_changepoint", "benford_audit", "table_profile", "sft_pairs",
     "markov_stationary", "spatial_nn_join", "k_anonymity",
     "skyline_parts", "winsorize_stats", "fk_integrity", "theil_sen_trend",

@@ -4037,6 +4037,100 @@ FROM arms CROSS JOIN gt
 SQL_CUPED_ADJUST = _sql_cuped()
 
 
+# ---------------------------------------------------------------------------
+# exact-integer autocorrelation function (§2.15 row 275): lag-1..7 sample
+# ACF of the daily event-count series — the stationarity/seasonality
+# diagnostic read before fitting holt_winters (a weekly cycle shows as a
+# lag-7 peak).  The classic estimator r_k = Σ(x_t−x̄)(x_{t+k}−x̄)/Σ(x_t−x̄)²
+# is computed with the mean cleared of division: scaling by n gives
+# num'_k = Σ(n·x_t − S)(n·x_{t+k} − S) and den' = Σ(n·x_t − S)² — exact
+# int64 products, and r_micro ships via the sign-portable floor division
+# (_fdiv), so the gate hash sees only integers.
+#
+# Scale posture: the corpus-sized work is ONE combinable groupBy(day);
+# everything downstream (lag join, num/den sums) runs on the
+# series-length aggregate (days, not events) — the shape that computes an
+# ACF over 10^12 events without a single wide shuffle.
+# ---------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 7
+
+
+def q_events_autocorr(spark, sf_dir):
+    """One row per lag k=1..7: (k, n_pairs, num_scaled, den_scaled,
+    r_micro) over the daily event-count series."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.dayofmonth("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    g = daily.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+    )
+    c = daily.crossJoin(F.broadcast(g)).select(
+        "d", (F.col("n") * F.col("x") - F.col("s")).alias("cx"), "n"
+    )
+    den = c.agg(F.sum(F.col("cx") * F.col("cx")).alias("den_scaled"))
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("k")
+    )
+    a = c.select(F.col("d"), F.col("cx").alias("ca"))
+    b = c.select(F.col("d").alias("d2"), F.col("cx").alias("cb"))
+    pairs = (
+        lags.crossJoin(a)
+        .join(b, F.col("d2") == F.col("d") + F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("ca") * F.col("cb")).alias("num_scaled"),
+        )
+    )
+    return pairs.crossJoin(F.broadcast(den)).select(
+        "k",
+        "n_pairs",
+        "num_scaled",
+        "den_scaled",
+        _fdiv(
+            F.lit(1_000_000).cast("long") * F.col("num_scaled"),
+            F.col("den_scaled"),
+        ).alias("r_micro"),
+    )
+
+
+def _sql_autocorr() -> str:
+    def fdiv(a: str, b: str) -> str:
+        return (
+            f"CAST((({a}) - (((({a}) % ({b})) + ({b})) % ({b}))) / ({b})"
+            " AS BIGINT)"
+        )
+
+    return f"""
+WITH daily AS (
+  SELECT day(ts) AS d, CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY day(ts)
+), g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+  FROM daily
+), c AS (
+  SELECT d, n * x - s AS cx FROM daily CROSS JOIN g
+), den AS (
+  SELECT CAST(sum(cx * cx) AS BIGINT) AS den_scaled FROM c
+), lags AS (
+  SELECT unnest(generate_series(1, {_ACF_MAX_LAG})) AS k
+), pairs AS (
+  SELECT CAST(k AS INT) AS k, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(a.cx * b.cx) AS BIGINT) AS num_scaled
+  FROM lags, c a, c b WHERE b.d = a.d + k
+  GROUP BY k
+)
+SELECT k, n_pairs, num_scaled, den_scaled,
+       {fdiv("1000000 * num_scaled", "den_scaled")} AS r_micro
+FROM pairs CROSS JOIN den
+"""
+
+
+SQL_EVENTS_AUTOCORR = _sql_autocorr()
+
+
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "filter_project": (q_filter_project, SQL_FILTER_PROJECT),
     "dropdup": (q_dropdup, SQL_DROPDUP),
@@ -4118,6 +4212,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "bisect_median": (q_bisect_median, SQL_BISECT_MEDIAN),
     "isotonic_calibration": (q_isotonic_calibration, SQL_ISOTONIC_CALIBRATION),
     "cuped_adjust": (q_cuped_adjust, SQL_CUPED_ADJUST),
+    "events_autocorr": (q_events_autocorr, SQL_EVENTS_AUTOCORR),
     "cusum_changepoint": (q_cusum_changepoint, SQL_CUSUM_CHANGEPOINT),
     "benford_audit": (q_benford_audit, SQL_BENFORD_AUDIT),
     "table_profile": (q_table_profile, SQL_TABLE_PROFILE),

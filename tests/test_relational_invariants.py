@@ -1220,3 +1220,36 @@ def test_cuped_adjust_matches_python(spark):
     adj_vals = yv - th * (xv - xv.mean())
     assert np.var(adj_vals) < np.var(yv)
     assert theta > 0  # periods positively correlate on this fixture
+
+
+def test_events_autocorr_matches_numpy(spark):
+    """Exact-integer ACF == numpy's float ACF on the same daily series
+    (micro-rounded), plus the scaling identities."""
+    from linkgraph.relational import _ACF_MAX_LAG, q_events_autocorr
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").toPandas()
+    days = pd.to_datetime(ev["ts"]).dt.day
+    series = days.value_counts().sort_index()
+    x = series.to_numpy(np.int64)
+    d = series.index.to_numpy(np.int64)
+    n, s = len(x), int(x.sum())
+    cx = {int(dd): int(n * xx - s) for dd, xx in zip(d, x)}
+    den = sum(v * v for v in cx.values())
+
+    got = {r["k"]: r for r in q_events_autocorr(spark, SF).collect()}
+    assert set(got) == set(range(1, _ACF_MAX_LAG + 1))
+    for k in range(1, _ACF_MAX_LAG + 1):
+        num = sum(
+            cx[dd] * cx[dd + k] for dd in cx if dd + k in cx
+        )
+        npairs = sum(1 for dd in cx if dd + k in cx)
+        r = got[k]
+        assert r["n_pairs"] == npairs
+        assert r["num_scaled"] == num
+        assert r["den_scaled"] == den
+        fl = 1_000_000 * num
+        assert r["r_micro"] == (fl - (((fl % den) + den) % den)) // den
+        # the micro value is within one rounding step of the exact ratio,
+        # and a valid correlation
+        assert abs(r["r_micro"] / 1e6 - num / den) < 2e-6
+        assert abs(num / den) <= 1.0 + 1e-12
