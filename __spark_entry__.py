@@ -18,35 +18,22 @@ from pyspark.sql import DataFrame, SparkSession
 # The driver's correctness gate records only the FIRST 50 rows of
 # ``queries()`` iteration order.  This list pins the window so that rows
 # lacking a driver-green CORRECTNESS record in ANY prior round come first
-# (VERDICT r03 "Next round" #1): the 21 never-driver-rowed rows +
-# ``pagerank_top10`` (red in r1, never re-rowed), then the 14 rows whose
-# last green was r2 (rotated out of the r3 window), then any rows new this
-# round.  Everything else follows in registry order; the union of
-# driver-green rows across rounds then covers the whole registry.
-# tests/test_gate_window.py trips if a registry row ever falls outside
-# both this window and the cross-round green union.
+# (VERDICT r04 "Next round" #1).  After the r4 gate landed, the cross-round
+# driver-green union covers 113/264 rows; 149 oracled rows have never had a
+# driver CORRECTNESS row.  This r5 rotation puts 50 of those 149 first, in
+# the verdict's suggested order: the §2.14 leftovers (rrf_fusion …
+# emb_power_iter), then textops, then the graphstats/relational `local`
+# rows in prior queue order.  Everything else follows in registry order.
+# tests/test_gate_window.py trips if a window slot is wasted on an
+# already-green row while un-green rows wait outside.
 _GATE_PRIORITY = [
-    # never driver-green (r1-r3)
-    "engine_sssp", "engine_ppr", "engine_hits",
-    "clustering_coeff", "jaccard_pairs", "adamic_adar",
-    "degree_hist", "random_walks",
-    "doc_dedup_clusters", "doc_tfidf", "doc_bigram_topk",
-    "doc_stratified_sample", "doc_pack_sequences", "doc_chunk",
-    "doc_contamination",
-    "ann_ivf_topk", "ann_ivf_recall",
-    "media_stats", "media_decode", "media_frames", "media_resize",
-    "pagerank_top10",
-    # new in r4
-    "ann_ivf_kmeans_recall",
-    "graph_reciprocity", "degree_assortativity", "engine_diameter2sweep",
-    "url_host_edges", "doc_pii", "doc_repetition", "token_zipf",
-    "host_pagerank", "doc_bigram_lm", "component_sizes",
-    "anf_kmv", "ktruss_edges", "doc_entropy", "url_dedup",
-    "engine_eigenvector", "modularity", "transitivity",
-    "tool_cousage", "doc_length_buckets", "betweenness_pivots",
-    "doc_weighted_sample", "temporal_paths2", "doc_mixture_sample",
-    "bridge_edges", "ann_pq_recall",
-    "emb_semdedup", "doc_dedup_retention", "rrf_fusion", "mmr_rerank", "host_anchor_terms", "emb_knn_label_purity", "basket_lift", "crawl_budget", "event_trigrams", "rfm_scores", "emb_label_outliers", "link_negatives", "decayed_activity", "emb_int8_audit", "order_backlog", "zorder_layout", "last_touch_attribution", "engine_msbfs", "doc_cdc_chunks", "engine_kcenter", "engine_ltcascade", "cliques4", "emb_power_iter",
+    # ---- r5 window: 50 rows never driver-verified in r1-r4 ----
+    "rrf_fusion", "mmr_rerank", "host_anchor_terms", "emb_knn_label_purity",
+    "basket_lift", "crawl_budget", "event_trigrams", "rfm_scores",
+    "emb_label_outliers", "link_negatives", "decayed_activity",
+    "emb_int8_audit", "order_backlog", "zorder_layout",
+    "last_touch_attribution", "engine_msbfs", "doc_cdc_chunks",
+    "engine_kcenter", "engine_ltcascade", "cliques4", "emb_power_iter",
     "bpe_merges", "skipgram_pmi", "posting_compression", "km_survival",
     "reach2_hist", "doc_trigram_novelty", "triangle_doulion",
     "emb_meandot_audit", "cuped_adjust", "markov_accuracy",
@@ -54,18 +41,44 @@ _GATE_PRIORITY = [
     "cusum_changepoint", "benford_audit", "table_profile", "sft_pairs",
     "markov_stationary", "spatial_nn_join", "k_anonymity",
     "skyline_parts", "winsorize_stats", "fk_integrity", "theil_sen_trend",
-    "auc_mann_whitney", "calibration_bins", "engine_widest", "chi2_independence", "poisson_bootstrap", "holt_winters", "burt_constraint", "item_cf", "skew_profile", "join_full_outer", "bisect_median", "isotonic_calibration", "attack_tolerance",
+    "auc_mann_whitney", "calibration_bins", "engine_widest",
+    "chi2_independence", "poisson_bootstrap", "holt_winters",
+    "burt_constraint",
+    # ---- still un-green after the r5 window (99 rows, next rotation) ----
+    "item_cf", "skew_profile", "join_full_outer", "bisect_median",
+    "isotonic_calibration", "attack_tolerance",
+    "running_distinct", "unpivot_lineitem", "moving_window_1h",
+    "funnel_conversion", "rate_anomaly", "scd2_customers", "session_paths",
+    "tool_latency", "tool_position", "user_burstiness", "tool_runs",
+    "cohort_retention", "active_users", "bloom_semijoin", "kmv_distinct",
+    "engine_components_warm", "engine_bipartite", "engine_onion", "bowtie",
+    "engine_salsa", "neighbor_sample", "node2vec_walks",
+    "simhash_pairs", "doc_winnow", "split_ks", "doc_split_leakfree",
+    "doc_shard_hrw", "doc_dedup_best", "doc_span_mask", "doc_dedup_sources",
+    "doc_ppjoin", "doc_quality_filter", "inverted_index", "bm25_topk",
+    "langid_confusion", "word_pmi", "doc_keywords", "doc_containment_pairs",
+    "doc_dsir_select", "doc_bpe_merges", "doc_bpe_encode",
+    "doc_bpe_fertility", "lang_temperature_mix", "doc_span_dedup",
+    "doc_edit_dups", "ann_trunc_recall", "emb_drift",
+    "emb_random_projection", "knn_graph_mutual",
+    "media_phash", "media_energy", "media_trim",
+    "densest_subgraph", "engine_matching", "percolation_giant",
+    "vertex_cover", "edge_churn", "decayed_pagerank", "rich_club",
+    "community_conductance", "degree_gini", "type_mixing",
+    "degree_connectivity", "transition_entropy", "engine_msf",
+    "feature_prop", "partition_cut", "louvain_sync", "label_spread",
+    "engine_coloring", "engine_mis", "wl_refine", "rectangles",
+    "hitting_prob", "dag_levels", "triangle_communities", "rank_stability",
+    "powerlaw_alpha", "edge_embeddedness", "densification_curve",
+    "triad_census", "simrank_pairs",
+    "url_blocklist", "rank_weighted_sample", "host_spam_mass",
+    "doc_line_dedup", "doc_gopher_rules", "token_cms_topk", "doc_nfc",
+    "heaps_law", "doc_readability", "hapax_rate", "doc_distinct_ngrams",
     # NOTE: ann_lsh_topk / ann_pq_topk are rows-only by design (no oracle)
     # and can never enter the green union — they are exempted in
     # tests/test_gate_window.py (their correctness is gated by the
     # hash-checked ann_lsh_recall / ann_pq_recall rows) rather than pinned
     # to window slots that full hash rows can use.
-    # last green in r2 — refresh before they go stale
-    "doc_exact_dedup", "doc_minhash", "doc_near_dups", "doc_simhash",
-    "doc_token_stats", "doc_quality", "doc_langid", "doc_fingerprint",
-    "doc_split",
-    "ann_topk_cosine", "ann_lsh_recall",
-    "emb_near_dups_exact", "emb_near_dups_lsh",
 ]
 
 
