@@ -43,8 +43,11 @@ _GATE_PRIORITY = [
     "skyline_parts", "winsorize_stats", "fk_integrity", "theil_sen_trend",
     "auc_mann_whitney", "calibration_bins", "engine_widest",
     "chi2_independence", "poisson_bootstrap", "holt_winters",
+    # the single r5-new row (growth freeze, VERDICT r04 #2): certifies the
+    # streaming exactly-once sink path driver-side (VERDICT r04 #5)
+    "streaming_sink_counts",
+    # ---- still un-green after the r5 window (100 rows, next rotation) ----
     "burt_constraint",
-    # ---- still un-green after the r5 window (99 rows, next rotation) ----
     "item_cf", "skew_profile", "join_full_outer", "bisect_median",
     "isotonic_calibration", "attack_tolerance",
     "running_distinct", "unpivot_lineitem", "moving_window_1h",
@@ -114,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from linkgraph.graphstats import registry as graphstats_registry
     from linkgraph.multimodal import registry as multimodal_registry
     from linkgraph.relational import REGISTRY
+    from linkgraph.streaming import registry as streaming_registry
     from linkgraph.textops import registry as textops_registry
     from linkgraph.webpipe import registry as webpipe_registry
 
@@ -127,6 +131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update({name: fn for name, (fn, _sql) in graphstats_registry().items()})
     out.update({name: fn for name, (fn, _sql) in webpipe_registry().items()})
     out.update({name: fn for name, (fn, _sql) in textops_registry().items()})
+    out.update({name: fn for name, (fn, _sql) in streaming_registry().items()})
     out["pagerank_top10"] = lambda spark, sf_dir: flagship(spark, sf_dir)
     return _prioritize(out)
 
@@ -140,6 +145,7 @@ def oracle_sql() -> dict[str, str]:
     from linkgraph.graphstats import registry as graphstats_registry
     from linkgraph.multimodal import registry as multimodal_registry
     from linkgraph.relational import REGISTRY
+    from linkgraph.streaming import registry as streaming_registry
     from linkgraph.textops import registry as textops_registry
     from linkgraph.webpipe import registry as webpipe_registry
 
@@ -148,7 +154,7 @@ def oracle_sql() -> dict[str, str]:
     out = {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}
     for reg in (engine_registry(), datapipe_registry(), ann_registry(),
                 multimodal_registry(), graphstats_registry(), webpipe_registry(),
-                textops_registry()):
+                textops_registry(), streaming_registry()):
         out.update({name: sql for name, (_fn, sql) in reg.items() if sql is not None})
     # flagship: fixed 5-superstep PageRank, top-10 -> unrolled-CTE oracle
     out["pagerank_top10"] = pagerank_fixed_sql(5, limit=10, with_vid=True)
