@@ -3867,8 +3867,8 @@ FROM tc_tri GROUP BY 1, 2
 # I(b)| / (|I(a)| * |I(b)|) over in-neighbor sets I(.).  Scale shape: the
 # co-citation pair fan-out is sum_x outdeg(x)^2 (each SOURCE emits its
 # out-neighbor pairs), bounded on this graph by the tiny event-type
-# alphabet; on a web graph the production guard is the same out-degree
-# cap / salting knob jaccard_pairs carries.  Counts and degrees stay
+# alphabet; on a web graph the max_deg parameter carries the same
+# out-degree cap jaccard_pairs has.  Counts and degrees stay
 # exact integers; the one double (C*inter/(da*db)) is formed with the
 # identical op order in both engines, so the top-k cut is bit-stable.
 # --------------------------------------------------------------------------
@@ -3877,15 +3877,33 @@ _SIMRANK_C = 0.8
 _SIMRANK_TOPK = 20
 
 
-def q_simrank_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_simrank_pairs(
+    spark: SparkSession, sf_dir: str, max_deg: int | None = None
+) -> DataFrame:
     """Top-20 vertex pairs by one-iteration SimRank.  Output
-    (a, b, n_common_in, in_deg_a, in_deg_b, simrank1)."""
+    (a, b, n_common_in, in_deg_a, in_deg_b, simrank1).
+
+    ``max_deg``: production hub cap (the jaccard_pairs knob) — sources with
+    out-degree > max_deg are excluded from co-citation pair generation,
+    bounding the per-source fan-out at cap^2 (in-degrees in the
+    denominator always use the FULL graph).  None (the gate default) =
+    exact; capped == uncapped whenever max_deg >= the true max out-degree
+    (pytest-asserted on the gate fixture)."""
     dk = _directed_simple(spark, sf_dir)
     indeg = dk.groupBy(F.col("t").alias("x")).agg(
         F.count(F.lit(1)).alias("d")
     )
-    e1 = dk.select(F.col("s").alias("src"), F.col("t").alias("a"))
-    e2 = dk.select(F.col("s").alias("src"), F.col("t").alias("b"))
+    src_e = dk
+    if max_deg is not None:
+        ok_src = (
+            dk.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("od"))
+            .where(F.col("od") <= max_deg)
+            .select("s")
+        )
+        src_e = dk.join(ok_src, "s", "semi")
+    e1 = src_e.select(F.col("s").alias("src"), F.col("t").alias("a"))
+    e2 = src_e.select(F.col("s").alias("src"), F.col("t").alias("b"))
     inter = (
         e1.join(e2, "src")
         .where(F.col("a") < F.col("b"))
@@ -4110,31 +4128,51 @@ LIMIT {_SEQ_TOPK}
 # structure lives in how reach2 varies WITH degree.
 #
 # Scale posture: the 2-hop expansion is ONE self equi-join on the shared
-# mid-vertex — fan-out is sum(deg(v)^2), the known hub-sensitive term; at
-# 100 TB production caps hubs (the jaccard_pairs max_deg knob / switches
-# to the anf_kmv sketch beyond the cap) while the gate runs the exact
+# mid-vertex — fan-out is sum(deg(v)^2), the known hub-sensitive term; the
+# max_deg parameter routes the expansion through <=cap-degree mids only
+# (fan-out sum(min(deg, cap)^2); beyond the cap production reads the
+# anf_kmv sketch instead) while the gate runs the exact
 # ball.  Both distincts dedup on (s, t) BEFORE the per-vertex count so
 # multiplicity never inflates reach; the final aggregates are map-side-
 # combinable hash aggs over vertex-sized data, and the histogram is
 # bounded by distinct (reach1, reach2) pairs, never V.
 # --------------------------------------------------------------------------
 
-def q_reach2_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_reach2_hist(
+    spark: SparkSession, sf_dir: str, max_deg: int | None = None
+) -> DataFrame:
     """Joint histogram (reach1, reach2, n_vertices) of exact 1-hop degree
-    and 2-hop ball size."""
+    and 2-hop ball size.
+
+    ``max_deg``: production hub cap (same knob as linkpred.jaccard_pairs) —
+    the 2-hop expansion only routes through MID vertices with degree <=
+    max_deg, bounding the self-join fan-out at sum(min(deg, cap)^2) instead
+    of sum(deg^2).  reach2 then counts the ball reachable through
+    low-degree intermediaries (a documented lower bound; beyond the cap
+    production reads the anf_kmv sketch instead).  None (the gate default)
+    = exact.  Capped == uncapped whenever max_deg >= the true max degree
+    (pytest-asserted on the gate fixture)."""
     dk = _directed_simple(spark, sf_dir)
     und = (
         dk.select("s", "t")
         .unionByName(dk.select(F.col("t").alias("s"), F.col("s").alias("t")))
         .distinct()
     )
+    r1 = und.groupBy("s").agg(F.count(F.lit(1)).alias("reach1"))
+    thru = und
+    if max_deg is not None:
+        # keep only wedge legs whose mid vertex (a.t == b.s) is low-degree;
+        # filtering the a-side target suffices since b.s is the same vertex
+        ok_mid = r1.where(F.col("reach1") <= max_deg).select(
+            F.col("s").alias("t")
+        )
+        thru = und.join(ok_mid, "t", "semi")
     hop2 = (
-        und.alias("a")
+        thru.alias("a")
         .join(und.alias("b"), F.col("a.t") == F.col("b.s"))
         .select(F.col("a.s").alias("s"), F.col("b.t").alias("t"))
         .where(F.col("s") != F.col("t"))
     )
-    r1 = und.groupBy("s").agg(F.count(F.lit(1)).alias("reach1"))
     ball = und.unionByName(hop2).distinct()
     r2 = ball.groupBy("s").agg(F.count(F.lit(1)).alias("reach2"))
     return (

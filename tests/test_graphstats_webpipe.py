@@ -2166,3 +2166,95 @@ def test_markov_accuracy_matches_python(spark):
     # the predictor must beat chance on this fixture (k event types)
     k = len({r["event_type"] for r in ev})
     assert any(acc > 1_000_000 // k for *_, acc in got.values())
+
+
+def test_reach2_hist_max_deg_cap(spark, dk_edges):
+    """Hub cap (VERDICT r04 #3): with max_deg >= the true max degree the
+    capped histogram is EXACTLY the uncapped one; with a tight cap the
+    2-hop mass can only shrink and matches a python sweep that routes
+    hop-2 only through <=cap-degree mids."""
+    from collections import Counter as C
+
+    from linkgraph.graphstats import q_reach2_hist
+
+    und: dict = {}
+    for s, t in dk_edges:
+        if s != t:
+            und.setdefault(s, set()).add(t)
+            und.setdefault(t, set()).add(s)
+    maxdeg = max(len(v) for v in und.values())
+
+    exact = {
+        (r["reach1"], r["reach2"]): r["n_vertices"]
+        for r in q_reach2_hist(spark, SF_DIR).collect()
+    }
+    loose = {
+        (r["reach1"], r["reach2"]): r["n_vertices"]
+        for r in q_reach2_hist(spark, SF_DIR, max_deg=maxdeg).collect()
+    }
+    assert loose == exact
+
+    cap = max(2, maxdeg // 4)
+    want: C = C()
+    for v, nbs in und.items():
+        ball = set(nbs)
+        for mid in nbs:
+            if len(und[mid]) <= cap:
+                ball |= und[mid]
+        ball.discard(v)
+        want[(len(nbs), len(ball))] += 1
+    got = {
+        (r["reach1"], r["reach2"]): r["n_vertices"]
+        for r in q_reach2_hist(spark, SF_DIR, max_deg=cap).collect()
+    }
+    assert got == dict(want)
+    # the cap must actually bite on this hubby fixture
+    assert got != exact
+    assert sum(r2 * n for (_, r2), n in got.items()) < sum(
+        r2 * n for (_, r2), n in exact.items()
+    )
+
+
+def test_simrank_pairs_max_deg_cap(spark, dk_edges):
+    """Hub cap (VERDICT r04 #3): with max_deg >= the true max out-degree
+    the capped top-k equals the exact one; with a tight cap the result
+    matches a python sweep that drops high-out-degree sources from
+    co-citation generation (denominator degrees stay FULL-graph)."""
+    from linkgraph.graphstats import _SIMRANK_C, _SIMRANK_TOPK, q_simrank_pairs
+
+    out: dict = {}
+    inn: dict = {}
+    for s, t in set((s, t) for s, t in dk_edges if s != t):
+        out.setdefault(s, set()).add(t)
+        inn.setdefault(t, set()).add(s)
+    max_out = max(len(v) for v in out.values())
+
+    exact = [tuple(r) for r in q_simrank_pairs(spark, SF_DIR).collect()]
+    loose = [
+        tuple(r)
+        for r in q_simrank_pairs(spark, SF_DIR, max_deg=max_out).collect()
+    ]
+    assert loose == exact
+
+    cap = max(1, max_out // 4)
+    kept = {s for s, nbs in out.items() if len(nbs) <= cap}
+    inter: dict = {}
+    for s in kept:
+        nbs = sorted(out[s])
+        for i, a in enumerate(nbs):
+            for b in nbs[i + 1:]:
+                inter[(a, b)] = inter.get((a, b), 0) + 1
+    scored = sorted(
+        (
+            (a, b, n, len(inn[a]), len(inn[b]),
+             _SIMRANK_C * n / (len(inn[a]) * len(inn[b])))
+            for (a, b), n in inter.items()
+        ),
+        key=lambda r: (-r[5], r[0], r[1]),
+    )[:_SIMRANK_TOPK]
+    got = q_simrank_pairs(spark, SF_DIR, max_deg=cap).collect()
+    assert len(got) == len(scored)
+    for r, (a, b, n, da, db, sc) in zip(got, scored):
+        assert (r["a"], r["b"], r["n_common_in"]) == (a, b, n)
+        assert (r["in_deg_a"], r["in_deg_b"]) == (da, db)
+        assert r["simrank1"] == pytest.approx(sc, abs=1e-6)
