@@ -1514,9 +1514,19 @@ SQL_EMB_POWER_ITER = _power_iter_sql(_PI_ROUNDS)
 # truth — different algorithm, identical integers.
 #
 # Exactness: components are quantized floor(1e4·x) → int64 once, then all
-# sums/squares are int64 (max ≈ 4e14 ≪ 2^63); no float anywhere, so the
-# cross-engine hash cannot trip.  Scale posture: per-(label, dim) partial
-# sums are map-side combinable; nothing ever pairs up rows.
+# sums/squares are int64 (max ≈ 4e14 ≪ 2^63 at gate scale); no float
+# anywhere, so the cross-engine hash cannot trip.  Overflow bound (caller
+# contract): norm_sq_sum grows as Σ_dims (n_label·1e4·|x|max)², so with
+# |x| ≤ ~2 and d = 16 dims the int64 ceiling is hit near n_label ≈ 3e5
+# vectors per label — and Spark WRAPS silently (non-ANSI) while DuckDB
+# raises, a divergent failure mode.  Beyond that, production drops
+# _MEANDOT_QSCALE (1e3 buys 100× headroom) or lifts the accumulators to
+# DECIMAL(38,0); the gate fixtures stay orders of magnitude under the
+# bound.  n counts ROWS per label in both engines (vec_id plays no role
+# in the identity; the oracle's brute-force pair join additionally
+# assumes vec_id is unique, true of the fixture tables).  Scale posture:
+# per-(label, dim) partial sums are map-side combinable; nothing ever
+# pairs up rows.
 # --------------------------------------------------------------------------
 
 _MEANDOT_QSCALE = 10_000
@@ -1572,9 +1582,14 @@ WITH q AS (
   SELECT vec_id, label, t.i AS dim, q[t.i] AS val
   FROM q, LATERAL (SELECT unnest(generate_series(1, len(q))) AS i) t
 ), base AS (
-  SELECT label, CAST(count(DISTINCT vec_id) AS BIGINT) AS n,
-         CAST(sum(val * val) AS BIGINT) AS sum_sq_norm
-  FROM vals GROUP BY label
+  -- n counts ROWS per label (same as the Spark side's count), not
+  -- DISTINCT vec_id; sum_sq_norm from the exploded vals (an empty
+  -- embedding contributes 0 there but still counts one row here)
+  SELECT b.label, b.n, coalesce(s.sum_sq_norm, 0) AS sum_sq_norm
+  FROM (SELECT label, CAST(count(*) AS BIGINT) AS n
+        FROM q GROUP BY label) b
+  LEFT JOIN (SELECT label, CAST(sum(val * val) AS BIGINT) AS sum_sq_norm
+             FROM vals GROUP BY label) s USING (label)
 ), dimsum AS (
   SELECT label, dim, CAST(sum(val) AS BIGINT) AS s
   FROM vals GROUP BY label, dim

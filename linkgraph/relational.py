@@ -3917,9 +3917,17 @@ _CUPED_SPLIT_DAY = 16  # days < 16 → covariate window, >= 16 → metric window
 def _fdiv(a, b):
     """Floor division a // b (b > 0) as exact int64, identical on Spark
     and DuckDB for either sign of ``a`` (both engines' native integer
-    division truncates toward zero, which differs on negatives)."""
+    division truncates toward zero, which differs on negatives).
+
+    After subtracting m, (a - m) is exactly divisible by b, so the
+    division below has an integer quotient; it runs in DECIMAL(38,0) →
+    DECIMAL(38,6), NOT IEEE double, so it stays exact past 2^53 (the
+    DuckDB twin uses integer ``//``, exact for the same reason).  The
+    remaining exactness bound is int64 overflow when the CALLER forms
+    ``a`` itself (e.g. 1e6·(gn·sxy−gsx·gsy)) — callers keep |a| < 2^63
+    by construction at gate scale and document their own bound."""
     m = ((a % b) + b) % b
-    return ((a - m) / b).cast("long")
+    return ((a - m).cast("decimal(38,0)") / b).cast("long")
 
 
 def q_cuped_adjust(spark, sf_dir):
@@ -3985,8 +3993,10 @@ def _sql_cuped() -> str:
     from .datapipe import _sql_md5_int
 
     def fdiv(a: str, b: str) -> str:
+        # (a - m) is exactly divisible by b, so integer // is the exact
+        # quotient (and stays exact past 2^53, where double / would not)
         return (
-            f"CAST((({a}) - (((({a}) % ({b})) + ({b})) % ({b}))) / ({b})"
+            f"CAST((({a}) - (((({a}) % ({b})) + ({b})) % ({b}))) // ({b})"
             " AS BIGINT)"
         )
 
@@ -4098,8 +4108,10 @@ def q_events_autocorr(spark, sf_dir):
 
 def _sql_autocorr() -> str:
     def fdiv(a: str, b: str) -> str:
+        # (a - m) is exactly divisible by b, so integer // is the exact
+        # quotient (and stays exact past 2^53, where double / would not)
         return (
-            f"CAST((({a}) - (((({a}) % ({b})) + ({b})) % ({b}))) / ({b})"
+            f"CAST((({a}) - (((({a}) % ({b})) + ({b})) % ({b}))) // ({b})"
             " AS BIGINT)"
         )
 

@@ -250,12 +250,16 @@ def q_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "a",
             "b",
             "n_pair",
+            # cast-first like the oracle's CAST(n_pair AS DOUBLE) * T * T:
+            # the whole chain is left-assoc IEEE double multiplies in BOTH
+            # engines, so no int64 product (n_pair*T*T, D*ca*cb can pass
+            # 2^63 at large SF where Spark would wrap silently) ever forms
             F.round(
                 F.log2(
-                    F.col("n_pair")
+                    F.col("n_pair").cast("double")
                     * F.col("T")
                     * F.col("T")
-                    / (F.col("D") * F.col("ca") * F.col("cb"))
+                    / (F.col("D").cast("double") * F.col("ca") * F.col("cb"))
                 ),
                 6,
             ).alias("pmi"),
