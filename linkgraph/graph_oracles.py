@@ -599,11 +599,14 @@ def kcore_fixed_sql(k: int, iters: int) -> str:
     ]
     for i in range(1, iters + 1):
         p = f"a{i - 1}"
+        # MATERIALIZED is load-bearing: a{i} is referenced TWICE per round,
+        # and DuckDB inlines plain CTEs, so an unrolled chain re-expands
+        # 2^iters copies of the base join (measured: OOM past sf0.01)
         ctes.append(
-            f"d{i} AS (SELECT u.a AS vkey, count(*) AS c FROM und u "
+            f"d{i} AS MATERIALIZED (SELECT u.a AS vkey, count(*) AS c FROM und u "
             f"JOIN {p} x ON u.a = x.vkey JOIN {p} y ON u.b = y.vkey GROUP BY u.a)"
         )
-        ctes.append(f"a{i} AS (SELECT vkey FROM d{i} WHERE c >= {k})")
+        ctes.append(f"a{i} AS MATERIALIZED (SELECT vkey FROM d{i} WHERE c >= {k})")
     ctes.append(
         f"dfin AS (SELECT u.a AS vkey, count(*) AS c FROM und u "
         f"JOIN a{iters} x ON u.a = x.vkey JOIN a{iters} y ON u.b = y.vkey GROUP BY u.a)"
@@ -624,11 +627,14 @@ def onion_fixed_sql(k: int, iters: int) -> str:
     ]
     for i in range(1, iters + 1):
         p = f"a{i - 1}"
+        # MATERIALIZED is load-bearing: a{i} is referenced TWICE per round,
+        # and DuckDB inlines plain CTEs, so an unrolled chain re-expands
+        # 2^iters copies of the base join (measured: OOM past sf0.01)
         ctes.append(
-            f"d{i} AS (SELECT u.a AS vkey, count(*) AS c FROM und u "
+            f"d{i} AS MATERIALIZED (SELECT u.a AS vkey, count(*) AS c FROM und u "
             f"JOIN {p} x ON u.a = x.vkey JOIN {p} y ON u.b = y.vkey GROUP BY u.a)"
         )
-        ctes.append(f"a{i} AS (SELECT vkey FROM d{i} WHERE c >= {k})")
+        ctes.append(f"a{i} AS MATERIALIZED (SELECT vkey FROM d{i} WHERE c >= {k})")
     joins = " ".join(
         f"LEFT JOIN a{i} ON a{i}.vkey = a0.vkey" for i in range(1, iters + 1)
     )

@@ -1307,7 +1307,10 @@ def _louvain_ctes(rounds: int) -> list[str]:
         "UNION ALL SELECT t AS a, s AS b FROM ek WHERE s <> t))",
         "kk AS (SELECT a AS vkey, count(*) AS k FROM und GROUP BY a)",
         "m2 AS (SELECT CAST(count(*) AS DOUBLE) AS m2 FROM und)",
-        "lv0 AS (SELECT vkey, vkey AS c FROM v)",
+        # MATERIALIZED is load-bearing on every lv{r}: each round's label
+        # table is referenced 4x by the next round, and DuckDB inlines
+        # plain CTEs -> 4^rounds re-expansion (measured: OOM past sf0.01)
+        "lv0 AS MATERIALIZED (SELECT vkey, vkey AS c FROM v)",
     ]
     for r in range(1, rounds + 1):
         p = f"lv{r - 1}"
@@ -1344,7 +1347,7 @@ def _louvain_ctes(rounds: int) -> list[str]:
             f") WHERE rn = 1)"
         )
         ctes.append(
-            f"lv{r} AS (SELECT l.vkey, "
+            f"lv{r} AS MATERIALIZED (SELECT l.vkey, "
             f"CASE WHEN CAST(('0x' || substr(md5(l.vkey), 1, 15)) AS BIGINT) % 2 "
             f"= {(r - 1) % 2} THEN p.pick ELSE l.c END AS c "
             f"FROM {p} l JOIN pk{r} p ON p.vkey = l.vkey)"
