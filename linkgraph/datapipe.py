@@ -212,7 +212,7 @@ hs AS (
 ),
 sig AS (SELECT doc_id, seed, min(h) AS minh FROM hs GROUP BY doc_id, seed),
 bands AS (
-  SELECT doc_id, CAST(seed / {BAND_ROWS} AS INT) AS band,
+  SELECT doc_id, CAST(seed // {BAND_ROWS} AS INT) AS band,  -- // floors like Spark's double->int cast; / would ROUND (seed 1 -> band 1)
          string_agg(CAST(minh AS VARCHAR), ',' ORDER BY seed) AS band_key
   FROM sig GROUP BY 1, 2
 ),
@@ -270,7 +270,7 @@ hs AS (
 ),
 sig AS (SELECT doc_id, seed, min(h) AS minh FROM hs GROUP BY doc_id, seed),
 bands AS (
-  SELECT doc_id, CAST(seed / {BAND_ROWS} AS INT) AS band,
+  SELECT doc_id, CAST(seed // {BAND_ROWS} AS INT) AS band,  -- // floors like Spark's double->int cast; / would ROUND (seed 1 -> band 1)
          string_agg(CAST(minh AS VARCHAR), ',' ORDER BY seed) AS band_key
   FROM sig GROUP BY 1, 2
 ),

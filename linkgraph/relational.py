@@ -402,7 +402,11 @@ SELECT user_id, event_id,
        count(*) OVER w AS n_1h,
        round(sum(value) OVER w, 3) AS val_1h
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+-- floor() mirrors Spark's unix_timestamp() WHOLE-second truncation;
+-- DuckDB's epoch() keeps fractional microseconds, so without it a pair
+-- of events ~exactly 1h apart frames differently (caught at sf0.1:
+-- sub-second parts flipped 1/100000 rows)
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
              RANGE BETWEEN {_MOVING_RANGE_S} PRECEDING AND CURRENT ROW)
 """
 
