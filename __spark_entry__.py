@@ -18,35 +18,16 @@ from pyspark.sql import DataFrame, SparkSession
 # The driver's correctness gate records only the FIRST 50 rows of
 # ``queries()`` iteration order.  This list pins the window so that rows
 # lacking a driver-green CORRECTNESS record in ANY prior round come first
-# (VERDICT r04 "Next round" #1).  After the r4 gate landed, the cross-round
-# driver-green union covers 113/264 rows; 149 oracled rows have never had a
-# driver CORRECTNESS row.  This r5 rotation puts 50 of those 149 first, in
-# the verdict's suggested order: the §2.14 leftovers (rrf_fusion …
-# emb_power_iter), then textops, then the graphstats/relational `local`
-# rows in prior queue order.  Everything else follows in registry order.
+# (VERDICT r05 "Next round" #1).  After the r5 gate landed, the cross-round
+# driver-green union covers 163/263 oracled rows; 100 rows have never had a
+# driver CORRECTNESS row.  This r6 rotation puts the next 50 of those 100
+# first, in the queue order the r5 list already established
+# (burt_constraint … doc_edit_dups); the remaining 50 queue rows follow for
+# the r7 rotation, then everything already green in registry order.
 # tests/test_gate_window.py trips if a window slot is wasted on an
 # already-green row while un-green rows wait outside.
 _GATE_PRIORITY = [
-    # ---- r5 window: 50 rows never driver-verified in r1-r4 ----
-    "rrf_fusion", "mmr_rerank", "host_anchor_terms", "emb_knn_label_purity",
-    "basket_lift", "crawl_budget", "event_trigrams", "rfm_scores",
-    "emb_label_outliers", "link_negatives", "decayed_activity",
-    "emb_int8_audit", "order_backlog", "zorder_layout",
-    "last_touch_attribution", "engine_msbfs", "doc_cdc_chunks",
-    "engine_kcenter", "engine_ltcascade", "cliques4", "emb_power_iter",
-    "bpe_merges", "skipgram_pmi", "posting_compression", "km_survival",
-    "reach2_hist", "doc_trigram_novelty", "triangle_doulion",
-    "emb_meandot_audit", "cuped_adjust", "markov_accuracy",
-    "events_autocorr",
-    "cusum_changepoint", "benford_audit", "table_profile", "sft_pairs",
-    "markov_stationary", "spatial_nn_join", "k_anonymity",
-    "skyline_parts", "winsorize_stats", "fk_integrity", "theil_sen_trend",
-    "auc_mann_whitney", "calibration_bins", "engine_widest",
-    "chi2_independence", "poisson_bootstrap", "holt_winters",
-    # the single r5-new row (growth freeze, VERDICT r04 #2): certifies the
-    # streaming exactly-once sink path driver-side (VERDICT r04 #5)
-    "streaming_sink_counts",
-    # ---- still un-green after the r5 window (100 rows, next rotation) ----
+    # ---- r6 window: next 50 rows never driver-verified in r1-r5 ----
     "burt_constraint",
     "item_cf", "skew_profile", "join_full_outer", "bisect_median",
     "isotonic_calibration", "attack_tolerance",
@@ -61,7 +42,9 @@ _GATE_PRIORITY = [
     "doc_ppjoin", "doc_quality_filter", "inverted_index", "bm25_topk",
     "langid_confusion", "word_pmi", "doc_keywords", "doc_containment_pairs",
     "doc_dsir_select", "doc_bpe_merges", "doc_bpe_encode",
-    "doc_bpe_fertility", "lang_temperature_mix", "doc_span_dedup",
+    "doc_bpe_fertility", "lang_temperature_mix",
+    # ---- still un-green after the r6 window (50 rows, the r7 rotation) ----
+    "doc_span_dedup",
     "doc_edit_dups", "ann_trunc_recall", "emb_drift",
     "emb_random_projection", "knn_graph_mutual",
     "media_phash", "media_energy", "media_trim",
@@ -77,6 +60,23 @@ _GATE_PRIORITY = [
     "url_blocklist", "rank_weighted_sample", "host_spam_mass",
     "doc_line_dedup", "doc_gopher_rules", "token_cms_topk", "doc_nfc",
     "heaps_law", "doc_readability", "hapax_rate", "doc_distinct_ngrams",
+    # ---- r5 window rows, all driver-green in CORRECTNESS_r05 ----
+    "rrf_fusion", "mmr_rerank", "host_anchor_terms", "emb_knn_label_purity",
+    "basket_lift", "crawl_budget", "event_trigrams", "rfm_scores",
+    "emb_label_outliers", "link_negatives", "decayed_activity",
+    "emb_int8_audit", "order_backlog", "zorder_layout",
+    "last_touch_attribution", "engine_msbfs", "doc_cdc_chunks",
+    "engine_kcenter", "engine_ltcascade", "cliques4", "emb_power_iter",
+    "bpe_merges", "skipgram_pmi", "posting_compression", "km_survival",
+    "reach2_hist", "doc_trigram_novelty", "triangle_doulion",
+    "emb_meandot_audit", "cuped_adjust", "markov_accuracy",
+    "events_autocorr",
+    "cusum_changepoint", "benford_audit", "table_profile", "sft_pairs",
+    "markov_stationary", "spatial_nn_join", "k_anonymity",
+    "skyline_parts", "winsorize_stats", "fk_integrity", "theil_sen_trend",
+    "auc_mann_whitney", "calibration_bins", "engine_widest",
+    "chi2_independence", "poisson_bootstrap", "holt_winters",
+    "streaming_sink_counts",
     # NOTE: ann_lsh_topk / ann_pq_topk are rows-only by design (no oracle)
     # and can never enter the green union — they are exempted in
     # tests/test_gate_window.py (their correctness is gated by the
