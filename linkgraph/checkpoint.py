@@ -11,6 +11,9 @@ Layout (one chain per algorithm run):
 
 Manifest: {algo, superstep, parent, input_fingerprint, P, n_vertices,
            per_partition: [{part_id, rows, checksum}], metrics, schema}
+(the default write path records ONE aggregate entry with part_id=-1 —
+rows/checksum over the whole state, computed by an Observation riding the
+parquet-write job; consumers only ever read the row-count sum)
 
 Atomicity (SURVEY.md §7 trap 7): state parquet + manifest are written into
 ``step_NNNNNN._tmp`` and the directory is renamed into place; the manifest is
@@ -26,6 +29,7 @@ plan for superstep t+1 is always exactly one superstep deep.
 
 from __future__ import annotations
 
+import itertools
 import json
 import os
 import time
@@ -43,6 +47,9 @@ def input_fingerprint(edges: DataFrame) -> str:
         F.sum(F.crc32(F.concat_ws(",", "src", "dst", "w"))).alias("h"),
     ).collect()[0]
     return f"e{row['n']}-{row['h']}"
+
+
+_WRITE_OBS_IDS = itertools.count()
 
 
 def _partition_stats(state: DataFrame, state_cols: list[str]) -> list[dict[str, Any]]:
@@ -85,10 +92,15 @@ class CheckpointManager:
         metrics: dict[str, Any],
         per_partition: list[dict] | None = None,
     ) -> list[dict]:
-        """Durably persist superstep t's state; returns per-partition stats.
+        """Durably persist superstep t's state; returns lineage stats.
 
         ``per_partition`` lets the runner supply stats it already computed in
-        its combined convergence job (saves one action per superstep)."""
+        its combined convergence job.  When it is None the row count and
+        order-insensitive checksum ride the parquet-write job itself as an
+        ``Observation`` (one aggregate record, ``part_id=-1``) instead of a
+        separate ``_partition_stats`` job — the durable write costs exactly
+        ONE Spark action per superstep (guide §1.5: every consumer of the
+        manifest only ever reads the row-count SUM)."""
         os.makedirs(self.algo_dir, exist_ok=True)
         tmp = self._step_dir(t) + "._tmp"
         final = self._step_dir(t)
@@ -96,10 +108,29 @@ class CheckpointManager:
             import shutil
 
             shutil.rmtree(tmp)
-        stats = per_partition if per_partition is not None else _partition_stats(state, self.state_cols)
-        state.select(*self.state_cols).write.mode("overwrite").parquet(
-            os.path.join(tmp, "state")
-        )
+        out = state.select(*self.state_cols)
+        obs = None
+        if per_partition is None:
+            from pyspark.sql import Observation
+
+            obs = Observation(f"ckpt-{self.algo}-{t}-{next(_WRITE_OBS_IDS)}")
+            out = out.observe(
+                obs,
+                F.count(F.lit(1)).alias("rows"),
+                F.sum(F.crc32(F.concat_ws(",", *self.state_cols))).alias("checksum"),
+            )
+        out.write.mode("overwrite").parquet(os.path.join(tmp, "state"))
+        if obs is not None:
+            row = obs.get
+            stats = [
+                {
+                    "part_id": -1,
+                    "rows": int(row["rows"] or 0),
+                    "checksum": int(row["checksum"] or 0),
+                }
+            ]
+        else:
+            stats = per_partition
         manifest = {
             "algo": self.algo,
             "superstep": t,
