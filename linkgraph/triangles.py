@@ -32,7 +32,15 @@ class TriangleResult:
 
 
 def count_triangles(graph: GraphTables) -> TriangleResult:
-    und = undirected_simple_edges(graph.edges)  # u < v, distinct
+    # The oriented edge table is consumed THREE times downstream (both wedge
+    # arms + the closing join), and the undirected view twice (degree count +
+    # orientation).  Left lazy, Catalyst re-plans — and re-executes — the
+    # whole edges->distinct->join derivation once per reference (measured: 11
+    # BroadcastHashJoins / 10 Exchanges in the un-materialized plan).  Two
+    # eager localCheckpoints collapse that to one derivation each (guide
+    # §2.4/§3.3 "materialise an intermediate consumed N times"); both tables
+    # are O(E) — no payload amplification.
+    und = undirected_simple_edges(graph.edges).localCheckpoint()  # u < v, distinct
 
     deg = (
         und.select(F.col("u").alias("vid"))
@@ -55,6 +63,7 @@ def count_triangles(graph: GraphTables) -> TriangleResult:
             .alias("o")
         )
         .select(F.col("o.lo").alias("lo"), F.col("o.hi").alias("hi"))
+        .localCheckpoint()
     )
 
     # wedges at the apex: two oriented edges (a->b), (a->c); dedup with b<c
