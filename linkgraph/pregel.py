@@ -64,6 +64,17 @@ class GraphContext:
     uhub_edges: DataFrame | None = None  # undirected hub adjacency (src, dst)
     uhub_vids: DataFrame | None = None   # undirected hub vids
     nnz_uhub: int = 0
+    # Pre-packed hub adjacency, one array row per destination partition
+    # (part_id, dst[], src[], coeff[], w[] / part_id, dst[], src[]): built
+    # ONCE at context build, so dense programs (PageRank/Katz/CC/LPA) never
+    # re-shuffle the hub edge set inside the superstep loop — per superstep
+    # they broadcast only a vid->state map over the (tiny) hub vertex set
+    # and evaluate it against the static pack with JVM zip_with/transform
+    # (guide §2.3 "shuffle keys and metadata instead of payloads").
+    # Frontier-sparse programs (BFS/SSSP/Widest/LT/Bipartite) keep the
+    # filtered broadcast-join path on hub_edges/uhub_edges.
+    hub_pack: DataFrame | None = None
+    uhub_pack: DataFrame | None = None
     _cached_inputs: tuple = ()
 
     @staticmethod
@@ -219,7 +230,7 @@ class GraphContext:
             return max(hub_theta, nnz_side // (2 * P), hub_floor)
 
         def _directed() -> None:
-            hub_edges = hub_vids = None
+            hub_edges = hub_vids = hub_pack = None
             nnz_hub = 0
             pr_edges = esum
             dirdeg = pre["dirdeg"]
@@ -232,6 +243,7 @@ class GraphContext:
             if theta is not None and pre["max_out"] > theta:
                 non_hub, hub_e = split_hub_edges(esum, dirdeg, theta, presummed=True)
                 hub_edges = hub_e.repartition(P, "src", "dst").localCheckpoint()
+                hub_pack = _prepack_hub(hub_edges, P, ("coeff", "w")).localCheckpoint()
                 # hub nnz = total CSR row length of the hub srcs (exact: esum
                 # has one row per (src, dst)) — a tiny dirdeg agg instead of
                 # a count over the materialized hub edges.
@@ -249,11 +261,12 @@ class GraphContext:
             blocks = build_csr_blocks(pr_edges, n, P, presummed=True).localCheckpoint()
             out["blocks"] = blocks
             out["hub_edges"], out["hub_vids"], out["nnz_hub"] = hub_edges, hub_vids, nnz_hub
+            out["hub_pack"] = hub_pack
             out["nnz_d"] = pre["nnz_total"] - nnz_hub
 
         def _undirected() -> None:
             sym = symmetrize(esum)
-            uhub_edges = uhub_vids = None
+            uhub_edges = uhub_vids = uhub_pack = None
             nnz_uhub = 0
             nnz_ub = None
             if hub_theta is not None:
@@ -276,6 +289,7 @@ class GraphContext:
                     uhub_edges = (
                         uhub_e.select("src", "dst").repartition(P, "src", "dst").localCheckpoint()
                     )
+                    uhub_pack = _prepack_hub(uhub_edges, P, ()).localCheckpoint()
                     nnz_uhub = int(
                         udeg.where(F.col("out_deg") > theta)
                         .agg(F.sum("out_deg"))
@@ -293,6 +307,7 @@ class GraphContext:
             out["uhub_edges"], out["uhub_vids"], out["nnz_uhub"] = (
                 uhub_edges, uhub_vids, nnz_uhub,
             )
+            out["uhub_pack"] = uhub_pack
             # hub_theta=None path has no degree scan to reuse — fall back to
             # the block-nnz agg (tiny: P rows).
             out["nnz_ub"] = (
@@ -359,6 +374,7 @@ class GraphContext:
             nnz_hub=int(out["nnz_hub"]),
             uhub_edges=out["uhub_edges"], uhub_vids=out["uhub_vids"],
             nnz_uhub=int(out["nnz_uhub"]),
+            hub_pack=out["hub_pack"], uhub_pack=out["uhub_pack"],
             _cached_inputs=(graph.vertices, graph.edges),
         )
 
@@ -445,6 +461,48 @@ def _make_hub_packer(payload_names: tuple[str, ...]):
 
 
 _pack_hub_rows = _make_hub_packer(("msum",))
+
+
+def _prepack_hub(hub_edges: DataFrame, P: int, payload: tuple[str, ...]) -> DataFrame:
+    """Pack hub edges into ONE array row per destination partition at build
+    time: (part_id, dst[], src[], payload[]...).  ``sort_array`` on the
+    (dst, src, ...) structs makes the pack deterministic across builds (the
+    per-superstep ``collect_list`` it replaces was task-order dependent).
+    Consumed by the dense vertex programs via a broadcast vid->state map +
+    ``zip_with``/``transform`` — the hub adjacency itself never moves again
+    inside the superstep loop."""
+    z = F.sort_array(
+        F.collect_list(F.struct(F.col("dst"), F.col("src"), *[F.col(c) for c in payload]))
+    )
+
+    def _field(name):
+        return lambda x: x[name]
+
+    return (
+        hub_edges.groupBy(
+            F.pmod(F.col("dst"), F.lit(P)).cast("int").alias("part_id")
+        )
+        .agg(z.alias("_z"))
+        .select(
+            "part_id",
+            F.transform("_z", _field("dst")).alias("dst"),
+            F.transform("_z", _field("src")).alias("src"),
+            *[F.transform("_z", _field(c)).alias(c) for c in payload],
+        )
+    )
+
+
+def _hub_state_map(state: DataFrame, hub_vids: DataFrame, col: str) -> DataFrame:
+    """One-row vid->state map over the hub vertex set (broadcast into the
+    pre-packed hub evaluation; hub sets are tiny by definition)."""
+    return (
+        state.join(F.broadcast(hub_vids), "vid")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("vid"), F.col(col)))
+            ).alias("_m")
+        )
+    )
 
 
 def _pack_hub_jvm(hub_rows, payload: tuple[str, ...]):
@@ -570,11 +628,24 @@ class PageRankProgram:
             .cogroup(state.groupby("part_id"))
             .applyInArrow(self.make_scatter(ctx.P), packed_schema)
         )
-        if ctx.hub_edges is not None:
-            # op 47: hub adjacency scattered by broadcast-join — hub state is
-            # tiny, hub edges stay hash-spread, no straggler partition.  The
-            # per-edge products are packed into the same array-row message
-            # format so they ride the single destination shuffle.
+        if ctx.hub_pack is not None:
+            # op 47: hub adjacency pre-packed per destination partition at
+            # build time (guide §2.3/§2.4) — per superstep only a vid->rank
+            # map over the tiny hub set is broadcast; the per-edge products
+            # are a JVM zip_with over the static pack, already in the packed
+            # wire format, so the hub edge set never re-shuffles in the loop.
+            m = _hub_state_map(state, ctx.hub_vids, "rank")
+            hub_msgs = ctx.hub_pack.crossJoin(F.broadcast(m)).select(
+                "part_id",
+                "dst",
+                F.zip_with(
+                    "src", "coeff", lambda s, c: F.col("_m")[s] * c
+                ).alias("msum"),
+            )
+            msgs = msgs.unionByName(hub_msgs)
+        elif ctx.hub_edges is not None:
+            # fallback for contexts built without a pack: hub adjacency
+            # scattered by broadcast-join + per-superstep JVM packer.
             hub_state = state.join(F.broadcast(ctx.hub_vids), "vid").select(
                 F.col("vid").alias("src"), "rank"
             )
@@ -758,10 +829,18 @@ class ComponentsProgram:
             .cogroup(state.groupby("part_id"))
             .applyInArrow(self.make_scatter(ctx.P), packed_schema)
         )
-        if ctx.uhub_edges is not None:
-            # op 47 on the undirected side: hub adjacency scattered by
-            # broadcast-join (hub comp state is tiny), packed into the same
-            # array-row wire format as the block messages.
+        if ctx.uhub_pack is not None:
+            # op 47 on the undirected side: static pre-packed hub adjacency +
+            # broadcast vid->comp map (see PageRankProgram.superstep).
+            m = _hub_state_map(state, ctx.uhub_vids, "comp")
+            hub_msgs = ctx.uhub_pack.crossJoin(F.broadcast(m)).select(
+                "part_id",
+                "dst",
+                F.transform("src", lambda s: F.col("_m")[s]).alias("mmin"),
+            )
+            msgs = msgs.unionByName(hub_msgs)
+        elif ctx.uhub_edges is not None:
+            # fallback: broadcast-join scatter + per-superstep JVM packer.
             hub_state = state.join(F.broadcast(ctx.uhub_vids), "vid").select(
                 F.col("vid").alias("src"), "comp"
             )
@@ -873,9 +952,18 @@ class KatzProgram(PageRankProgram):
             .cogroup(state.groupby("part_id"))
             .applyInArrow(self.make_scatter(ctx.P), packed_schema)
         )
-        if ctx.hub_edges is not None:
-            # hub scatter on the RAW weight (hub_edges carries both coeff
-            # and w — skew.split_hub_edges)
+        if ctx.hub_pack is not None:
+            # hub scatter on the RAW weight off the static pack (the pack
+            # carries both coeff and w — skew.split_hub_edges)
+            m = _hub_state_map(state, ctx.hub_vids, "rank")
+            hub_msgs = ctx.hub_pack.crossJoin(F.broadcast(m)).select(
+                "part_id",
+                "dst",
+                F.zip_with("src", "w", lambda s, w: F.col("_m")[s] * w).alias("msum"),
+            )
+            msgs = msgs.unionByName(hub_msgs)
+        elif ctx.hub_edges is not None:
+            # fallback: broadcast-join scatter + per-superstep JVM packer.
             hub_state = state.join(F.broadcast(ctx.hub_vids), "vid").select(
                 F.col("vid").alias("src"), "rank"
             )
@@ -1705,10 +1793,21 @@ class LabelPropProgram:
             .cogroup(state.groupby("part_id"))
             .applyInArrow(self.make_scatter(ctx.P), packed_schema)
         )
-        if ctx.uhub_edges is not None:
-            # hub neighbours each contribute (label, cnt=1); the apply's
-            # per-(vertex, label) count-sum folds them with the block
-            # partials, so per-edge hub rows are exact.
+        if ctx.uhub_pack is not None:
+            # hub neighbours each contribute (label, cnt=1) evaluated off
+            # the static pack; the apply's per-(vertex, label) count-sum
+            # folds them with the block partials, so per-edge entries are
+            # exact.
+            m = _hub_state_map(state, ctx.uhub_vids, "label")
+            hub_msgs = ctx.uhub_pack.crossJoin(F.broadcast(m)).select(
+                "part_id",
+                "dst",
+                F.transform("src", lambda s: F.col("_m")[s]).alias("label"),
+                F.array_repeat(F.lit(1).cast("long"), F.size("src")).alias("cnt"),
+            )
+            msgs = msgs.unionByName(hub_msgs)
+        elif ctx.uhub_edges is not None:
+            # fallback: broadcast-join scatter + per-superstep JVM packer.
             hub_state = state.join(F.broadcast(ctx.uhub_vids), "vid").select(
                 F.col("vid").alias("src"), "label"
             )
