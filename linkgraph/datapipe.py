@@ -123,9 +123,16 @@ SELECT DISTINCT doc_id, shingle FROM (
 """
 
 
-def doc_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures: (doc_id, seed, minh) for seeds 0..N_HASHES-1."""
-    sh = _shingles_df(spark, sf_dir)
+def doc_minhash(
+    spark: SparkSession, sf_dir: str, sh: DataFrame | None = None
+) -> DataFrame:
+    """MinHash signatures: (doc_id, seed, minh) for seeds 0..N_HASHES-1.
+
+    ``sh``: optional precomputed shingle table (callers that consume the
+    shingles more than once materialize it and pass it in, so the
+    explode+hash pass runs exactly once — guide §2.4)."""
+    if sh is None:
+        sh = _shingles_df(spark, sf_dir)
     seeds = spark.range(N_HASHES).select(F.col("id").cast("int").alias("seed"))
     return (
         sh.crossJoin(F.broadcast(seeds))
@@ -150,11 +157,18 @@ SELECT doc_id, seed, min(h) AS minh FROM hs GROUP BY doc_id, seed
 """
 
 
-def _lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lsh_candidates(
+    spark: SparkSession, sf_dir: str, sh: DataFrame | None = None
+) -> DataFrame:
     """MinHash-LSH candidate pairs (doc_a < doc_b): signature -> band keys
     (rows-per-band minhashes concatenated) -> bucket self-join.  Shared
-    blocking for every rerank flavor; never touches the O(n^2) pair space."""
-    sig = doc_minhash(spark, sf_dir)
+    blocking for every rerank flavor; never touches the O(n^2) pair space.
+
+    The band table feeds BOTH sides of the bucket self-join; left lazy,
+    Catalyst re-executes the whole shingle->minhash->band derivation once
+    per side (no exchange reuse across the self-join), so it is eagerly
+    materialized (guide §2.4)."""
+    sig = doc_minhash(spark, sf_dir, sh=sh)
     bands = (
         sig.withColumn("band", (F.col("seed") / BAND_ROWS).cast("int"))
         .groupBy("doc_id", "band")
@@ -167,6 +181,7 @@ def _lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ).alias("band_key")
         )
+        .localCheckpoint()
     )
     b1 = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
     b2 = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
@@ -182,8 +197,11 @@ def doc_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-banded near-duplicate pairs, verified by exact shingle Jaccard.
 
     Candidates from :func:`_lsh_candidates`, then exact Jaccard >= TAU."""
-    cand = _lsh_candidates(spark, sf_dir)
-    sets = _shingles_df(spark, sf_dir).groupBy("doc_id").agg(
+    # ONE shingle pass: the materialized table feeds the minhash chain AND
+    # the exact-Jaccard rerank sets (guide §2.4).
+    sh = _shingles_df(spark, sf_dir).localCheckpoint()
+    cand = _lsh_candidates(spark, sf_dir, sh=sh)
+    sets = sh.groupBy("doc_id").agg(
         F.collect_set("shingle").alias("s")
     )
     j = (
