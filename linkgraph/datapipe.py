@@ -1577,9 +1577,11 @@ def doc_dedup_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     clus = doc_dedup_clusters(spark, sf_dir)
     q = d.select("doc_id", _quality_score_expr(_words(F.col("text"))).alias("q"))
+    # consumed by BOTH the argmax window and the size agg; materialized so
+    # the LSH+closure chain under ``clus`` runs once (guide §2.4)
     j = clus.join(q, "doc_id").select(
         F.col("canon_doc").alias("cluster"), "doc_id", "q"
-    )
+    ).localCheckpoint()
     w = Window.partitionBy("cluster").orderBy(F.desc("q"), F.asc("doc_id"))
     best = (
         j.withColumn("rk", F.row_number().over(w))
@@ -1630,10 +1632,13 @@ def doc_dedup_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_pairs)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     clus = doc_dedup_clusters(spark, sf_dir)
+    # both sides of the source-pair self-join; materialized so the
+    # LSH+closure chain under ``clus`` runs once (guide §2.4)
     cs = (
         clus.join(d, "doc_id")
         .groupBy(F.col("canon_doc").alias("cluster"), "source")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
     )
     a = cs.select("cluster", F.col("source").alias("source_a"), F.col("c").alias("ca"))
     b = cs.select("cluster", F.col("source").alias("source_b"), F.col("c").alias("cb"))
@@ -2763,11 +2768,20 @@ def _bpe_train(
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+    # Each round's state feeds BOTH the next round's pair count and the
+    # merge application, and every round's argmax row is referenced by the
+    # final union — left lazy, Catalyst re-executes the whole prior-round
+    # chain per reference (measured: 510 BroadcastNestedLoopJoins / 516
+    # parquet scans / 770 Exchanges in the unrolled 8-round plan, 23 s at
+    # sf0.01).  The DuckDB oracle already pins every round with
+    # MATERIALIZED CTEs; the Spark side now does the same with one eager
+    # localCheckpoint per round state + per argmax row (guide §2.4, §3.3
+    # "very wide plans: materialise an intermediate").
     state = wc.select(
         "word",
         F.regexp_replace("word", "(.)", _BPE_SEP + "$1").alias("w"),
         "freq",
-    )
+    ).localCheckpoint()
     merges = None
     for t in range(_BPE_MERGES):
         syms = state.select(
@@ -2791,6 +2805,7 @@ def _bpe_train(
             .agg(F.sum("freq").alias("pair_count"))
             .orderBy(F.col("pair_count").desc(), "a", "b")
             .limit(1)
+            .localCheckpoint()
         )
         tagged = best.select(
             F.lit(t + 1).alias("merge_round"),
@@ -2811,7 +2826,7 @@ def _bpe_train(
                 F.concat(F.lit(_BPE_SEP), F.col("_a"), F.col("_b")),
             ).alias("w"),
             "freq",
-        )
+        ).localCheckpoint()
     return merges, state
 
 

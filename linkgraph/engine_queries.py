@@ -746,9 +746,16 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         res = run_program(ctx, LabelPropProgram(), fixed_iters=_LPA_STEPS)
         v = g.vertices.select("vkey", "vid")
         lab_key = v.select(F.col("vid").alias("label"), F.col("vkey").alias("label_key"))
+        # ``lab`` feeds three consumers (la, lb, comm) and ``adj_k`` three
+        # (m2, degv, intra); both are also consumed AFTER ctx.unpersist(),
+        # so left lazy the returned plan re-derived the full graph + LPA
+        # output per reference with cold caches (146 Exchanges / 216 scans,
+        # 9.6 s at sf0.01).  Materialize once while the caches are hot
+        # (guide §2.4).
         lab = (
             res.state.join(v, "vid").join(lab_key, "label")
             .select("vkey", "label_key")
+            .localCheckpoint()
         )
         und = (
             g.edges.where(F.col("src") != F.col("dst"))
@@ -761,7 +768,7 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         # vid -> vkey on both endpoints so the agg keys match the oracle
         va = v.select(F.col("vid").alias("a"), F.col("vkey").alias("ka"))
         vb = v.select(F.col("vid").alias("b"), F.col("vkey").alias("kb"))
-        adj_k = adj.join(va, "a").join(vb, "b").select("ka", "kb")
+        adj_k = adj.join(va, "a").join(vb, "b").select("ka", "kb").localCheckpoint()
         m2 = adj_k.agg(F.count(F.lit(1)).cast("double").alias("_m2"))
         degv = adj_k.groupBy(F.col("ka").alias("vkey")).agg(F.count(F.lit(1)).alias("deg"))
         la = lab.select(F.col("vkey").alias("ka"), F.col("label_key").alias("la"))

@@ -1494,9 +1494,11 @@ def q_engine_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("a").alias("vkey"))
             .distinct()
         )
+        # materialized per round (like the oracle's MATERIALIZED nc{r}):
+        # referenced by the final union AND the residual anti-join
         newly = un.join(dominated, "vkey", "left_anti").select(
             "vkey", F.lit(r).cast("int").alias("color")
-        )
+        ).localCheckpoint()
         colored = newly if colored is None else colored.unionByName(newly)
         un = un.join(newly.select("vkey"), "vkey", "left_anti").localCheckpoint()
         if un.isEmpty():
@@ -2325,9 +2327,11 @@ def q_densest_subgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     trace: DataFrame | None = None
     for r in range(_DSG_ROUNDS):
+        # consumed 3x per round (m_s count + both degree projections);
+        # materialized like the oracle's MATERIALIZED dse{r} CTE (guide §2.4)
         er = pairs.join(verts.select(F.col("vkey").alias("u")), "u").join(
             verts.select(F.col("vkey").alias("w")), "w"
-        )
+        ).localCheckpoint()
         stats = verts.agg(F.count(F.lit(1)).alias("n_s")).crossJoin(
             er.agg(F.count(F.lit(1)).alias("m_s"))
         )
@@ -3297,11 +3301,16 @@ def q_triangle_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_vertices)."""
     from .datapipe import _md5_int, cluster_pairs
 
+    # und feeds the 3-way triangle self-join and tid feeds 4 consumers (the
+    # 3 edge projections + the membership join); materialized once so the
+    # plan stops re-deriving the graph per reference (audit: 124 Exchanges /
+    # 156 scans, 8.0 s at sf0.01 — guide §2.4).
     und = (
         _directed_simple(spark, sf_dir)
         .select(F.least("s", "t").alias("a"), F.greatest("s", "t").alias("b"))
         .where(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint()
     )
     e1 = und
     e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
@@ -3313,7 +3322,7 @@ def q_triangle_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tid = tri.withColumn(
         "t", _md5_int(F.concat_ws("|", F.col("a"), F.col("b"), F.col("c")))
-    )
+    ).localCheckpoint()
     te = None
     for x, y in (("a", "b"), ("b", "c"), ("a", "c")):
         part = tid.select(
@@ -3323,7 +3332,7 @@ def q_triangle_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     star = te.select(
         F.col("t").alias("doc_a"),
         F.min("t").over(Window.partitionBy("ekey")).alias("doc_b"),
-    ).distinct()
+    ).distinct().localCheckpoint()  # consumed 3x inside cluster_pairs
     comp = cluster_pairs(star)  # (doc_id = triangle id, canon_doc = community)
     memb = (
         comp.join(tid, comp["doc_id"] == tid["t"])
