@@ -173,11 +173,45 @@ class GraphContext:
                 .localCheckpoint()
             )
             pre["dirdeg"] = dirdeg
-            row = dirdeg.agg(
-                F.max("out_deg").alias("mx"), F.sum("out_deg").alias("nnz")
-            ).collect()[0]
-            pre["max_out"] = int(row["mx"] or 0)
-            pre["nnz_total"] = int(row["nnz"] or 0)
+
+            # The directed degree stats and the symmetrized view + its
+            # degree stats are independent chains off the esum leaf — run
+            # them concurrently, still inside the AQE-on pre-phase (the
+            # undirected degree aggregate measured ~2x slower with AQE off;
+            # neither table needs pinned partitioning, so nothing forces
+            # them into the AQE-off materialization phase).
+            def _ddeg_stats() -> None:
+                row = dirdeg.agg(
+                    F.max("out_deg").alias("mx"), F.sum("out_deg").alias("nnz")
+                ).collect()[0]
+                pre["max_out"] = int(row["mx"] or 0)
+                pre["nnz_total"] = int(row["nnz"] or 0)
+
+            def _sym_stats() -> None:
+                if hub_theta is None:
+                    return
+                sym = symmetrize(esum).localCheckpoint()
+                pre["sym"] = sym
+                udeg = (
+                    sym.groupBy("src")
+                    .agg(F.count(F.lit(1)).alias("out_deg"), F.sum("w").alias("out_w"))
+                    .withColumnRenamed("src", "vid")
+                )
+                urow = udeg.agg(
+                    F.max("out_deg").alias("mx"), F.sum("out_deg").alias("nnz")
+                ).collect()[0]
+                pre["umax"] = int(urow["mx"] or 0)
+                pre["unnz"] = int(urow["nnz"] or 0)
+                pre["udeg"] = udeg
+
+            subs = [
+                threading.Thread(target=_pre_guard(fn), daemon=True)
+                for fn in (_ddeg_stats, _sym_stats)
+            ]
+            for th in subs:
+                th.start()
+            for th in subs:
+                th.join()
 
         pre_errs: list[BaseException] = []
 
@@ -265,23 +299,15 @@ class GraphContext:
             out["nnz_d"] = pre["nnz_total"] - nnz_hub
 
         def _undirected() -> None:
-            sym = symmetrize(esum)
             uhub_edges = uhub_vids = uhub_pack = None
             nnz_uhub = 0
             nnz_ub = None
             if hub_theta is not None:
-                # materialize once: consumed by the degree agg, the (rare)
-                # split, and the pack
-                sym = sym.localCheckpoint()
-                udeg = (
-                    sym.groupBy("src")
-                    .agg(F.count(F.lit(1)).alias("out_deg"), F.sum("w").alias("out_w"))
-                    .withColumnRenamed("src", "vid")
-                )
-                urow = udeg.agg(
-                    F.max("out_deg").alias("mx"), F.sum("out_deg").alias("nnz")
-                ).collect()[0]
-                umax, unnz = int(urow["mx"] or 0), int(urow["nnz"] or 0)
+                # symmetrized view + degree stats come pre-materialized from
+                # the AQE-on pre-phase (_sym_stats)
+                sym = pre["sym"]
+                udeg = pre["udeg"]
+                umax, unnz = pre["umax"], pre["unnz"]
                 theta = _theta_eff(unnz)
                 if umax > theta:  # same short-circuit as the directed side
                     udeg = udeg.localCheckpoint()  # referenced twice by the split
@@ -302,6 +328,8 @@ class GraphContext:
                     )
                     sym = non_hub_u.select("src", "dst", "w")
                 nnz_ub = unnz - nnz_uhub
+            else:
+                sym = symmetrize(esum)
             ublocks = build_csr_blocks(sym, n, P, presummed=True).localCheckpoint()
             out["ublocks"] = ublocks
             out["uhub_edges"], out["uhub_vids"], out["nnz_uhub"] = (
