@@ -488,23 +488,34 @@ def q_streaming_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 3).cast("int").alias("bucket"),
     )
     now = time.time()
-    for k in range(3):
-        tmp = os.path.join(base, f"_b{k}")
-        t.where(F.col("bucket") == k).drop("bucket").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(tmp)
-        src = next(
-            os.path.join(tmp, f_)
-            for f_ in os.listdir(tmp)
-            if f_.endswith(".parquet")
-        )
-        dst = os.path.join(in_dir, f"p{k}.parquet")
-        shutil.copyfile(src, dst)
-        # strictly increasing mtimes pin the file-source processing order
-        os.utime(dst, (now + 60 * k, now + 60 * k))
-        shutil.rmtree(tmp)
+    try:
+        for k in range(3):
+            tmp = os.path.join(base, f"_b{k}")
+            t.where(F.col("bucket") == k).drop("bucket").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            src = next(
+                os.path.join(tmp, f_)
+                for f_ in os.listdir(tmp)
+                if f_.endswith(".parquet")
+            )
+            dst = os.path.join(in_dir, f"p{k}.parquet")
+            shutil.copyfile(src, dst)
+            # strictly increasing mtimes pin the file-source processing order
+            os.utime(dst, (now + 60 * k, now + 60 * k))
+            shutil.rmtree(tmp)
 
-    ingest_to_parquet(spark, in_dir, out_dir, ck_dir)
+        ingest_to_parquet(spark, in_dir, out_dir, ck_dir)
+    finally:
+        # The landing files, _b* staging dirs and the stream checkpoint are
+        # dead once ingest_to_parquet returns (or fails): every gate
+        # invocation otherwise leaks a full projected copy of the events
+        # table to /tmp (ADVICE r05 #1).  Only the sink dir must outlive
+        # the call — the returned DataFrame reads it lazily.
+        shutil.rmtree(in_dir, ignore_errors=True)
+        shutil.rmtree(ck_dir, ignore_errors=True)
+        for k in range(3):
+            shutil.rmtree(os.path.join(base, f"_b{k}"), ignore_errors=True)
 
     return (
         spark.read.parquet(out_dir)
