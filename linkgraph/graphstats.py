@@ -562,16 +562,21 @@ def q_anf_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .datapipe import _md5_int
 
     dk = _directed_simple(spark, sf_dir)
+    # und feeds every round's message join and state feeds 3 consumers per
+    # round (messages, union, nf estimate) — materialized per round like
+    # the oracle's MATERIALIZED und/k{r} CTEs (audit: 160 Exchanges / 208
+    # scans lazy — guide §2.4).
     und = (
         dk.unionByName(dk.select(F.col("t").alias("s"), F.col("s").alias("t")))
         .distinct()
+        .localCheckpoint()
     )
     verts = (
         und.select(F.col("s").alias("v"))
         .unionByName(und.select(F.col("t").alias("v")))
         .distinct()
     )
-    state = verts.select("v", _md5_int(F.col("v")).alias("h"))
+    state = verts.select("v", _md5_int(F.col("v")).alias("h")).localCheckpoint()
 
     def nf_at(st: DataFrame, r: int) -> DataFrame:
         per_v = st.groupBy("v").agg(
@@ -595,6 +600,7 @@ def q_anf_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             merged.select("v", "h", F.row_number().over(w).alias("rn"))
             .where(F.col("rn") <= _ANF_K)
             .select("v", "h")
+            .localCheckpoint()
         )
         out = out.unionByName(nf_at(state, r))
     return out.orderBy("radius")
@@ -687,9 +693,14 @@ def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
         dk.unionByName(dk.select(F.col("t").alias("s"), F.col("s").alias("t")))
         .distinct()
     )
-    e = und.where(F.col("s") < F.col("t"))
+    # Each peel round references the current edge set ~5x (both wedge arms,
+    # the support join, the anti filter); left lazy the plan multiplies
+    # ~5x per round — audited at 7,560 Exchanges / 10,368 scans after 4
+    # rounds.  Materialize per round, exactly like the oracle's
+    # MATERIALIZED e{i} CTEs (guide §2.4, §3.3).
+    e = und.where(F.col("s") < F.col("t")).localCheckpoint()
     for _ in range(_TRUSS_ROUNDS):
-        e = _peel_once(e, _TRUSS_K - 2)
+        e = _peel_once(e, _TRUSS_K - 2).localCheckpoint()
     return e.orderBy("s", "t")
 
 
@@ -2194,7 +2205,7 @@ def q_cliques4(spark: SparkSession, sf_dir: str) -> DataFrame:
     dk = _directed_simple(spark, sf_dir)
     und = dk.select(
         F.least("s", "t").alias("u"), F.greatest("s", "t").alias("v")
-    ).distinct()
+    ).distinct().localCheckpoint()  # 3 consumers: both adj arms + orientation
     adj = und.unionByName(
         und.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -2203,6 +2214,9 @@ def q_cliques4(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u").alias("vk"),
         F.row_number().over(Window.orderBy("deg", "u")).cast("long").alias("rk"),
     )
+    # o feeds SEVEN consumers (six quad projections + the degree stats);
+    # materialized so the orientation derivation runs once (audit: 118
+    # Exchanges / 140 scans lazy — guide §2.4)
     o = (
         und.join(rk.select(F.col("vk").alias("u"), F.col("rk").alias("ru")), "u")
         .join(rk.select(F.col("vk").alias("v"), F.col("rk").alias("rv")), "v")
@@ -2210,6 +2224,7 @@ def q_cliques4(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("ru") < F.col("rv"), F.col("ru")).otherwise(F.col("rv")).alias("s"),
             F.when(F.col("ru") < F.col("rv"), F.col("rv")).otherwise(F.col("ru")).alias("t"),
         )
+        .localCheckpoint()
     )
     ab = o.select(F.col("s").alias("a"), F.col("t").alias("b"))
     ac = o.select(F.col("s").alias("a"), F.col("t").alias("c"))
