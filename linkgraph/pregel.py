@@ -278,19 +278,19 @@ class GraphContext:
                 non_hub, hub_e = split_hub_edges(esum, dirdeg, theta, presummed=True)
                 hub_edges = hub_e.repartition(P, "src", "dst").localCheckpoint()
                 hub_pack = _prepack_hub(hub_edges, P, ("coeff", "w")).localCheckpoint()
-                # hub nnz = total CSR row length of the hub srcs (exact: esum
-                # has one row per (src, dst)) — a tiny dirdeg agg instead of
-                # a count over the materialized hub edges.
-                nnz_hub = int(
+                # ONE materialization of the (tiny) hub vid set carrying its
+                # out-degree: the nnz agg reads the leaf instead of running
+                # a second dirdeg scan job, and the per-superstep broadcast
+                # projects vid off the same leaf.
+                hubv = (
                     dirdeg.where(F.col("out_deg") > theta)
-                    .agg(F.sum("out_deg"))
-                    .collect()[0][0]
-                )
-                hub_vids = (
-                    dirdeg.where(F.col("out_deg") > theta)
-                    .select("vid")
+                    .select("vid", "out_deg")
                     .localCheckpoint()
                 )
+                # hub nnz = total CSR row length of the hub srcs (exact:
+                # esum has one row per (src, dst))
+                nnz_hub = int(hubv.agg(F.sum("out_deg")).collect()[0][0])
+                hub_vids = hubv.select("vid")
                 pr_edges = non_hub
             blocks = build_csr_blocks(pr_edges, n, P, presummed=True).localCheckpoint()
             out["blocks"] = blocks
@@ -316,16 +316,15 @@ class GraphContext:
                         uhub_e.select("src", "dst").repartition(P, "src", "dst").localCheckpoint()
                     )
                     uhub_pack = _prepack_hub(uhub_edges, P, ()).localCheckpoint()
-                    nnz_uhub = int(
+                    # one leaf for the stats agg + the per-superstep
+                    # broadcast (see the directed side)
+                    uhubv = (
                         udeg.where(F.col("out_deg") > theta)
-                        .agg(F.sum("out_deg"))
-                        .collect()[0][0]
-                    )
-                    uhub_vids = (
-                        udeg.where(F.col("out_deg") > theta)
-                        .select("vid")
+                        .select("vid", "out_deg")
                         .localCheckpoint()
                     )
+                    nnz_uhub = int(uhubv.agg(F.sum("out_deg")).collect()[0][0])
+                    uhub_vids = uhubv.select("vid")
                     sym = non_hub_u.select("src", "dst", "w")
                 nnz_ub = unnz - nnz_uhub
             else:
