@@ -551,3 +551,20 @@ def test_emb_meandot_audit_matches_numpy_bruteforce(spark):
         assert r["norm_sq_sum"] == norm_sq
         assert r["pair_dot_sum"] == pair
         assert norm_sq - sum_sq == 2 * pair  # the identity itself
+
+
+def test_emb_meandot_audit_overflow_raises_loudly(spark, tmp_path):
+    """Past the documented int64 bound the audit must FAIL, not wrap
+    (ADVICE r05): 4 vectors of [1e5] quantize to s = 4e9 per dim, whose
+    square (1.6e19) exceeds 2^63-1.  DuckDB raises on the same input; the
+    runtime guard makes the Spark side raise too instead of silently
+    returning a wrapped (wrong) integer."""
+    from linkgraph.ann import emb_meandot_audit
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, 0, [1.0e5]) for i in range(4)],
+        "vec_id long, label int, embedding array<double>",
+    ).write.parquet(f"{sf}/embeddings.parquet")
+    with pytest.raises(Exception, match="overflows int64"):
+        emb_meandot_audit(spark, sf).collect()
